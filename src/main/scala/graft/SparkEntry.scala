@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.q1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"         -> ((s, d) => Analytics.q1(s, d)),
+    "q3_topk"        -> ((s, d) => Analytics.q3(s, d)),
+    "q5_join"        -> ((s, d) => Analytics.q5(s, d)),
+    "events_window"  -> ((s, d) => Analytics.eventsWindow(s, d)),
+    "events_session" -> ((s, d) => Analytics.eventsSession(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL for each key in [[queries]]. */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg"         -> Analytics.q1Sql,
+    "q3_topk"        -> Analytics.q3Sql,
+    "q5_join"        -> Analytics.q5Sql,
+    "events_window"  -> Analytics.eventsWindowSql,
+    "events_session" -> Analytics.eventsSessionSql,
+  )
 }

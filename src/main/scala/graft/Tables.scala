@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated parquet tables (see TESTDATA.md).
+  *
+  * Every operator reads through here so the scan is a plain parquet
+  * relation Catalyst can push filters/projections into. No caching at
+  * this layer — callers decide what to persist.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
+    * refuses; read nanos as long and rebuild a microsecond timestamp.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
+
+/** Shared numeric conventions for the DuckDB-oracle comparison.
+  *
+  * Double aggregation order differs between engines, so raw doubles
+  * never hash-match. Convention: every float-valued output column is
+  * reduced to fixed-point BIGINT via floor(x*10^p + 0.5) — identical
+  * arithmetic on both engines, immune to last-ulp jitter.
+  */
+object OracleNum {
+  import org.apache.spark.sql.Column
+
+  /** Fixed-point: round half-up at 10^-p, emitted as BIGINT. */
+  def fx(c: Column, p: Int = 4): Column =
+    floor(c * math.pow(10, p).toLong + lit(0.5)).cast("long")
+
+  /** DuckDB-side rendering of [[fx]]. */
+  def fxSql(e: String, p: Int = 4): String =
+    s"CAST(FLOOR(($e) * ${math.pow(10, p).toLong} + 0.5) AS BIGINT)"
+}
