@@ -17,6 +17,11 @@ object SparkEntry {
     "q5_join"        -> ((s, d) => Analytics.q5(s, d)),
     "events_window"  -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_session" -> ((s, d) => Analytics.eventsSession(s, d)),
+    "semantic_search"   -> ((s, d) => VectorSearch.semanticTopK(s, d)),
+    "binary_quantize"   -> ((s, d) => VectorSearch.binaryQuantize(s, d)),
+    "multistage_search" -> ((s, d) => VectorSearch.multiStage(s, d)),
+    "ann_topk_batch"    -> ((s, d) => VectorSearch.annTopKBatch(s, d)),
+    "ann_lsh"           -> ((s, d) => VectorSearch.annLsh(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -26,5 +31,10 @@ object SparkEntry {
     "q5_join"        -> Analytics.q5Sql,
     "events_window"  -> Analytics.eventsWindowSql,
     "events_session" -> Analytics.eventsSessionSql,
+    "semantic_search"   -> VectorSearch.semanticTopKSql(),
+    "binary_quantize"   -> VectorSearch.binaryQuantizeSql(),
+    "multistage_search" -> VectorSearch.multiStageSql(),
+    "ann_topk_batch"    -> VectorSearch.annTopKBatchSql(),
+    "ann_lsh"           -> VectorSearch.annLshSql(),
   )
 }

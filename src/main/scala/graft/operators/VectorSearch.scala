@@ -1,0 +1,274 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions.hash60Sql
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dense vector search re-expressed as Spark plans.
+  *
+  * Reference surface: semantic_search (grape-vector-db src/lib.rs:403,
+  * src/query.rs), binary quantization + multi-stage search
+  * (src/quantization.rs:151), batched ANN.
+  *
+  * Scale design: the query side is always a tiny broadcast relation;
+  * the corpus side is a straight parquet scan. Top-k is expressed as
+  * orderBy+limit so Spark plans TakeOrderedAndProject (per-partition
+  * heaps, O(k) merge on the driver — no global sort shuffle). The LSH
+  * variant buckets the corpus by a Rademacher-hyperplane signature so
+  * each probe touches ~corpus/2^planes rows: that is the 100 TB path.
+  */
+object VectorSearch {
+  import OracleNum.{fx, fxSql}
+
+  private def embCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+
+  /** One-row broadcast relation holding the query vector. */
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") === qid)
+      .select(toDouble(col("embedding")).as("qv"))
+
+  /** Brute-force cosine top-k for a single query vector (the
+    * correctness baseline every ANN variant is measured against).
+    */
+  def semanticTopK(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 20): DataFrame =
+    embCorpus(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  def semanticTopKSql(qid: Long = 0, k: Int = 20): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid)
+       |SELECT e.vec_id,
+       |  ${fxSql(cosineSql("e.embedding::DOUBLE[]", "q.qv"))} AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> $qid
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** DuckDB cosine with the same sequential-sum semantics as
+    * [[graft.functions.VectorFunctions.cosineSimilarity]].
+    */
+  def cosineSql(a: String, b: String): String =
+    s"(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))))"
+
+  /** Sign-bit binary quantization + Hamming similarity vs one query
+    * (reference src/quantization.rs:86,130). 64-dim corpus → each
+    * vector packs into a single BIGINT word; similarity = 1 - d/64.
+    */
+  def binaryQuantize(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 20): DataFrame = {
+    val packed = embCorpus(spark, dir)
+      .select(col("vec_id"), packSignBits(col("emb"), 64).as("bits"))
+    val q = packed.filter(col("vec_id") === qid).select(col("bits").as("qbits"))
+    packed
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        hammingDistance(col("bits"), col("qbits")).as("hamming"),
+        fx(hammingSimilarity(col("bits"), col("qbits"), 64)).as("similarity"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB pack of sign bits into 32-bit words (list of 2 BIGINTs
+    * for dim 64); i is 1-based in list_transform.
+    */
+  def packBitsSql(e: String): String = {
+    val words = (0 until 2).map { w =>
+      s"list_sum(list_transform(list_slice($e, ${w * 32 + 1}, ${w * 32 + 32}), (x, i) -> CASE WHEN x > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT"
+    }
+    words.mkString("[", ", ", "]")
+  }
+
+  /** DuckDB hamming over two packed word lists. */
+  def hammingSql(a: String, b: String): String =
+    s"(bit_count(xor($a[1], $b[1])) + bit_count(xor($a[2], $b[2])))"
+
+  def binaryQuantizeSql(qid: Long = 0, k: Int = 20): String =
+    s"""WITH packed AS (
+       |  SELECT vec_id, ${packBitsSql("embedding")} AS bits FROM embeddings
+       |), q AS (SELECT bits AS qbits FROM packed WHERE vec_id = $qid)
+       |SELECT p.vec_id,
+       |  ${hammingSql("p.bits", "q.qbits")}::BIGINT AS hamming,
+       |  ${fxSql(s"1.0 - ${hammingSql("p.bits", "q.qbits")} / 64.0")} AS similarity
+       |FROM packed p, q
+       |WHERE p.vec_id <> $qid
+       |ORDER BY hamming, p.vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Multi-stage search (reference src/quantization.rs:151): coarse
+    * Hamming top-N over packed bits (32x narrower scan), exact cosine
+    * rescore of the surviving candidates only.
+    */
+  def multiStage(spark: SparkSession, dir: String, qid: Long = 0,
+                 coarseK: Int = 100, k: Int = 10): DataFrame = {
+    val corpus = embCorpus(spark, dir)
+      .withColumn("bits", packSignBits(col("emb"), 64))
+    val q = corpus.filter(col("vec_id") === qid)
+      .select(col("emb").as("qv"), col("bits").as("qbits"))
+    val coarse = corpus
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .withColumn("hamming", hammingDistance(col("bits"), col("qbits")))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(coarseK)
+    coarse
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def multiStageSql(qid: Long = 0, coarseK: Int = 100, k: Int = 10): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb, ${packBitsSql("embedding")} AS bits
+       |  FROM embeddings
+       |), q AS (SELECT emb AS qv, bits AS qbits FROM corpus WHERE vec_id = $qid),
+       |coarse AS (
+       |  SELECT c.vec_id, c.emb, q.qv
+       |  FROM corpus c, q
+       |  WHERE c.vec_id <> $qid
+       |  ORDER BY ${hammingSql("c.bits", "q.qbits")}, c.vec_id
+       |  LIMIT $coarseK
+       |)
+       |SELECT vec_id, ${fxSql(cosineSql("emb", "qv"))} AS score
+       |FROM coarse
+       |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Brute-force cosine top-k for a BATCH of query vectors. The
+    * scored pairs are ranked per query with a window; at scale the
+    * query set stays a broadcast and the shuffle carries only
+    * (nQueries x k) survivors after partial ranking.
+    */
+  def annTopKBatch(spark: SparkSession, dir: String,
+                   nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val corpus = embCorpus(spark, dir)
+    val queries = embCorpus(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"))
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annTopKBatchSql(nQueries: Int = 8, k: Int = 5): String =
+    s"""WITH queries AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    ${fxSql(cosineSql("e.embedding::DOUBLE[]", "q.qv"))} AS score
+       |  FROM embeddings e, queries q
+       |  WHERE e.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Number of LSH hyperplanes (buckets = 2^Planes). */
+  val LshPlanes = 6
+
+  /** Deterministic Rademacher hyperplanes: component (j, d) is +-1
+    * from one md5 bit, computed once on the driver and inlined as
+    * literals — the DuckDB oracle embeds the same matrix, so both
+    * engines bucket identically.
+    */
+  def lshPlanes(dim: Int): Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(LshPlanes, dim) { (j, d) =>
+      val h = md.digest(s"graft-lsh:$j:$d".getBytes("UTF-8"))
+      if ((h(0) & 0x80) != 0) -1 else 1
+    }
+  }
+
+  /** LSH bucket signature for an embedding column: bit j of the
+    * signature = sign of the projection onto hyperplane j.
+    */
+  def lshBucket(emb: Column, planes: Array[Array[Int]]): Column = {
+    val bits = planes.zipWithIndex.map { case (plane, j) =>
+      val proj = aggregate(
+        zip_with(emb, lit(plane), (x, s) => x * s.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** LSH-bucketed ANN: corpus and queries are both signed into 2^6
+    * buckets; candidates are same-bucket only, so each query probes
+    * ~1/64 of the corpus. This trades recall for a 64x scan cut —
+    * the brute-force twin [[annTopKBatch]] is the recall oracle.
+    */
+  def annLsh(spark: SparkSession, dir: String,
+             nQueries: Int = 8, k: Int = 5): DataFrame = {
+    val planes = lshPlanes(64)
+    val corpus = embCorpus(spark, dir)
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"), col("bucket"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def annLshSql(nQueries: Int = 8, k: Int = 5): String = {
+    val planes = lshPlanes(64)
+    // same plane matrix inlined as a DuckDB list-of-lists literal
+    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    val bucketExpr =
+      (0 until LshPlanes).map { j =>
+        s"(CASE WHEN list_dot_product(emb, planes[${j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+    s"""WITH corpus0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes
+       |  FROM embeddings
+       |), corpus AS (
+       |  SELECT vec_id, emb, ($bucketExpr) AS bucket FROM corpus0
+       |), queries AS (
+       |  SELECT vec_id AS query_id, emb AS qv, bucket FROM corpus WHERE vec_id < $nQueries
+       |), scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    ${fxSql(cosineSql("c.emb", "q.qv"))} AS score
+       |  FROM corpus c JOIN queries q USING (bucket)
+       |  WHERE c.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.VectorSearch
+
+class VectorSearchSpec extends GraftSuite {
+
+  test("semantic top-k returns k descending-scored neighbors") {
+    val rows = VectorSearch.semanticTopK(spark, sf, qid = 0, k = 20).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+  }
+
+  test("binary quantization hamming search is ascending in distance") {
+    val rows = VectorSearch.binaryQuantize(spark, sf).collect()
+    assert(rows.length == 20)
+    val h = rows.map(_.getAs[Long]("hamming")).toSeq
+    assert(h == h.sorted)
+    assert(h.forall(d => d >= 0 && d <= 64))
+  }
+
+  test("multi-stage rescore recovers most of brute-force top-10") {
+    val brute = VectorSearch.semanticTopK(spark, sf, qid = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val staged = VectorSearch.multiStage(spark, sf, qid = 0, coarseK = 100, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(staged.size == 10)
+    // coarse hamming stage keeps >= half of the true neighbors at 20% width
+    assert((brute intersect staged).size >= 5)
+  }
+
+  test("batched ANN ranks 5 neighbors for each of 8 queries") {
+    val rows = VectorSearch.annTopKBatch(spark, sf).collect()
+    assert(rows.length == 40)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { g =>
+      assert(g.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 5L))
+    }
+  }
+
+  test("LSH probe stays inside the query's bucket and finds close neighbors") {
+    val rows = VectorSearch.annLsh(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every returned neighbor scores above random-pair expectation
+    val brute = VectorSearch.annTopKBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = rows.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // bucketed probe recovers a nonzero share of true top-5
+    assert((brute intersect lsh).nonEmpty)
+  }
+}
