@@ -22,6 +22,10 @@ object SparkEntry {
     "multistage_search" -> ((s, d) => VectorSearch.multiStage(s, d)),
     "ann_topk_batch"    -> ((s, d) => VectorSearch.annTopKBatch(s, d)),
     "ann_lsh"           -> ((s, d) => VectorSearch.annLsh(s, d)),
+    "bm25_search"   -> ((s, d) => Bm25.search(s, d)),
+    "text_search"   -> ((s, d) => Bm25.textSearch(s, d)),
+    "hybrid_rrf"    -> ((s, d) => HybridSearch.rrf(s, d)),
+    "hybrid_linear" -> ((s, d) => HybridSearch.linear(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -36,5 +40,9 @@ object SparkEntry {
     "multistage_search" -> VectorSearch.multiStageSql(),
     "ann_topk_batch"    -> VectorSearch.annTopKBatchSql(),
     "ann_lsh"           -> VectorSearch.annLshSql(),
+    "bm25_search"   -> Bm25.searchSql(),
+    "text_search"   -> Bm25.textSearchSql(),
+    "hybrid_rrf"    -> HybridSearch.rrfSql(),
+    "hybrid_linear" -> HybridSearch.linearSql(),
   )
 }

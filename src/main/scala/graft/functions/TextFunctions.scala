@@ -37,7 +37,7 @@ object TextFunctions {
 
   /** DuckDB rendering of [[tokens]] over SQL expression `e`. */
   def tokensSql(e: String): String =
-    s"list_filter(list_transform(string_split(lower($e), ' '), x -> regexp_replace(x, '[^a-z0-9]', '', 'g')), x -> length(x) > 1 AND x NOT IN $stopWordsSql)"
+    s"list_filter(list_transform(string_split(lower($e), ' '), x -> regexp_replace(x, '[^a-z0-9]', '', 'g')), x -> length(x) > 1 AND NOT list_contains($stopWordsSql, x))"
 
   /** Cross-engine deterministic 60-bit hash: first 15 hex chars of
     * md5 → BIGINT. Identical in Spark and DuckDB (md5 hex matches).

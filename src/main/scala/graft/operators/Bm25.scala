@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sparse retrieval: Okapi BM25 over the documents table.
+  *
+  * Reference surface: grape-vector-db src/sparse.rs (SparseIndex
+  * search_bm25, k1=1.2 b=0.75, idf = ln((N - df + 0.5) / (df + 0.5)))
+  * and the SimpleTokenizer (src/sparse.rs:288). The reference
+  * normalizes term frequencies to relative frequencies, which makes
+  * its document_length identically 1.0 and degenerates BM25 length
+  * normalization; this engine keeps standard Robertson BM25 with
+  * dl = token count — the semantics the reference's parameters are
+  * designed for.
+  *
+  * Scale design: the corpus pass computes (doc, dl) and filtered
+  * (doc, term, tf) postings; the term filter lands BEFORE the
+  * grouping so only query-term postings are aggregated. df/N/avgdl
+  * are tiny aggregates joined by broadcast. Top-k is
+  * TakeOrderedAndProject. At 100 TB the posting DF would be written
+  * once, bucketed by term, and reused across queries.
+  */
+object Bm25 {
+  import OracleNum.{fx, fxSql}
+
+  val K1 = 1.2
+  val B  = 0.75
+
+  /** Scala-side mirror of TextFunctions.tokens for query strings. */
+  def tokenizeQuery(q: String): Seq[String] =
+    q.toLowerCase.split(" ").toSeq
+      .map(_.replaceAll("[^a-z0-9]", ""))
+      .filter(t => t.length > 1 && !StopWords.contains(t))
+      .distinct
+
+  val DefaultQuery = "spark vector join stream window"
+
+  def search(spark: SparkSession, dir: String,
+             query: String = DefaultQuery, k: Int = 20): DataFrame = {
+    val terms = tokenizeQuery(query)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val score = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(fx(sum(col("term_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def searchSql(query: String = DefaultQuery, k: Int = 20): String = {
+    val terms = tokenizeQuery(query).map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), lens AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl FROM toks
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+       |), posting AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM toks
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+       |  FROM posting WHERE term IN $terms
+       |  GROUP BY doc_id, dl, term
+       |), dfs AS (
+       |  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term
+       |)
+       |SELECT tf.doc_id,
+       |  ${fxSql(s"SUM(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * ((1.0 - $B) + $B * (tf.dl / stats.avgdl))))", 6)} AS score
+       |FROM tf JOIN dfs USING (term), stats
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, tf.doc_id
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Simple token-containment text search (reference
+    * src/hybrid.rs:619 simple_text_search): +1 per query term whose
+    * lowercase substring occurs in the content; rows with score > 0,
+    * top-k. One full-scan predicate per term — no index needed, and
+    * the scan is a single parquet pass at any scale.
+    */
+  def textSearch(spark: SparkSession, dir: String,
+                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
+    val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
+    val content = lower(col("text"))
+    val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def textSearchSql(query: String = DefaultQuery, k: Int = 20): String = {
+    val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
+    val score = terms
+      .map(t => s"(CASE WHEN contains(lower(text), '$t') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($score AS BIGINT) AS score
+       |FROM documents
+       |WHERE ($score) > 0
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+}
