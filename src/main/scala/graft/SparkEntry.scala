@@ -26,6 +26,11 @@ object SparkEntry {
     "text_search"   -> ((s, d) => Bm25.textSearch(s, d)),
     "hybrid_rrf"    -> ((s, d) => HybridSearch.rrf(s, d)),
     "hybrid_linear" -> ((s, d) => HybridSearch.linear(s, d)),
+    "filter_comparison" -> ((s, d) => Filtering.filterComparison(s, d)),
+    "filter_logical"    -> ((s, d) => Filtering.filterLogical(s, d)),
+    "filter_geo"        -> ((s, d) => Filtering.filterGeo(s, d)),
+    "filter_nested"     -> ((s, d) => Filtering.filterNested(s, d)),
+    "filter_sql_where"  -> ((s, d) => Filtering.filterSqlWhere(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -44,5 +49,10 @@ object SparkEntry {
     "text_search"   -> Bm25.textSearchSql(),
     "hybrid_rrf"    -> HybridSearch.rrfSql(),
     "hybrid_linear" -> HybridSearch.linearSql(),
+    "filter_comparison" -> Filtering.filterComparisonSql,
+    "filter_logical"    -> Filtering.filterLogicalSql,
+    "filter_geo"        -> Filtering.filterGeoSql,
+    "filter_nested"     -> Filtering.filterNestedSql,
+    "filter_sql_where"  -> Filtering.filterSqlWhereSql,
   )
 }

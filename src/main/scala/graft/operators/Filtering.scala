@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Advanced filtering subsystem.
+  *
+  * Reference surface: grape-vector-db src/filtering.rs — a
+  * FilterExpression tree (Comparison / Logical / Geospatial / Nested /
+  * TextSearch) evaluated against per-field indexes, plus a SQL WHERE
+  * parser (src/filtering.rs:764).
+  *
+  * Spark-first re-expression: the same ADT, but `compile` emits a
+  * Catalyst `Column` predicate instead of walking hand-built indexes.
+  * That means every comparison/logical filter participates in
+  * predicate pushdown, partition pruning and min/max skipping for
+  * free — the "filter index" of the reference IS the parquet
+  * footer + Catalyst here. The SQL WHERE path delegates to Spark's
+  * own parser via `expr()`.
+  */
+object Filtering {
+  import OracleNum.{fx, fxSql}
+
+  // ---- FilterExpression ADT (mirrors filtering.rs:40) ----
+  sealed trait FilterExpr
+  final case class Cmp(field: String, op: CmpOp, value: Any) extends FilterExpr
+  final case class AndF(operands: Seq[FilterExpr]) extends FilterExpr
+  final case class OrF(operands: Seq[FilterExpr]) extends FilterExpr
+  final case class NotF(operand: FilterExpr) extends FilterExpr
+  /** JSON-path predicate over a string column holding a JSON object
+    * (filtering.rs NestedOperator::JsonPath / Exists / Equal).
+    */
+  final case class JsonCmp(field: String, path: String, op: CmpOp, value: Any) extends FilterExpr
+  /** Haversine within-distance (filtering.rs GeospatialOperator::WithinDistance). */
+  final case class GeoWithin(latField: String, lonField: String,
+                             lat: Double, lon: Double, radiusKm: Double) extends FilterExpr
+
+  sealed trait CmpOp
+  case object Eq extends CmpOp; case object Ne extends CmpOp
+  case object Gt extends CmpOp; case object Ge extends CmpOp
+  case object Lt extends CmpOp; case object Le extends CmpOp
+  case object Like extends CmpOp; case object NotLike extends CmpOp
+  case object In extends CmpOp; case object NotIn extends CmpOp
+  case object IsNull extends CmpOp; case object IsNotNull extends CmpOp
+
+  /** Compile a FilterExpr tree to one Catalyst predicate Column. */
+  def compile(f: FilterExpr): Column = f match {
+    case Cmp(field, op, v) => cmp(col(field), op, v)
+    case AndF(os)          => os.map(compile).reduce(_ && _)
+    case OrF(os)           => os.map(compile).reduce(_ || _)
+    case NotF(o)           => !compile(o)
+    case JsonCmp(field, path, op, v) =>
+      cmp(get_json_object(col(field), s"$$.$path"), op, v)
+    case GeoWithin(latF, lonF, lat, lon, r) =>
+      haversineKm(col(latF), col(lonF), lit(lat), lit(lon)) <= r
+  }
+
+  private def cmp(c: Column, op: CmpOp, v: Any): Column = op match {
+    case Eq        => c === lit(v)
+    case Ne        => c =!= lit(v)
+    case Gt        => c > lit(v)
+    case Ge        => c >= lit(v)
+    case Lt        => c < lit(v)
+    case Le        => c <= lit(v)
+    case Like      => c.like(v.toString)
+    case NotLike   => !c.like(v.toString)
+    case In        => c.isin(v.asInstanceOf[Seq[Any]]: _*)
+    case NotIn     => !c.isin(v.asInstanceOf[Seq[Any]]: _*)
+    case IsNull    => c.isNull
+    case IsNotNull => c.isNotNull
+  }
+
+  /** Great-circle distance in km (haversine, R=6371). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  def haversineKmSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"(2.0 * 6371.0 * asin(sqrt(pow(sin(radians(($lat2) - ($lat1)) / 2), 2) + cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians(($lon2) - ($lon1)) / 2), 2))))"
+
+  // ---- queries() entries ----
+
+  /** Comparison operators over orders: range + IN + LIKE composed as
+    * one pushed-down scan predicate.
+    */
+  def filterComparison(spark: SparkSession, dir: String): DataFrame = {
+    val f = AndF(Seq(
+      Cmp("o_orderstatus", Eq, "O"),
+      Cmp("o_totalprice", Ge, 50000.0),
+      Cmp("o_orderpriority", In, Seq("1-URGENT", "2-HIGH")),
+      Cmp("o_orderkey", Le, 100000L)))
+    Tables.orders(spark, dir)
+      .filter(compile(f))
+      .select(col("o_orderkey"), col("o_custkey"), fx(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val filterComparisonSql: String =
+    s"""SELECT o_orderkey, o_custkey, ${fxSql("o_totalprice", 2)} AS price
+       |FROM orders
+       |WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
+       |  AND o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey <= 100000
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Logical composition incl. NOT / nested OR and LIKE / NULL ops
+    * over part.
+    */
+  def filterLogical(spark: SparkSession, dir: String): DataFrame = {
+    val f = AndF(Seq(
+      OrF(Seq(Cmp("p_type", Like, "%BRASS%"), Cmp("p_size", Ge, 40))),
+      NotF(Cmp("p_brand", Eq, "Brand#11")),
+      Cmp("p_name", IsNotNull, null)))
+    Tables.part(spark, dir)
+      .filter(compile(f))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val filterLogicalSql: String =
+    s"""SELECT p_partkey, p_brand, p_size
+       |FROM part
+       |WHERE (p_type LIKE '%BRASS%' OR p_size >= 40)
+       |  AND NOT (p_brand = 'Brand#11') AND p_name IS NOT NULL
+       |ORDER BY p_partkey""".stripMargin
+
+  /** Geospatial within-radius. The corpus has no lat/lon, so both
+    * engines derive deterministic pseudo-coordinates from c_custkey
+    * with pure integer arithmetic (identical cross-engine), then the
+    * haversine predicate + distance projection run on them.
+    */
+  def filterGeo(spark: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") * 7919 % 18000) / lit(100.0) - 90.0
+    val lon = (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0
+    Tables.customer(spark, dir)
+      .withColumn("lat", lat).withColumn("lon", lon)
+      .filter(compile(GeoWithin("lat", "lon", 40.0, -74.0, 5000.0)))
+      .select(col("c_custkey"),
+        fx(haversineKm(col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3).as("dist_km"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val filterGeoSql: String = {
+    val lat = "((c_custkey * 7919 % 18000) / 100.0 - 90.0)"
+    val lon = "((c_custkey * 104729 % 36000) / 100.0 - 180.0)"
+    val d = haversineKmSql(lat, lon, "40.0", "-74.0")
+    s"""SELECT c_custkey, ${fxSql(d, 3)} AS dist_km
+       |FROM customer
+       |WHERE $d <= 5000.0
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Nested/JSON-path filtering over events.props. */
+  def filterNested(spark: SparkSession, dir: String): DataFrame = {
+    val f = AndF(Seq(
+      JsonCmp("props", "k", IsNotNull, null),
+      Cmp("event_type", In, Seq("purchase", "signup"))))
+    Tables.events(spark, dir)
+      .filter(compile(f))
+      .filter(get_json_object(col("props"), "$.k").cast("long") >= 50)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))
+  }
+
+  val filterNestedSql: String =
+    s"""SELECT event_id, event_type, CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+       |FROM events
+       |WHERE json_extract_string(props, '$$.k') IS NOT NULL
+       |  AND event_type IN ('purchase', 'signup')
+       |  AND CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 50
+       |ORDER BY event_id""".stripMargin
+
+  /** SQL WHERE passthrough (reference SqlFilterParser): the WHERE
+    * string is parsed by Spark's own SQL parser into the same
+    * Catalyst predicate a native filter would produce.
+    */
+  val SqlWhere = "l_quantity > 45.0 AND l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1994-01-01'"
+
+  def filterSqlWhere(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(expr(SqlWhere))
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        fx(col("l_quantity")).as("qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val filterSqlWhereSql: String =
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, ${fxSql("l_quantity")} AS qty
+       |FROM lineitem
+       |WHERE $SqlWhere
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+}
