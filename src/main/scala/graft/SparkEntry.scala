@@ -31,6 +31,11 @@ object SparkEntry {
     "filter_geo"        -> ((s, d) => Filtering.filterGeo(s, d)),
     "filter_nested"     -> ((s, d) => Filtering.filterNested(s, d)),
     "filter_sql_where"  -> ((s, d) => Filtering.filterSqlWhere(s, d)),
+    "dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_minhash"   -> ((s, d) => Dedup.minhash(s, d)),
+    "dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -54,5 +59,10 @@ object SparkEntry {
     "filter_geo"        -> Filtering.filterGeoSql,
     "filter_nested"     -> Filtering.filterNestedSql,
     "filter_sql_where"  -> Filtering.filterSqlWhereSql,
+    "dedup_exact"     -> Dedup.exactSql,
+    "dedup_minhash"   -> Dedup.minhashSql(),
+    "dedup_simhash"   -> Dedup.simhashSql(),
+    "dedup_ngram"     -> Dedup.ngramJaccardSql(),
+    "dedup_embedding" -> Dedup.embeddingPairsSql(),
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends GraftSuite {
+
+  test("exact dedup groups every doc exactly once") {
+    val rows = Dedup.exact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == 500)
+    // keep_id is the min id per group so it is strictly increasing
+    val keeps = rows.map(_.getAs[Long]("keep_id")).toSeq
+    assert(keeps == keeps.sorted && keeps.distinct == keeps)
+  }
+
+  test("minhash LSH finds the injected near-duplicate pairs") {
+    val pairs = Dedup.minhash(spark, sf).collect()
+    assert(pairs.nonEmpty, "expected injected near-dups to collide in LSH bands")
+    assert(pairs.forall(_.getAs[Long]("jaccard") >= 5000L))
+    // symmetric canonical order
+    assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+  }
+
+  test("simhash band join surfaces low-hamming pairs") {
+    val pairs = Dedup.simhash(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("hamming") <= 10))
+  }
+
+  test("ngram jaccard verifies rare-shingle candidates") {
+    val pairs = Dedup.ngramJaccard(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Long]("jaccard") >= 3000L))
+  }
+
+  test("minhash and ngram agree on high-overlap pairs") {
+    val mh = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val ng = Dedup.ngramJaccard(spark, sf, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    // both candidate generators must recover the same strong dups
+    assert((mh intersect ng).nonEmpty)
+  }
+
+  test("embedding pairs are ranked by cosine within LSH buckets") {
+    val rows = Dedup.embeddingPairs(spark, sf).collect()
+    assert(rows.length == 50)
+    val scores = rows.map(_.getAs[Long]("cosine")).toSeq
+    assert(scores == scores.sortBy(-_))
+  }
+}
