@@ -36,6 +36,14 @@ object SparkEntry {
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_ngram"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "lang_id"         -> ((s, d) => TextAnalysis.langId(s, d)),
+    "text_quality"    -> ((s, d) => TextAnalysis.quality(s, d)),
+    "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
+    "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "doc_get"   -> ((s, d) => DocOps.get(s, d)),
+    "doc_list"  -> ((s, d) => DocOps.list(s, d)),
+    "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
+    "mm_meta"   -> ((s, d) => Multimodal.meta(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -64,5 +72,13 @@ object SparkEntry {
     "dedup_simhash"   -> Dedup.simhashSql(),
     "dedup_ngram"     -> Dedup.ngramJaccardSql(),
     "dedup_embedding" -> Dedup.embeddingPairsSql(),
+    "lang_id"         -> TextAnalysis.langIdSql,
+    "text_quality"    -> TextAnalysis.qualitySql,
+    "token_count"     -> TextAnalysis.tokenCountSql,
+    "doc_fingerprint" -> TextAnalysis.fingerprintSql,
+    "doc_get"   -> DocOps.getSql(),
+    "doc_list"  -> DocOps.listSql(),
+    "doc_stats" -> DocOps.statsSql,
+    "mm_meta"   -> Multimodal.metaSql,
   )
 }

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-store surface of the reference
+  * (grape-vector-db src/lib.rs: get_document, list_documents,
+  * get_stats). Point lookups are pushed-down scans, listing is
+  * order+offset pagination, stats are one grouped aggregate.
+  */
+object DocOps {
+  import OracleNum.{fx, fxSql}
+
+  /** Point lookup by id — the predicate reaches the parquet footer
+    * so only matching row groups are read.
+    */
+  def get(spark: SparkSession, dir: String, id: Long = 42): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") === id)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+
+  def getSql(id: Long = 42): String =
+    s"SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id = $id"
+
+  /** Deterministic listing with limit/offset pagination
+    * (lib.rs list_documents).
+    */
+  def list(spark: SparkSession, dir: String, limit: Int = 50, offset: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .orderBy(col("doc_id"))
+      .offset(offset)
+      .limit(limit)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  def listSql(limit: Int = 50, offset: Int = 100): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |ORDER BY doc_id LIMIT $limit OFFSET $offset""".stripMargin
+
+  /** DatabaseStats equivalent: per (lang, source) counts and content
+    * statistics in one grouped aggregate.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        fx(avg(col("n_chars"))).as("avg_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"), col("source"))
+
+  val statsSql: String =
+    s"""SELECT lang, source, COUNT(*) AS n_docs,
+       |  ${fxSql("AVG(n_chars)")} AS avg_chars,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents
+       |GROUP BY lang, source
+       |ORDER BY lang, source""".stripMargin
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the LLM-pipeline surface: language ID,
+  * quality scoring, token counting, document fingerprinting. All four
+  * are map-only column pipelines — zero shuffles, arbitrarily
+  * scalable; the oracle replays the identical arithmetic in DuckDB.
+  */
+object TextAnalysis {
+  import OracleNum.{fx, fxSql}
+
+  /** Stopword profiles for the n-gram/stopword language heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "with", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"))
+
+  /** Language identification by stopword-profile hit ratio; ties are
+    * broken by profile order (alphabetical code).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val n = size(toks).cast("double")
+    val scores = LangProfiles.map { case (code, words) =>
+      code -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / n)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // chained whens keep the FIRST matching profile as the winner
+    val predFirst = scores.foldLeft(Option.empty[Column]) {
+      case (None, (code, s)) => Some(when(s === best && best > 0.0, code))
+      case (Some(c), (code, s)) => Some(c.when(s === best && best > 0.0, code))
+    }.get.otherwise("und")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), predFirst.as("pred_lang"), fx(best, 6).as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val scoreE = LangProfiles.map { case (code, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      code -> s"(len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks)::DOUBLE)"
+    }
+    val best = scoreE.map(_._2).mkString("greatest(", ", ", ")")
+    val pred = scoreE.map { case (code, s) =>
+      s"WHEN $s = best AND best > 0.0 THEN '$code'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, $best AS best FROM documents
+       |)
+       |SELECT doc_id, $pred AS pred_lang, ${fxSql("best", 6)} AS confidence
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring from surface statistics: token volume, noise
+    * (punctuation/digit) ratios and stopword naturalness.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("double")
+    val nTokens = size(split(text, " ")).cast("double")
+    // count stopwords among RAW cleaned tokens — tokens() itself
+    // removes stopwords, so it cannot be the source here
+    val rawToks = transform(split(lower(text), " "), t => regexp_replace(t, "[^a-z0-9]", ""))
+    val stopToks = size(filter(rawToks, t => t.isin(StopWords: _*))).cast("double")
+    val alnumSpace = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
+    val digits = nChars - length(regexp_replace(text, "[0-9]", "")).cast("double")
+    val punctRatio = (nChars - alnumSpace) / nChars
+    val digitRatio = digits / nChars
+    val stopRatio = stopToks / greatest(nTokens, lit(1.0))
+    val q = lit(0.3) * least(lit(1.0), nTokens / 50.0) +
+      lit(0.3) * (lit(1.0) - punctRatio) +
+      lit(0.2) * least(lit(1.0), stopRatio * 5.0) +
+      lit(0.2) * (lit(1.0) - digitRatio)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
+        fx(punctRatio, 6).as("punct_ratio"), fx(q, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualitySql: String = {
+    val nChars = "length(text)::DOUBLE"
+    val nTokens = "len(string_split(text, ' '))::DOUBLE"
+    val rawToks = "list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g'))"
+    val stopToks = s"len(list_filter($rawToks, t -> list_contains($stopWordsSql, t)))::DOUBLE"
+    val alnumSpace = "length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE"
+    val digits = s"($nChars - length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE)"
+    val punct = s"(($nChars - $alnumSpace) / $nChars)"
+    val digitR = s"($digits / $nChars)"
+    val stopR = s"($stopToks / greatest($nTokens, 1.0))"
+    val q = s"(0.3 * least(1.0, $nTokens / 50.0) + 0.3 * (1.0 - $punct) + 0.2 * least(1.0, $stopR * 5.0) + 0.2 * (1.0 - $digitR))"
+    s"""SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
+       |  ${fxSql(punct, 6)} AS punct_ratio, ${fxSql(q, 6)} AS quality
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** BPE-ish regex kept RE2-compatible so Java and DuckDB match. */
+  val BpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens,
+    * normalized terms and characters in one pass.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("norm_terms"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       |  len(regexp_extract_all(text, '$BpePattern'))::BIGINT AS bpe_tokens,
+       |  len(${tokensSql("text")})::BIGINT AS norm_terms,
+       |  length(text)::BIGINT AS n_chars
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint from rolling 8-char grams (winnowing-style):
+    * the minimal gram hash plus the distinct gram count form a
+    * compact sketch; identical prefixes/bodies collide on min_hash.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => col("text").substr(i, lit(8)))
+    val hashes = transform(grams, g => hash60(g))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_min(hashes).as("min_gram_hash"),
+        size(array_distinct(hashes)).cast("long").as("n_distinct_grams"),
+        hash60(col("text")).as("full_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val fingerprintSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text,
+       |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+       |      i -> ${hash60Sql("substr(text, i, 8)")}) AS hashes
+       |  FROM documents
+       |)
+       |SELECT doc_id, list_min(hashes) AS min_gram_hash,
+       |  len(list_distinct(hashes))::BIGINT AS n_distinct_grams,
+       |  ${hash60Sql("text")} AS full_hash
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+}

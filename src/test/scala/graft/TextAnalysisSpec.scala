@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{DocOps, Multimodal, TextAnalysis}
+
+class TextAnalysisSpec extends GraftSuite {
+
+  test("lang_id predicts a language with confidence for every doc") {
+    val rows = TextAnalysis.langId(spark, sf).collect()
+    assert(rows.length == 500)
+    val langs = rows.map(_.getAs[String]("pred_lang")).distinct.toSet
+    assert(langs.subsetOf(Set("de", "en", "es", "fr", "und")))
+  }
+
+  test("quality score is bounded and punct ratio sane") {
+    val rows = TextAnalysis.quality(spark, sf).collect()
+    assert(rows.length == 500)
+    assert(rows.forall { r =>
+      val q = r.getAs[Long]("quality"); q >= 0L && q <= 1000000L
+    })
+  }
+
+  test("token counts are consistent: ws <= bpe, norm <= ws") {
+    val rows = TextAnalysis.tokenCount(spark, sf).collect()
+    assert(rows.forall { r =>
+      r.getAs[Long]("ws_tokens") <= r.getAs[Long]("bpe_tokens") + 1 &&
+        r.getAs[Long]("norm_terms") <= r.getAs[Long]("ws_tokens")
+    })
+  }
+
+  test("near-duplicate docs collide on min gram hash") {
+    val fp = TextAnalysis.fingerprint(spark, sf).collect()
+    val byMin = fp.groupBy(_.getAs[Long]("min_gram_hash")).filter(_._2.length > 1)
+    // injected near-dups share long prefixes → identical min hash
+    assert(byMin.nonEmpty)
+  }
+
+  test("doc get/list/stats") {
+    assert(DocOps.get(spark, sf).count() == 1)
+    val page = DocOps.list(spark, sf).collect()
+    assert(page.length == 50 && page.head.getAs[Long]("doc_id") >= 100)
+    val st = DocOps.stats(spark, sf).collect()
+    assert(st.map(_.getAs[Long]("n_docs")).sum == 500)
+  }
+
+  test("multimodal decode batch matches column-path metadata") {
+    val assets = Multimodal.assets(spark, sf)
+    val decoded = Multimodal.decodeBatch(spark, assets).collect()
+    assert(decoded.length == 500)
+    val viaCols = Multimodal.meta(spark, sf).collect()
+      .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("width"))).toMap
+    assert(decoded.forall(d => viaCols(d.asset_id) == d.width))
+  }
+}
