@@ -6,9 +6,12 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Hybrid RRF search exercises the dense, sparse and text
+    * branches plus fusion in one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Analytics.q1(spark, "/root/testdata/sf0.001")
+    HybridSearch.rrf(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream.
+  *
+  * The batch twins live in graft.operators.Analytics (eventsWindow /
+  * eventsSession) and are the oracle-checked versions; these are the
+  * same computations expressed as incremental streaming plans — the
+  * shape a production ingest (Kafka/file source) would run. Tested by
+  * feeding the events parquet through a MemoryStream-equivalent file
+  * source and comparing against the batch results.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double, props: String)
+
+  final case class SessionOut(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Tumbling 1-hour window aggregation with a 10-minute watermark —
+    * identical semantics to Analytics.eventsWindow once the stream is
+    * drained (append mode emits a window when the watermark passes).
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state: a session closes
+    * after 30 minutes of inactivity (processing-time analogue of the
+    * batch lag/cumsum version). Demonstrates
+    * flatMapGroupsWithState-driven custom state at scale: state is
+    * one (lastTs, count, sum) triple per user — O(users), not
+    * O(events).
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event]): Dataset[SessionOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Double, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[(Long, Long, Double, Long)]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var (lastTs, n, sum, closedCount) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (lastTs != Long.MinValue && t - lastTs > 1800 && n > 0) {
+              out += SessionOut(userId, n, sum)
+              n = 0L; sum = 0.0; closedCount += 1
+            }
+            n += 1; sum += e.value; lastTs = t
+          }
+          state.update((lastTs, n, sum, closedCount))
+          out.iterator
+      }
+  }
+
+  /** File-source streaming read of an events directory with the
+    * events schema; used by tests to drive the pipelines with the
+    * driver-generated parquet.
+    */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    spark.readStream
+      .schema(schema)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Analytics
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends GraftSuite {
+
+  test("streaming windowed counts match the batch twin after drain") {
+    // file stream source requires a directory; stage the single file
+    val stageDir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val stream = EventStreams.readEventStream(spark, stageDir.toString)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // watermark append-mode: closed windows only; compare those
+    // against the batch result on the same closed-window keys
+    val streamed = spark.table("win_out")
+      .select(col("w_start"), col("event_type"), col("n_events"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n_events")).toMap
+    val batch = Analytics.eventsWindow(spark, sf).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long]("n_events")).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.forall { case (k, v) => batch.get(k).contains(v) })
+  }
+
+  test("stateful sessionization closes sessions on 30-min gaps") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf).as[EventStreams.Event]
+    // batch Dataset drives the same flatMapGroupsWithState logic
+    val sessions = EventStreams.sessionize(spark, events).collect()
+    assert(sessions.nonEmpty)
+    // closed sessions must be a prefix of the batch sessionization
+    val batchSessions = Analytics.eventsSession(spark, sf).collect()
+    assert(sessions.length <= batchSessions.length)
+    assert(sessions.forall(_.n_events > 0))
+  }
+}
