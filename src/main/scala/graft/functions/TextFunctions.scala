@@ -27,17 +27,19 @@ object TextFunctions {
   val stopWordsSql: String = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   /** Tokenize into an array of normalized terms (order preserved,
-    * duplicates kept).
+    * duplicates kept). Non-alphanumerics are stripped globally before
+    * the split — identical output to per-token stripping (removed
+    * chars are never spaces) but one codegen'd regexp pass instead of
+    * an interpreted per-token lambda (Spark higher-order functions
+    * are CodegenFallback).
     */
-  def tokens(text: Column): Column = {
-    val raw = split(lower(text), " ")
-    val cleaned = transform(raw, t => regexp_replace(t, "[^a-z0-9]", ""))
-    filter(cleaned, t => length(t) > 1 && !t.isin(StopWords: _*))
-  }
+  def tokens(text: Column): Column =
+    filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " "),
+      t => length(t) > 1 && !t.isin(StopWords: _*))
 
   /** DuckDB rendering of [[tokens]] over SQL expression `e`. */
   def tokensSql(e: String): String =
-    s"list_filter(list_transform(string_split(lower($e), ' '), x -> regexp_replace(x, '[^a-z0-9]', '', 'g')), x -> length(x) > 1 AND NOT list_contains($stopWordsSql, x))"
+    s"list_filter(string_split(regexp_replace(lower($e), '[^a-z0-9 ]', '', 'g'), ' '), x -> length(x) > 1 AND NOT list_contains($stopWordsSql, x))"
 
   /** Cross-engine deterministic 60-bit hash: first 15 hex chars of
     * md5 → BIGINT. Identical in Spark and DuckDB (md5 hex matches).

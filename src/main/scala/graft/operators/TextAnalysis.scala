@@ -130,15 +130,23 @@ object TextAnalysis {
     * compact sketch; identical prefixes/bodies collide on min_hash.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = transform(
-      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
-      i => col("text").substr(i, lit(8)))
-    val hashes = transform(grams, g => hash60(g))
+    // relational gram expansion: explode the position range, then
+    // substring+md5 run codegen'd per row — the array-HOF variant
+    // (transform over sequence) evaluates interpreted and re-runs in
+    // the Generate path
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        array_min(hashes).as("min_gram_hash"),
-        size(array_distinct(hashes)).cast("long").as("n_distinct_grams"),
-        hash60(col("text")).as("full_hash"))
+      // full_hash is computed pre-explode so only an 8-byte long (not
+      // the text) rides the per-gram rows into the shuffle
+      .select(col("doc_id"), col("text"), hash60(col("text")).as("full_hash"))
+      .select(col("doc_id"), col("text"), col("full_hash"),
+        explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1)))).as("i"))
+      .select(col("doc_id"), col("full_hash"),
+        hash60(col("text").substr(col("i"), lit(8))).as("gh"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(col("gh")).as("min_gram_hash"),
+        countDistinct(col("gh")).as("n_distinct_grams"),
+        first(col("full_hash")).as("full_hash"))
       .orderBy(col("doc_id"))
   }
 
