@@ -22,8 +22,18 @@ object VectorFunctions {
   /** Cast a FLOAT array column to DOUBLE for stable math. */
   def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential dot product: sum_i a_i * b_i. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Sequential dot product: sum_i a_i * b_i (native codegen'd
+    * expression; see expressions.DotProd).
+    */
+  def dotProduct(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(expressions.DotProd(expression(a), expression(b)))
+  }
+
+  /** Interpreted HOF dot product, kept as the reference semantics the
+    * native expression must match.
+    */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm. */
@@ -35,10 +45,19 @@ object VectorFunctions {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Cosine similarity; 0.0 when either side has zero norm (reference
-    * behavior, quantization.rs:204).
+    * behavior, quantization.rs:204). Native fused-loop expression —
+    * one whole-stage-codegen pass over both arrays.
     */
   def cosineSimilarity(a: Column, b: Column): Column = {
-    val dot = dotProduct(a, b)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(expressions.CosineSim(expression(a), expression(b)))
+  }
+
+  /** Interpreted HOF cosine, kept as the reference semantics the
+    * native expression must match (see VectorFunctionsSpec).
+    */
+  def cosineSimilarityHof(a: Column, b: Column): Column = {
+    val dot = dotProductHof(a, b)
     val na  = l2Norm(a)
     val nb  = l2Norm(b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))

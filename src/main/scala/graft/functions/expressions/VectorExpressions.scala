@@ -1,0 +1,105 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Fused cosine similarity over two ArrayType(Double) columns.
+  *
+  * Spark's higher-order functions (aggregate/zip_with) are
+  * CodegenFallback — every element crosses an interpreted lambda.
+  * This native expression generates a single fused Java loop (dot and
+  * both norms in one pass), keeping vector scoring inside whole-stage
+  * codegen.
+  *
+  * Accumulation order is strictly sequential and the final formula is
+  * dot / (sqrt(na) * sqrt(nb)) with a 0.0 guard for zero norms —
+  * bit-identical to the HOF formulation and to the DuckDB oracle
+  * (list_dot_product on DOUBLE[]), and matching the reference kernel
+  * (grape-vector-db src/quantization.rs:195).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val sa = math.sqrt(na); val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $sa = java.lang.Math.sqrt($na);
+         |double $sb = java.lang.Math.sqrt($nb);
+         |${ev.value} = ($sa == 0.0 || $sb == 0.0) ? 0.0 : $dot / ($sa * $sb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused dot product over two ArrayType(Double) columns; same codegen
+  * rationale as [[CosineSim]].
+  */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
