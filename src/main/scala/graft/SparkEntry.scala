@@ -47,6 +47,8 @@ object SparkEntry {
     "doc_list"  -> ((s, d) => DocOps.list(s, d)),
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
     "mm_meta"   -> ((s, d) => Multimodal.meta(s, d)),
+    "hybrid_normalized" -> ((s, d) => HybridSearch.normalized(s, d)),
+    "doc_scroll"        -> ((s, d) => DocOps.scroll(s, d)),
   )
 
   /** DuckDB-equivalent SQL for each key in [[queries]]. */
@@ -83,5 +85,7 @@ object SparkEntry {
     "doc_list"  -> DocOps.listSql(),
     "doc_stats" -> DocOps.statsSql,
     "mm_meta"   -> Multimodal.metaSql,
+    "hybrid_normalized" -> HybridSearch.normalizedSql(),
+    "doc_scroll"        -> DocOps.scrollSql(),
   )
 }

@@ -37,6 +37,21 @@ object DocOps {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |ORDER BY doc_id LIMIT $limit OFFSET $offset""".stripMargin
 
+  /** Cursor-based scroll (the scalable alternative to OFFSET: a seek
+    * predicate pushes to the scan instead of skipping rows). Returns
+    * the page after `cursor`.
+    */
+  def scroll(spark: SparkSession, dir: String, cursor: Long = 199, pageSize: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") > cursor)
+      .orderBy(col("doc_id"))
+      .limit(pageSize)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  def scrollSql(cursor: Long = 199, pageSize: Int = 50): String =
+    s"""SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id > $cursor ORDER BY doc_id LIMIT $pageSize""".stripMargin
+
   /** DatabaseStats equivalent: per (lang, source) counts and content
     * statistics in one grouped aggregate.
     */

@@ -95,6 +95,63 @@ object HybridSearch {
   val SparseWeight = 0.3
   val TextWeight   = 0.2
 
+  /** Normalized fusion (reference src/hybrid.rs normalized_fusion):
+    * each branch is min-max normalized to [0,1] over its own top-N
+    * before weighting, so no branch's score scale dominates. The
+    * min/max are per-branch scalar aggregates over <=2*limit rows —
+    * free at any corpus size.
+    */
+  def normalized(spark: SparkSession, dir: String, qid: Long = 0,
+                 query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
+    val n = limit * 2
+    def norm(df: DataFrame, idCol: String): DataFrame = {
+      val stats = df.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
+      df.crossJoin(broadcast(stats))
+        .select(col(idCol).as("doc_id"),
+          when(col("hi") === col("lo"), lit(1.0))
+            .otherwise((col("score") - col("lo")).cast("double") /
+                       (col("hi") - col("lo")).cast("double")).as("ns"))
+    }
+    val dense  = norm(VectorSearch.semanticTopK(spark, dir, qid, n), "vec_id")
+      .select(col("doc_id"), col("ns").as("dense_s"))
+    val sparse = norm(Bm25.search(spark, dir, query, n), "doc_id")
+      .select(col("doc_id"), col("ns").as("sparse_s"))
+    val txt    = norm(Bm25.textSearch(spark, dir, query, n), "doc_id")
+      .select(col("doc_id"), col("ns").as("text_s"))
+    dense
+      .join(sparse, Seq("doc_id"), "full_outer")
+      .join(txt, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        fx(coalesce(col("dense_s"), lit(0.0)) * DenseWeight +
+           coalesce(col("sparse_s"), lit(0.0)) * SparseWeight +
+           coalesce(col("text_s"), lit(0.0)) * TextWeight, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def normalizedSql(qid: Long = 0, query: String = Bm25.DefaultQuery, limit: Int = 20): String = {
+    val n = limit * 2
+    def normCte(src: String, idCol: String): String =
+      s"""SELECT $idCol AS doc_id,
+         |    CASE WHEN hi = lo THEN 1.0
+         |         ELSE (score - lo)::DOUBLE / (hi - lo)::DOUBLE END AS ns
+         |  FROM ($src) b, (SELECT MIN(score) AS lo, MAX(score) AS hi FROM ($src)) s""".stripMargin
+    s"""WITH dense AS (
+       |  ${normCte(VectorSearch.semanticTopKSql(qid, n), "vec_id")}
+       |), sparse AS (
+       |  ${normCte(Bm25.searchSql(query, n), "doc_id")}
+       |), txt AS (
+       |  ${normCte(Bm25.textSearchSql(query, n), "doc_id")}
+       |)
+       |SELECT COALESCE(dense.doc_id, sparse.doc_id, txt.doc_id) AS doc_id,
+       |  ${fxSql(s"COALESCE(dense.ns, 0.0) * $DenseWeight + COALESCE(sparse.ns, 0.0) * $SparseWeight + COALESCE(txt.ns, 0.0) * $TextWeight", 6)} AS score
+       |FROM dense
+       |FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+       |FULL OUTER JOIN txt ON COALESCE(dense.doc_id, sparse.doc_id) = txt.doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $limit""".stripMargin
+  }
+
   /** Linear weighted fusion (reference src/hybrid.rs linear_fusion):
     * weighted sum of branch scores, absent branch contributes 0.
     * Branch scores are fixed-point longs (deterministic cross-engine)
