@@ -143,10 +143,28 @@ object VectorSearch {
        |ORDER BY score DESC, vec_id
        |LIMIT $k""".stripMargin
 
-  /** Brute-force cosine top-k for a BATCH of query vectors. The
-    * scored pairs are ranked per query with a window; at scale the
-    * query set stays a broadcast and the shuffle carries only
-    * (nQueries x k) survivors after partial ranking.
+  /** Rank a scored (query_id, vec_id, score) relation to per-query
+    * top-k rows via the bounded TopKAgg aggregate: partial top-k
+    * buffers aggregate MAP-SIDE, so the exchange carries only
+    * partitions x k survivors per query instead of every scored pair
+    * — the window row_number() alternative shuffles and sorts all of
+    * them. Output ordering matches row_number over
+    * (score DESC, vec_id ASC).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.topK
+    scored
+      .groupBy(col("query_id"))
+      .agg(topK(col("score").cast("double"), col("vec_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("vec_id"), col("e.score").cast("long").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Brute-force cosine top-k for a BATCH of query vectors: the query
+    * set is broadcast, scoring is one map-only pass over the corpus,
+    * ranking is the bounded map-side TopKAgg.
     */
   def annTopKBatch(spark: SparkSession, dir: String,
                    nQueries: Int = 8, k: Int = 5): DataFrame = {
@@ -159,13 +177,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   def annTopKBatchSql(nQueries: Int = 8, k: Int = 5): String =
@@ -233,13 +245,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   def annLshSql(nQueries: Int = 8, k: Int = 5): String = {
