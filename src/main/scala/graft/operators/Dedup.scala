@@ -37,7 +37,7 @@ object Dedup {
     * expression, so the HOF version pays the O(doc * shingles) lambda
     * cost twice per pass.
     */
-  private def relationalShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def relationalShingles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     Tables.documents(spark, dir)
@@ -78,24 +78,28 @@ object Dedup {
   // ---- minhash + LSH ----
 
   /** Exploded posting table of hashed distinct shingles: one
-    * (doc_id, h) row per shingle, each shingle md5-hashed exactly
-    * ONCE. All downstream dedup joins are int-only — no string or
-    * array column ever enters a shuffle. (An earlier array-based
-    * variant let Catalyst's project-collapse inline the md5 into all
-    * 32 permutations — a 33x recompute.)
+    * (doc_id, h) row per shingle, computed by the native one-pass
+    * [[graft.functions.expressions.ShingleHashes]] expression
+    * (tokenize → distinct space-joined 3-grams → md5-hash each
+    * exactly once, all inside one map). All downstream dedup joins
+    * are int-only — no string or array column ever enters a shuffle,
+    * and shingle construction itself costs zero shuffles (the earlier
+    * relational lead-window formulation paid a window shuffle plus a
+    * distinct shuffle over one row per token).
     */
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame =
-    relationalShingles(spark, dir)
-      .select(col("doc_id"), (hash60(col("sh")) % P).as("h"))
-      // feeds 4+ plan branches with different shuffle keys — Spark
-      // has no cross-branch subtree reuse, so cache the ~16B/row table
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), 3, P))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(hashes).as("h"))
       // the posting feeds 4+ plan branches (sigs/df/verify/sizes);
       // Spark has no subtree reuse across different shuffle keys, so
       // without this the tokenize+md5 pipeline runs once per branch.
       // ~16 bytes/row: at 100 TB input this is ~1% of corpus size and
       // would spill to disk, still beating 4 full recomputes.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Exact Jaccard for candidate (id1, id2) pairs from the hashed
     * posting table: |A∩B| via a co-grouped join on (shingle hash),
@@ -200,18 +204,30 @@ object Dedup {
 
   // ---- simhash ----
 
-  /** Per-doc 60-bit weighted simhash as two 32-bit words (lo, hi).
-    * Relational formulation: term frequencies come from a codegen'd
-    * groupBy over the exploded token posting, the 60 weighted bit
-    * sums are 60 literal-shift SUM aggregates in one hash aggregate
-    * pass — no interpreted higher-order functions anywhere, one
-    * shuffle keyed by doc_id.
+  /** Per-doc 60-bit weighted simhash as two words (lo 32 bits, hi 28
+    * bits), computed by the native one-pass
+    * [[graft.functions.expressions.SimHashWords]] expression — a
+    * zero-shuffle map (the earlier relational formulation paid an
+    * explode, a repartition and a 60-aggregate groupBy per doc).
     */
-  private def simhashWordsDf(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashWordsDf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val words = column(graft.functions.expressions.SimHashWords(expression(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("words"))
+      .filter(col("words").isNotNull)
+  }
+
+  /** Relational twin of [[simhashWordsDf]] kept as the reference
+    * semantics the native expression must match (DedupSpec parity
+    * test): Spark-side md5 (`hash60` column) + 60 literal-shift SUM
+    * aggregates. Slower (explode + two shuffles) but built entirely
+    * from Spark built-ins.
+    */
+  private[graft] def relationalSimhashWords(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) > 0)
-      .repartition(col("doc_id"))
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

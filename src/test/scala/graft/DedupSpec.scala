@@ -41,6 +41,29 @@ class DedupSpec extends GraftSuite {
     assert((mh intersect ng).nonEmpty)
   }
 
+  test("native simhash words match the relational md5 formulation bit-for-bit") {
+    val native = Dedup.simhashWordsDf(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    val rel = Dedup.relationalSimhashWords(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == rel.keySet)
+    assert(native.forall { case (id, w) => rel(id) == w })
+  }
+
+  test("native shingle hashes match the relational lead-window formulation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val native = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(column(graft.functions.expressions.ShingleHashes(
+        expression(col("text")), 3, Dedup.P))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rel = Dedup.relationalShingles(spark, sf)
+      .select(col("doc_id"),
+        (graft.functions.TextFunctions.hash60(col("sh")) % Dedup.P).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native == rel)
+  }
+
   test("embedding pairs are ranked by cosine within LSH buckets") {
     val rows = Dedup.embeddingPairs(spark, sf).collect()
     assert(rows.length == 50)
