@@ -48,6 +48,8 @@ object SparkEntry {
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
     "mm_meta"   -> ((s, d) => Multimodal.meta(s, d)),
     "hybrid_normalized" -> ((s, d) => HybridSearch.normalized(s, d)),
+    "hybrid_learned"    -> ((s, d) => HybridSearch.learned(s, d)),
+    "hybrid_adaptive"   -> ((s, d) => HybridSearch.adaptiveDemo(s, d)),
     "doc_scroll"        -> ((s, d) => DocOps.scroll(s, d)),
   )
 
@@ -86,6 +88,8 @@ object SparkEntry {
     "doc_stats" -> DocOps.statsSql,
     "mm_meta"   -> Multimodal.metaSql,
     "hybrid_normalized" -> HybridSearch.normalizedSql(),
+    "hybrid_learned"    -> HybridSearch.learnedSql(),
+    "hybrid_adaptive"   -> HybridSearch.adaptiveSql(),
     "doc_scroll"        -> DocOps.scrollSql(),
   )
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.OracleNum
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -175,6 +175,206 @@ object HybridSearch {
            coalesce(col("text_s"), lit(0.0)) * TextWeight, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
+  }
+
+  /** Learned fusion (reference src/hybrid.rs:711 learned_fusion with
+    * quality_adaptation; :820 adjust_weights_by_quality + :826
+    * calculate_result_quality): per-branch quality
+    * q = min(n,10)/10*0.3 + avg*0.5 + max(0, 1-stddev)*0.2 over the
+    * branch's top-N scores, then linear fusion with
+    * w_i = base_i * (1 + q_i/total_q * 0.2).
+    *
+    * Quality stats are computed from the EXACT fixed-point long branch
+    * scores (sum / sum-of-squares over integers), so both engines
+    * derive bit-identical weights; the stats are scalar aggregates
+    * over <=2*limit rows — free at any corpus size, broadcast into
+    * the fused rows.
+    */
+  def learned(spark: SparkSession, dir: String, qid: Long = 0,
+              query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
+    val n = limit * 2
+    val dense = VectorSearch.semanticTopK(spark, dir, qid, n)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val sparse = Bm25.search(spark, dir, query, n).select(col("doc_id"), col("score"))
+    val txt = Bm25.textSearch(spark, dir, query, n)
+      .select(col("doc_id"), col("score").cast("long").as("score"))
+
+    // quality from exact integer sums; `scale` maps the fixed-point
+    // long back to the double score space of linear fusion
+    def qual(df: DataFrame, scale: Double, qName: String): DataFrame = {
+      val agg = df.agg(count(lit(1)).as("n"),
+        sum(col("score")).as("s1"), sum(col("score") * col("score")).as("s2"))
+      val nD = col("n").cast("double")
+      val m = col("s1").cast("double") / scale / nD
+      val m2 = col("s2").cast("double") / (scale * scale) / nD
+      val sd = sqrt(greatest(m2 - m * m, lit(0.0)))
+      agg.select(
+        when(col("n") === 0, 0.0)
+          .otherwise(least(nD, lit(10.0)) / 10.0 * 0.3 + m * 0.5 +
+            greatest(lit(1.0) - sd, lit(0.0)) * 0.2).as(qName))
+    }
+    val q = qual(dense, 1e4, "qd").crossJoin(qual(sparse, 1e6, "qs"))
+      .crossJoin(qual(txt, 1.0, "qt"))
+    val total = col("qd") + col("qs") + col("qt")
+    def w(base: Double, qc: Column): Column =
+      when(total > 0, lit(base) * (lit(1.0) + qc / total * lit(0.2))).otherwise(base)
+    val weights = q.select(w(DenseWeight, col("qd")).as("wd"),
+      w(SparseWeight, col("qs")).as("ws"), w(TextWeight, col("qt")).as("wt"))
+
+    dense.select(col("doc_id"), (col("score") / 1e4).as("dense_s"))
+      .join(sparse.select(col("doc_id"), (col("score") / 1e6).as("sparse_s")),
+        Seq("doc_id"), "full_outer")
+      .join(txt.select(col("doc_id"), col("score").cast("double").as("text_s")),
+        Seq("doc_id"), "full_outer")
+      .crossJoin(broadcast(weights))
+      .select(col("doc_id"),
+        fx(coalesce(col("dense_s"), lit(0.0)) * col("wd") +
+           coalesce(col("sparse_s"), lit(0.0)) * col("ws") +
+           coalesce(col("text_s"), lit(0.0)) * col("wt"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def learnedSql(qid: Long = 0, query: String = Bm25.DefaultQuery, limit: Int = 20): String = {
+    val n = limit * 2
+    def qualCte(src: String, scale: String): String =
+      s"""SELECT CASE WHEN COUNT(*) = 0 THEN 0.0
+         |    ELSE least(COUNT(*)::DOUBLE, 10.0) / 10.0 * 0.3
+         |       + (SUM(score)::DOUBLE / $scale / COUNT(*)::DOUBLE) * 0.5
+         |       + greatest(1.0 - sqrt(greatest(
+         |           SUM(score * score)::DOUBLE / ($scale * $scale) / COUNT(*)::DOUBLE
+         |           - (SUM(score)::DOUBLE / $scale / COUNT(*)::DOUBLE)
+         |             * (SUM(score)::DOUBLE / $scale / COUNT(*)::DOUBLE), 0.0)), 0.0) * 0.2
+         |    END AS q
+         |  FROM ($src)""".stripMargin
+    def wSql(base: Double, qc: String): String =
+      s"CASE WHEN qd + qs + qt > 0 THEN $base * (1.0 + $qc / (qd + qs + qt) * 0.2) ELSE $base END"
+    s"""WITH dense AS (
+       |  SELECT vec_id AS doc_id, score FROM (${VectorSearch.semanticTopKSql(qid, n)})
+       |), sparse AS (
+       |  SELECT doc_id, score FROM (${Bm25.searchSql(query, n)})
+       |), txt AS (
+       |  SELECT doc_id, score::BIGINT AS score FROM (${Bm25.textSearchSql(query, n)})
+       |), qual AS (
+       |  SELECT qd.q AS qd, qs.q AS qs, qt.q AS qt
+       |  FROM (${qualCte("SELECT score FROM dense", "1e4")}) qd,
+       |       (${qualCte("SELECT score FROM sparse", "1e6")}) qs,
+       |       (${qualCte("SELECT score FROM txt", "1.0")}) qt
+       |), weights AS (
+       |  SELECT ${wSql(DenseWeight, "qd")} AS wd,
+       |         ${wSql(SparseWeight, "qs")} AS ws,
+       |         ${wSql(TextWeight, "qt")} AS wt
+       |  FROM qual
+       |)
+       |SELECT COALESCE(dense.doc_id, sparse.doc_id, txt.doc_id) AS doc_id,
+       |  ${fxSql("COALESCE(dense.score / 1e4, 0.0) * wd + COALESCE(sparse.score / 1e6, 0.0) * ws + COALESCE(txt.score::DOUBLE, 0.0) * wt", 6)} AS score
+       |FROM dense
+       |FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+       |FULL OUTER JOIN txt ON COALESCE(dense.doc_id, sparse.doc_id) = txt.doc_id
+       |CROSS JOIN weights
+       |ORDER BY score DESC, doc_id
+       |LIMIT $limit""".stripMargin
+  }
+
+  /** Adaptive fusion (reference src/hybrid.rs:753 adaptive_fusion +
+    * :858 adapt_weights_from_history): find historical queries whose
+    * word-set Jaccard similarity to the current query exceeds 0.7; if
+    * their average satisfaction (each rated /5, missing ratings count
+    * as 0 in the numerator but still in the denominator) is below 0.6,
+    * shift weight away from the dense branch
+    * (dense*0.9, sparse*1.1, text*1.05); then linear fusion.
+    *
+    * The history is a DataFrame(query_text, satisfaction) — at scale a
+    * real query-metrics table; the similarity filter + satisfaction
+    * aggregate reduce it to one broadcast scalar row.
+    */
+  def adaptive(spark: SparkSession, dir: String, history: DataFrame,
+               qid: Long = 0, query: String = Bm25.DefaultQuery,
+               limit: Int = 20): DataFrame = {
+    val qWords = array_distinct(split(lit(query), "\\s+"))
+    val hWords = array_distinct(split(col("query_text"), "\\s+"))
+    val sim = size(array_intersect(hWords, qWords)).cast("double") /
+      size(array_union(hWords, qWords)).cast("double")
+    val stats = history.filter(sim > 0.7)
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("satisfaction") / 5.0, lit(0.0))).as("ssum"))
+    val keepBase = col("n") === 0 || col("ssum") / col("n").cast("double") >= 0.6
+    val weights = stats.select(
+      when(keepBase, DenseWeight).otherwise(DenseWeight * 0.9).as("wd"),
+      when(keepBase, SparseWeight).otherwise(SparseWeight * 1.1).as("ws"),
+      when(keepBase, TextWeight).otherwise(TextWeight * 1.05).as("wt"))
+
+    val n = limit * 2
+    VectorSearch.semanticTopK(spark, dir, qid, n)
+      .select(col("vec_id").as("doc_id"), (col("score") / 1e4).as("dense_s"))
+      .join(Bm25.search(spark, dir, query, n)
+        .select(col("doc_id"), (col("score") / 1e6).as("sparse_s")), Seq("doc_id"), "full_outer")
+      .join(Bm25.textSearch(spark, dir, query, n)
+        .select(col("doc_id"), col("score").cast("double").as("text_s")), Seq("doc_id"), "full_outer")
+      .crossJoin(broadcast(weights))
+      .select(col("doc_id"),
+        fx(coalesce(col("dense_s"), lit(0.0)) * col("wd") +
+           coalesce(col("sparse_s"), lit(0.0)) * col("ws") +
+           coalesce(col("text_s"), lit(0.0)) * col("wt"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  /** Deterministic query-metrics history for the oracle-checked
+    * `hybrid_adaptive` entry: two low-satisfaction similar queries,
+    * one unrated similar query and one dissimilar query — exercising
+    * the similarity filter, the missing-rating denominator rule and
+    * the low-satisfaction weight shift.
+    */
+  val DemoHistory: Seq[(String, Option[Double])] = Seq(
+    ("spark vector join stream window extra", Some(2.0)),
+    ("spark vector join stream window",       Some(3.0)),
+    ("spark vector join stream",              None),
+    ("completely different words entirely",   Some(5.0)))
+
+  def adaptiveDemo(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    adaptive(spark, dir, DemoHistory.toDF("query_text", "satisfaction"))
+  }
+
+  def adaptiveSql(qid: Long = 0, query: String = Bm25.DefaultQuery, limit: Int = 20): String = {
+    val n = limit * 2
+    val hist = DemoHistory.map {
+      case (q, Some(s)) => s"('$q', $s)"
+      case (q, None)    => s"('$q', NULL)"
+    }.mkString(", ")
+    s"""WITH hist(query_text, satisfaction) AS (VALUES $hist),
+       |stats AS (
+       |  SELECT COUNT(*) AS n, SUM(COALESCE(satisfaction / 5.0, 0.0)) AS ssum
+       |  FROM hist
+       |  WHERE len(list_intersect(list_distinct(regexp_split_to_array(query_text, '\\s+')),
+       |                           list_distinct(regexp_split_to_array('$query', '\\s+'))))::DOUBLE
+       |      / len(list_distinct(regexp_split_to_array(query_text, '\\s+') ||
+       |                          regexp_split_to_array('$query', '\\s+')))::DOUBLE > 0.7
+       |), weights AS (
+       |  SELECT
+       |    CASE WHEN n = 0 OR ssum / n::DOUBLE >= 0.6 THEN $DenseWeight ELSE ${DenseWeight * 0.9} END AS wd,
+       |    CASE WHEN n = 0 OR ssum / n::DOUBLE >= 0.6 THEN $SparseWeight ELSE ${SparseWeight * 1.1} END AS ws,
+       |    CASE WHEN n = 0 OR ssum / n::DOUBLE >= 0.6 THEN $TextWeight ELSE ${TextWeight * 1.05} END AS wt
+       |  FROM stats
+       |), dense AS (
+       |  SELECT vec_id AS doc_id, score / 1e4 AS dense_s
+       |  FROM (${VectorSearch.semanticTopKSql(qid, n)})
+       |), sparse AS (
+       |  SELECT doc_id, score / 1e6 AS sparse_s
+       |  FROM (${Bm25.searchSql(query, n)})
+       |), txt AS (
+       |  SELECT doc_id, score::DOUBLE AS text_s
+       |  FROM (${Bm25.textSearchSql(query, n)})
+       |)
+       |SELECT COALESCE(dense.doc_id, sparse.doc_id, txt.doc_id) AS doc_id,
+       |  ${fxSql("COALESCE(dense_s, 0.0) * wd + COALESCE(sparse_s, 0.0) * ws + COALESCE(text_s, 0.0) * wt", 6)} AS score
+       |FROM dense
+       |FULL OUTER JOIN sparse ON dense.doc_id = sparse.doc_id
+       |FULL OUTER JOIN txt ON COALESCE(dense.doc_id, sparse.doc_id) = txt.doc_id
+       |CROSS JOIN weights
+       |ORDER BY score DESC, doc_id
+       |LIMIT $limit""".stripMargin
   }
 
   def linearSql(qid: Long = 0, query: String = Bm25.DefaultQuery, limit: Int = 20): String = {

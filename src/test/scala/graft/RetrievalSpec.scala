@@ -47,4 +47,33 @@ class RetrievalSpec extends GraftSuite {
     assert(rows.length == 20)
     assert(rows.forall(_.getAs[Long]("score") > 0))
   }
+
+  test("learned fusion boosts weights by branch quality but preserves top-k size") {
+    val rows = HybridSearch.learned(spark, sf).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+    // quality-boosted weights scale every branch up (w_i >= base_i),
+    // so the fused best score must be >= the plain linear one
+    val linBest = HybridSearch.linear(spark, sf).collect().head.getAs[Long]("score")
+    assert(scores.head >= linBest)
+  }
+
+  test("adaptive fusion with empty history is identical to linear fusion") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Option[Double])].toDF("query_text", "satisfaction")
+    val ad = HybridSearch.adaptive(spark, sf, empty).collect().toSeq
+    val lin = HybridSearch.linear(spark, sf).collect().toSeq
+    assert(ad == lin)
+  }
+
+  test("adaptive fusion shifts weight off the dense branch on low satisfaction") {
+    val ad = HybridSearch.adaptiveDemo(spark, sf).collect()
+    assert(ad.length == 20)
+    // demo history avg satisfaction = (0.4 + 0.6 + 0) / 3 < 0.6 →
+    // weights (0.45, 0.33, 0.21) ≠ linear's (0.5, 0.3, 0.2)
+    val lin = HybridSearch.linear(spark, sf).collect()
+    assert(ad.map(_.getAs[Long]("score")).toSeq !=
+           lin.map(_.getAs[Long]("score")).toSeq)
+  }
 }
