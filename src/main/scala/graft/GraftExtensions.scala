@@ -8,7 +8,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions, so `spark.sql("SELECT
   * cosine_sim(a, b) ...")` plans the same fused codegen kernels the
-  * DataFrame API uses.
+  * DataFrame API uses, and injects the reference QueryOptimizer's
+  * LimitMaxResults as a Catalyst rewrite
+  * ([[graft.plans.CapResultLimit]]).
   *
   * Wire up via
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
@@ -24,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_prod"),
       new ExpressionInfo(classOf[DotProd].getName, "dot_prod"),
       (args: Seq[Expression]) => DotProd(args(0), args(1))))
+    ext.injectOptimizerRule(_ => graft.plans.CapResultLimit)
   }
 }

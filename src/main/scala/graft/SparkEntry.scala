@@ -25,7 +25,9 @@ object SparkEntry {
     "multistage_search" -> ((s, d) => VectorSearch.multiStage(s, d)),
     "ann_topk_batch"    -> ((s, d) => VectorSearch.annTopKBatch(s, d)),
     "ann_lsh"           -> ((s, d) => VectorSearch.annLsh(s, d)),
+    "ann_ivf"           -> ((s, d) => VectorSearch.annIvf(s, d)),
     "bm25_search"   -> ((s, d) => Bm25.search(s, d)),
+    "sparse_vectors" -> ((s, d) => Bm25.sparseVectors(s, d)),
     "text_search"   -> ((s, d) => Bm25.textSearch(s, d)),
     "hybrid_rrf"    -> ((s, d) => HybridSearch.rrf(s, d)),
     "hybrid_linear" -> ((s, d) => HybridSearch.linear(s, d)),
@@ -65,7 +67,9 @@ object SparkEntry {
     "multistage_search" -> VectorSearch.multiStageSql(),
     "ann_topk_batch"    -> VectorSearch.annTopKBatchSql(),
     "ann_lsh"           -> VectorSearch.annLshSql(),
+    "ann_ivf"           -> VectorSearch.annIvfSql(),
     "bm25_search"   -> Bm25.searchSql(),
+    "sparse_vectors" -> Bm25.sparseVectorsSql,
     "text_search"   -> Bm25.textSearchSql(),
     "hybrid_rrf"    -> HybridSearch.rrfSql(),
     "hybrid_linear" -> HybridSearch.linearSql(),

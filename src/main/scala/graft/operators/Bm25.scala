@@ -111,6 +111,42 @@ object Bm25 {
       .limit(k)
   }
 
+  /** Per-document sparse vector representation (reference
+    * src/sparse.rs:333 document_to_sparse_vector + :288 tokenize):
+    * one (doc_id, term_id, weight) row per distinct term, weight =
+    * relative term frequency tf / total_tokens, rows sorted by term
+    * id within a doc. The reference enumerates an in-memory
+    * vocabulary HashSet into arbitrary u32 ids; the scalable
+    * re-expression is a content-derived stable id (md5-based hash60)
+    * — no global vocabulary pass, no driver state, identical ids on
+    * any cluster.
+    */
+  def sparseVectors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("total", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), hash60(col("term")).as("term_id"),
+        fx(col("tf").cast("double") / col("total").cast("double"), 6).as("weight"))
+      .orderBy(col("doc_id"), col("term_id"))
+  }
+
+  val sparseVectorsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT doc_id, term, tf, CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS total
+       |  FROM tf
+       |)
+       |SELECT doc_id, ${hash60Sql("term")} AS term_id,
+       |  ${fxSql("tf::DOUBLE / total::DOUBLE", 6)} AS weight
+       |FROM tt
+       |ORDER BY doc_id, term_id""".stripMargin
+
   def textSearchSql(query: String = DefaultQuery, k: Int = 20): String = {
     val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
     val score = terms

@@ -248,6 +248,81 @@ object VectorSearch {
     rankTopK(scored, k)
   }
 
+  /** IVF cell stride: centroids are every `IvfStride`-th vector — the
+    * reference's deterministic strided k-means init
+    * (src/index.rs:442), used directly as data-point centroids so
+    * both engines derive identical cells with no float-averaged
+    * centers.
+    */
+  val IvfStride = 61
+  val IvfNprobe = 4
+
+  private def l2Struct(v: Column, c: Column): Column =
+    struct(l2DistanceSq(v, c.getField("cemb")).as("dist"), c.getField("cid").as("cid"))
+
+  /** IVF-Flat ANN (reference src/index.rs:314 FaissIndexType::IvfFlat,
+    * :413 train_ivf_index): the centroid list is ONE broadcast row
+    * (collect_list aggregate), every corpus vector computes its
+    * nearest-cell id map-side (argmin = sorted (dist, cid) struct
+    * array — no shuffle, no per-centroid row explosion), and the
+    * query probes only the `nprobe` nearest cells before exact cosine
+    * rescoring. At scale the assignment is the index-build job whose
+    * output is persisted bucketed by cell id; a probe then reads
+    * ~nprobe/nlist of the corpus.
+    */
+  def annIvf(spark: SparkSession, dir: String, qid: Long = 0,
+             stride: Int = IvfStride, nprobe: Int = IvfNprobe, k: Int = 20): DataFrame = {
+    val corpus = embCorpus(spark, dir)
+    val cents = corpus.filter(col("vec_id") % stride === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("cents"))
+    val probed = cents.crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(
+        transform(
+          slice(array_sort(transform(col("cents"), c => l2Struct(col("qv"), c))), 1, nprobe),
+          p => p.getField("cid")).as("pcids"),
+        col("qv"))
+    corpus.crossJoin(broadcast(cents))
+      .withColumn("acid",
+        element_at(array_sort(transform(col("cents"), c => l2Struct(col("emb"), c))), 1)
+          .getField("cid"))
+      .crossJoin(broadcast(probed))
+      .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** DuckDB twin of the sequential squared-L2 in
+    * [[graft.functions.VectorFunctions.l2DistanceSq]] (64-dim).
+    */
+  private def l2Sql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  def annIvfSql(qid: Long = 0, stride: Int = IvfStride,
+                nprobe: Int = IvfNprobe, k: Int = 20): String =
+    s"""WITH corpus AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+       |), cents AS (
+       |  SELECT list(struct_pack(cid := vec_id, cemb := emb) ORDER BY vec_id) AS cents
+       |  FROM corpus WHERE vec_id % $stride = 0
+       |), q AS (SELECT emb AS qv FROM corpus WHERE vec_id = $qid),
+       |probed AS (
+       |  SELECT list_transform(list_slice(list_sort(list_transform(cents,
+       |      c -> struct_pack(dist := ${l2Sql("qv", "c.cemb")}, cid := c.cid))), 1, $nprobe),
+       |    p -> p.cid) AS pcids, qv
+       |  FROM cents, q
+       |), assigned AS (
+       |  SELECT vec_id, emb,
+       |    list_sort(list_transform(cents,
+       |      c -> struct_pack(dist := ${l2Sql("emb", "c.cemb")}, cid := c.cid)))[1].cid AS acid
+       |  FROM corpus, cents
+       |)
+       |SELECT vec_id, ${fxSql(cosineSql("emb", "qv"))} AS score
+       |FROM assigned, probed
+       |WHERE list_contains(pcids, acid) AND vec_id <> $qid
+       |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
   def annLshSql(nQueries: Int = 8, k: Int = 5): String = {
     val planes = lshPlanes(64)
     // same plane matrix inlined as a DuckDB list-of-lists literal

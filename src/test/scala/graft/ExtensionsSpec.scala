@@ -8,19 +8,34 @@ import org.apache.spark.sql.functions.col
 class ExtensionsSpec extends GraftSuite {
 
   test("SQL functions cosine_sim / dot_prod register via extensions") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
+    TestSpark.withExtensionsSession { s2 =>
       val r = s2.sql(
         "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c, " +
         "dot_prod(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head
       assert(r.getDouble(0) == 1.0)
       assert(r.getDouble(1) == 11.0)
-    } finally s2.close()
+    }
+  }
+
+  test("CapResultLimit optimizer rule caps literal limits above the ceiling") {
+    TestSpark.withExtensionsSession { s2 =>
+      import s2.implicits._
+      val df = (1 to 500).toDF("x").orderBy(col("x"))
+      assert(df.limit(400).count() == 400)           // rule inert w/o conf
+      s2.conf.set(graft.plans.CapResultLimit.ConfKey, "100")
+      try {
+        assert(df.limit(400).count() == 100)         // capped
+        assert(df.limit(50).count() == 50)           // below ceiling untouched
+      } finally s2.conf.unset(graft.plans.CapResultLimit.ConfKey)
+    }
+  }
+
+  test("sparse vectors: per-doc relative frequencies sum to ~1") {
+    import org.apache.spark.sql.functions._
+    val sums = graft.operators.Bm25.sparseVectors(spark, sf)
+      .groupBy(col("doc_id")).agg(sum(col("weight")).as("s")).collect()
+    // weights are fixed-point 1e6; rounding drift stays tiny
+    assert(sums.forall(r => math.abs(r.getAs[Long]("s") - 1000000L) < 200))
   }
 
   test("normalized fusion bounds branch scores to [0,1] weights") {

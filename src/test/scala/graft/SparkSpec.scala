@@ -17,6 +17,31 @@ object TestSpark {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Run `f` with a session that has GraftExtensions installed.
+    * Builds a NEW session (sharing the JVM's SparkContext) instead of
+    * getOrCreate — which would silently return the shared
+    * extension-less session when another suite ran first — and never
+    * stops the shared context.
+    */
+  def withExtensionsSession[T](f: SparkSession => T): T = {
+    val priorDefault = SparkSession.getDefaultSession
+    val priorActive  = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try f(s2) finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      priorDefault.foreach(SparkSession.setDefaultSession)
+      priorActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
 
 abstract class GraftSuite extends AnyFunSuite {

@@ -40,6 +40,19 @@ class VectorSearchSpec extends GraftSuite {
     }
   }
 
+  test("IVF probe recovers most of the exact top-k from nprobe cells") {
+    val ivf = VectorSearch.annIvf(spark, sf, k = 10).collect()
+    assert(ivf.length == 10)
+    val scores = ivf.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sortBy(-_))
+    val brute = VectorSearch.semanticTopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val got = ivf.map(_.getAs[Long]("vec_id")).toSet
+    // probing nprobe of ~nlist cells must still recover a good share
+    assert((brute intersect got).size >= 3,
+      s"IVF recall too low: ${(brute intersect got).size}/10")
+  }
+
   test("LSH probe stays inside the query's bucket and finds close neighbors") {
     val rows = VectorSearch.annLsh(spark, sf).collect()
     assert(rows.nonEmpty)
