@@ -30,6 +30,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Ensure at least default-parallelism partitions before a CPU-heavy
+    * map stage (tokenize/hash pipelines). A small local corpus arrives
+    * as ONE parquet split, which would serialize the whole map onto a
+    * single task; at real scale the scan already has thousands of
+    * splits and this is a no-op — the gate keeps the repartition from
+    * ever shuffling a big corpus.
+    */
+  def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }
 
 /** Shared numeric conventions for the DuckDB-oracle comparison.

@@ -41,8 +41,14 @@ object Bm25 {
   def search(spark: SparkSession, dir: String,
              query: String = DefaultQuery, k: Int = 20): DataFrame = {
     val terms = tokenizeQuery(query)
-    val toks = Tables.documents(spark, dir)
+    // tokenization is the scan-side cost shared by every sparse query
+    // (bm25 + all five fusion strategies run it per branch); persist
+    // lets Spark's cache manager serve all of them from one pass.
+    // At 100 TB this is the posting table you would materialize once,
+    // bucketed by term.
+    val toks = Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
     val stats = lens.agg(
       count(lit(1)).as("n_docs"),
@@ -123,7 +129,7 @@ object Bm25 {
     */
   def sparseVectors(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(spark, dir)
+    val tf = Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

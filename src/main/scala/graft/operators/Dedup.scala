@@ -91,7 +91,7 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val hashes = column(graft.functions.expressions.ShingleHashes(
       expression(col("text")), 3, P))
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(hashes).as("h"))
       // the posting feeds 4+ plan branches (sigs/df/verify/sizes);
       // Spark has no subtree reuse across different shuffle keys, so
@@ -213,7 +213,7 @@ object Dedup {
   private[graft] def simhashWordsDf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val words = column(graft.functions.expressions.SimHashWords(expression(col("text"))))
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), words.as("words"))
       .filter(col("words").isNotNull)
   }

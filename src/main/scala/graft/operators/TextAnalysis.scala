@@ -35,7 +35,7 @@ object TextAnalysis {
       case (None, (code, s)) => Some(when(s === best && best > 0.0, code))
       case (Some(c), (code, s)) => Some(c.when(s === best && best > 0.0, code))
     }.get.otherwise("und")
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), predFirst.as("pred_lang"), fx(best, 6).as("confidence"))
       .orderBy(col("doc_id"))
   }
@@ -78,7 +78,7 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.2) * least(lit(1.0), stopRatio * 5.0) +
       lit(0.2) * (lit(1.0) - digitRatio)
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
         fx(punctRatio, 6).as("punct_ratio"), fx(q, 6).as("quality"))
       .orderBy(col("doc_id"))
@@ -108,7 +108,7 @@ object TextAnalysis {
     * normalized terms and characters in one pass.
     */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).cast("long").as("bpe_tokens"),
@@ -138,7 +138,7 @@ object TextAnalysis {
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val fp = column(graft.functions.expressions.GramFingerprint(expression(col("text"))))
-    Tables.documents(spark, dir)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), fp.as("fp"), hash60(col("text")).as("full_hash"))
       .select(col("doc_id"),
         col("fp").getItem(0).as("min_gram_hash"),
