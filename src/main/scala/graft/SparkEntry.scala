@@ -49,6 +49,9 @@ object SparkEntry {
     "doc_list"  -> ((s, d) => DocOps.list(s, d)),
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
     "mm_meta"   -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_features"     -> ((s, d) => Multimodal.features(s, d)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
+    "mm_resize"       -> ((s, d) => Multimodal.resize(s, d)),
     "hybrid_normalized" -> ((s, d) => HybridSearch.normalized(s, d)),
     "hybrid_learned"    -> ((s, d) => HybridSearch.learned(s, d)),
     "hybrid_adaptive"   -> ((s, d) => HybridSearch.adaptiveDemo(s, d)),
@@ -91,6 +94,9 @@ object SparkEntry {
     "doc_list"  -> DocOps.listSql(),
     "doc_stats" -> DocOps.statsSql,
     "mm_meta"   -> Multimodal.metaSql,
+    "mm_features"     -> Multimodal.featuresSql,
+    "mm_frame_sample" -> Multimodal.frameSampleSql,
+    "mm_resize"       -> Multimodal.resizeSql(),
     "hybrid_normalized" -> HybridSearch.normalizedSql(),
     "hybrid_learned"    -> HybridSearch.learnedSql(),
     "hybrid_adaptive"   -> HybridSearch.adaptiveSql(),

@@ -50,4 +50,31 @@ class TextAnalysisSpec extends GraftSuite {
       .map(r => (r.getAs[Long]("asset_id"), r.getAs[Long]("width"))).toMap
     assert(decoded.forall(d => viaCols(d.asset_id) == d.width))
   }
+
+  test("byte features sum to the payload byte total and resize fits the box") {
+    import org.apache.spark.sql.functions._
+    val f = Multimodal.features(spark, sf).collect()
+    assert(f.length == 500)
+    val totals = TestSpark.spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).getBytes("UTF-8").map(b => (b & 0xff).toLong).sum).toMap
+    assert(f.forall { r =>
+      (0 until 8).map(d => r.getAs[Long](s"f$d")).sum == totals(r.getAs[Long]("asset_id"))
+    })
+    val rs = Multimodal.resize(spark, sf).collect()
+    assert(rs.forall(r => r.getAs[Long]("new_width") <= 256 && r.getAs[Long]("new_height") <= 256))
+    assert(rs.forall(r => math.max(r.getAs[Long]("new_width"), r.getAs[Long]("new_height")) == 256))
+  }
+
+  test("frame sampling emits at most 4 in-range frame indices per asset") {
+    val rows = Multimodal.frameSample(spark, sf).collect()
+    val byAsset = rows.groupBy(_.getAs[Long]("asset_id"))
+    assert(byAsset.size == 500)
+    byAsset.values.foreach { g =>
+      assert(g.length <= 4)
+      val frames = g.head.getAs[Long]("frames")
+      assert(g.forall(r => r.getAs[Long]("frame_idx") < frames))
+    }
+  }
 }
