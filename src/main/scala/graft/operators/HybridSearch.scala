@@ -104,7 +104,12 @@ object HybridSearch {
   def normalized(spark: SparkSession, dir: String, qid: Long = 0,
                  query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
     val n = limit * 2
-    def norm(df: DataFrame, idCol: String): DataFrame = {
+    def norm(df0: DataFrame, idCol: String): DataFrame = {
+      // each branch feeds BOTH the min/max scalar aggregate and the
+      // fused rows; without persist the whole branch pipeline (scan +
+      // scoring + top-N) runs twice — the branch is <= 2*limit rows,
+      // so the cache is trivial at any scale
+      val df = df0.persist()
       val stats = df.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
       df.crossJoin(broadcast(stats))
         .select(col(idCol).as("doc_id"),
@@ -193,11 +198,13 @@ object HybridSearch {
   def learned(spark: SparkSession, dir: String, qid: Long = 0,
               query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
     val n = limit * 2
+    // persisted: each branch feeds both its quality aggregate and the
+    // fused join (<= 2*limit rows each)
     val dense = VectorSearch.semanticTopK(spark, dir, qid, n)
-      .select(col("vec_id").as("doc_id"), col("score"))
-    val sparse = Bm25.search(spark, dir, query, n).select(col("doc_id"), col("score"))
+      .select(col("vec_id").as("doc_id"), col("score")).persist()
+    val sparse = Bm25.search(spark, dir, query, n).select(col("doc_id"), col("score")).persist()
     val txt = Bm25.textSearch(spark, dir, query, n)
-      .select(col("doc_id"), col("score").cast("long").as("score"))
+      .select(col("doc_id"), col("score").cast("long").as("score")).persist()
 
     // quality from exact integer sums; `scale` maps the fixed-point
     // long back to the double score space of linear fusion
