@@ -75,4 +75,22 @@ object EventStreams {
       .parquet(dir)
       .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
   }
+
+  /** Streaming dedup-on-ingest: keep the FIRST document per content
+    * hash within the watermark horizon — the incremental form of the
+    * batch content-hash dedup in graft.sources.Ingest (reference
+    * lib.rs add_document skips already-present content). State is one
+    * hash per distinct content, evicted when the watermark passes —
+    * bounded memory at any stream rate; duplicates arriving later
+    * than the horizon are handled by the periodic batch dedup job
+    * (the standard lambda split).
+    *
+    * Input needs (ts TIMESTAMP, text STRING, ...); output adds
+    * content_hash and drops in-horizon duplicates.
+    */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
 }

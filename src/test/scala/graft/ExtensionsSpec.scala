@@ -53,6 +53,30 @@ class ExtensionsSpec extends GraftSuite {
     assert(plan.contains("GreaterThan(doc_id,199)"), s"seek not pushed:\n$plan")
   }
 
+  test("upsert keeps incoming rows over stored rows; compact bounds files per lang") {
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Ingest.ingestDocuments(spark, sf, storeDir)
+    val store = spark.read.parquet(storeDir)
+    val n0 = store.count()
+    // re-upsert a batch overlapping the store: same contents, new ids
+    val batch = graft.Tables.documents(spark, sf)
+      .withColumn("doc_id", col("doc_id") + 10000L)
+    val merged = Ingest.upsert(store, batch)
+    assert(merged.count() == n0, "upsert must not grow the store for duplicate content")
+    // incoming rows won: every surviving id is from the new batch
+    assert(merged.filter(col("doc_id") < 10000L).count() == 0)
+
+    val compactDir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Ingest.compact(spark, storeDir, compactDir, filesPerPartition = 1)
+    val langDirs = new java.io.File(compactDir).listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty)
+    langDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"expected 1 file in ${d.getName}, got ${files.length}")
+    }
+    assert(spark.read.parquet(compactDir).count() == n0)
+  }
+
   test("ingest dedups by content hash and partitions by lang") {
     val out = java.nio.file.Files.createTempDirectory("graft_store").toString
     Ingest.ingestDocuments(spark, sf, out)

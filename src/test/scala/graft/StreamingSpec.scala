@@ -32,6 +32,35 @@ class StreamingSpec extends GraftSuite {
     assert(streamed.forall { case (k, v) => batch.get(k).contains(v) })
   }
 
+  test("streaming dedup keeps one row per content hash within the watermark") {
+    // stage the documents with a synthetic event time as a file stream
+    val stageDir = java.nio.file.Files.createTempDirectory("docs_stream")
+    Tables.documents(spark, sf)
+      .select(
+        // keep event times clear of the epoch: a ts of exactly 0
+        // collides with the initial watermark value and is dropped
+        timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ts"),
+        col("doc_id"), col("text"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = "ts TIMESTAMP, doc_id BIGINT, text STRING"
+    val stream = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_out").collect()
+    assert(out.nonEmpty)
+    val hashes = out.map(_.getAs[String]("content_hash")).toSeq
+    assert(hashes.distinct.size == hashes.size, "emitted duplicate content hash")
+    // the batch twin agrees on the number of distinct contents
+    val batchDistinct = Tables.documents(spark, sf)
+      .select(md5(col("text"))).distinct().count()
+    assert(hashes.size == batchDistinct)
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     val events = Tables.events(spark, sf).as[EventStreams.Event]
