@@ -21,6 +21,7 @@ object SparkEntry {
     "events_window"  -> ((s, d) => Analytics.eventsWindow(s, d)),
     "events_session" -> ((s, d) => Analytics.eventsSession(s, d)),
     "semantic_search"   -> ((s, d) => VectorSearch.semanticTopK(s, d)),
+    "semantic_search_filtered" -> ((s, d) => VectorSearch.semanticTopKFiltered(s, d)),
     "binary_quantize"   -> ((s, d) => VectorSearch.binaryQuantize(s, d)),
     "multistage_search" -> ((s, d) => VectorSearch.multiStage(s, d)),
     "ann_topk_batch"    -> ((s, d) => VectorSearch.annTopKBatch(s, d)),
@@ -66,6 +67,7 @@ object SparkEntry {
     "events_window"  -> Analytics.eventsWindowSql,
     "events_session" -> Analytics.eventsSessionSql,
     "semantic_search"   -> VectorSearch.semanticTopKSql(),
+    "semantic_search_filtered" -> VectorSearch.semanticTopKFilteredSql(),
     "binary_quantize"   -> VectorSearch.binaryQuantizeSql(),
     "multistage_search" -> VectorSearch.multiStageSql(),
     "ann_topk_batch"    -> VectorSearch.annTopKBatchSql(),

@@ -53,6 +53,36 @@ object VectorSearch {
        |ORDER BY score DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  /** Filtered vector search (reference src/types.rs:119
+    * SearchRequest.filter: metadata predicate applied WITH the
+    * search): cosine top-k restricted to matching labels. The
+    * predicate sits between scan and scoring, so Catalyst pushes it
+    * into the parquet scan (PushedFilters: In(label, ...)) — at scale
+    * only matching row groups are read and only survivors are scored,
+    * exactly the candidate-filtering the reference does in-engine.
+    */
+  def semanticTopKFiltered(spark: SparkSession, dir: String, qid: Long = 0,
+                           labels: Seq[Int] = Seq(1, 3, 5), k: Int = 20): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("emb"))
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(col("vec_id"), col("label"),
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
+  def semanticTopKFilteredSql(qid: Long = 0, labels: Seq[Int] = Seq(1, 3, 5),
+                              k: Int = 20): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid)
+       |SELECT e.vec_id, e.label,
+       |  ${fxSql(cosineSql("e.embedding::DOUBLE[]", "q.qv"))} AS score
+       |FROM embeddings e, q
+       |WHERE e.label IN (${labels.mkString(", ")}) AND e.vec_id <> $qid
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+
   /** DuckDB cosine with the same sequential-sum semantics as
     * [[graft.functions.VectorFunctions.cosineSimilarity]].
     */

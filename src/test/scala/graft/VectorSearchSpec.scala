@@ -40,6 +40,16 @@ class VectorSearchSpec extends GraftSuite {
     }
   }
 
+  test("filtered search only returns allowed labels and pushes the filter to the scan") {
+    val rows = VectorSearch.semanticTopKFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Seq(1, 3, 5).contains(r.getAs[Int]("label"))))
+    val plan = VectorSearch.semanticTopKFiltered(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label filter not pushed:\n$plan")
+  }
+
   test("IVF probe recovers most of the exact top-k from nprobe cells") {
     val ivf = VectorSearch.annIvf(spark, sf, k = 10).collect()
     assert(ivf.length == 10)
