@@ -98,6 +98,50 @@ object Bm25 {
        |LIMIT $k""".stripMargin
   }
 
+  /** Materialize the exploded posting table (doc_id, dl, term)
+    * bucketed by term — the 100 TB BM25 serving layout. Per-term
+    * aggregates (df) and per-query term joins then read pre-hashed
+    * buckets: no Exchange in the plan (verified in ExtensionsSpec),
+    * so repeated queries never reshuffle the corpus.
+    */
+  def buildPostingTable(spark: SparkSession, dir: String,
+                        tableName: String, buckets: Int = 8): Unit =
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+
+  /** BM25 over a pre-built bucketed posting table (same scores as
+    * [[search]]; the scan side is the materialized index).
+    */
+  def searchFromTable(spark: SparkSession, tableName: String,
+                      query: String = DefaultQuery, k: Int = 20): DataFrame = {
+    val terms = tokenizeQuery(query)
+    val posting = spark.table(tableName)
+    val lens = posting.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = posting
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val score = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl"))))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), score.as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(OracleNum.fx(sum(col("term_score")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Simple token-containment text search (reference
     * src/hybrid.rs:619 simple_text_search): +1 per query term whose
     * lowercase substring occurs in the content; rows with score > 0,

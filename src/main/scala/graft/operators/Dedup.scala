@@ -24,6 +24,29 @@ object Dedup {
   val BandRows  = 4
   val NumBands  = NumHashes / BandRows
 
+  /** Bucket-size bound for every banded self-join: singleton buckets
+    * generate no pairs (dropping them shrinks the join input), and a
+    * degenerate bucket of B docs would generate B² candidate rows —
+    * at 100 TB one hot bucket would dominate the whole stage. The
+    * window count rides the same (band, key) partitioning the
+    * self-join shuffles on, so the bound costs no extra exchange.
+    */
+  val MaxBucket = 500
+
+  /** Keep only buckets with 2..MaxBucket members; `keys` must be the
+    * self-join key columns (the window re-uses their partitioning).
+    */
+  private def boundBuckets(df: DataFrame, keys: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_bn", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_bn") >= 2 && col("_bn") <= MaxBucket)
+      .drop("_bn")
+  }
+
+  /** DuckDB twin of [[boundBuckets]] as a QUALIFY-style CTE filter. */
+  private def boundBucketsSql(keys: String): String =
+    s"COUNT(*) OVER (PARTITION BY $keys) BETWEEN 2 AND $MaxBucket"
+
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -142,8 +165,9 @@ object Dedup {
             col(s"s${b * BandRows + r}")): _*)).as("band_key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
-    val cand = bands.select(col("doc_id").as("id1"), col("band"), col("band_key"))
-      .join(bands.select(col("doc_id").as("id2"), col("band"), col("band_key")),
+    val bounded = boundBuckets(bands, col("band"), col("band_key"))
+    val cand = bounded.select(col("doc_id").as("id1"), col("band"), col("band_key"))
+      .join(bounded.select(col("doc_id").as("id2"), col("band"), col("band_key")),
         Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
@@ -194,9 +218,11 @@ object Dedup {
        |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
        |), bands AS (
        |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
+       |), bounded AS (
+       |  SELECT * FROM bands QUALIFY ${boundBucketsSql("band, band_key")}
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-       |  FROM bands a JOIN bands b
+       |  FROM bounded a JOIN bounded b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |),
        |${verifySqlTail((threshold * 1e4).toLong)}""".stripMargin
@@ -266,8 +292,9 @@ object Dedup {
         struct(lit(2).as("band"), hi.bitwiseAND(0x7FFF).as("bits")),
         struct(lit(3).as("band"), shiftright(hi, 15).bitwiseAND(0x7FFF).as("bits")))).as("b"))
       .select(col("doc_id"), col("words"), col("b.band").as("band"), col("b.bits").as("bits"))
-    val a = banded.select(col("doc_id").as("id1"), col("words").as("w1"), col("band"), col("bits"))
-    val b = banded.select(col("doc_id").as("id2"), col("words").as("w2"), col("band"), col("bits"))
+    val bounded = boundBuckets(banded, col("band"), col("bits"))
+    val a = bounded.select(col("doc_id").as("id1"), col("words").as("w1"), col("band"), col("bits"))
+    val b = bounded.select(col("doc_id").as("id2"), col("words").as("w2"), col("band"), col("bits"))
     a.join(b, Seq("band", "bits"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
@@ -299,10 +326,12 @@ object Dedup {
        |    struct_pack(band := 2, bits := hi & 32767),
        |    struct_pack(band := 3, bits := (hi >> 15) & 32767)], recursive := true)
        |  FROM words
+       |), bounded AS (
+       |  SELECT * FROM banded QUALIFY ${boundBucketsSql("band, bits")}
        |)
        |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
-       |FROM banded a JOIN banded b
+       |FROM bounded a JOIN bounded b
        |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
        |WHERE (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) <= $maxHamming
        |ORDER BY id1, id2""".stripMargin
@@ -366,9 +395,11 @@ object Dedup {
     */
   def embeddingPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
     val planes = VectorSearch.lshPlanes(64)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", VectorSearch.lshBucket(col("emb"), planes))
+    val e = boundBuckets(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+        .withColumn("bucket", VectorSearch.lshBucket(col("emb"), planes)),
+      col("bucket"))
     val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"), col("bucket"))
     val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"), col("bucket"))
     a.join(b, Seq("bucket"))
@@ -389,6 +420,7 @@ object Dedup {
        |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes FROM embeddings
        |), e AS (
        |  SELECT vec_id, emb, ($bucketExpr) AS bucket FROM e0
+       |  QUALIFY ${boundBucketsSql("bucket")}
        |)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  ${fxSql(VectorSearch.cosineSql("a.emb", "b.emb"), 6)} AS cosine

@@ -53,6 +53,24 @@ class ExtensionsSpec extends GraftSuite {
     assert(plan.contains("GreaterThan(doc_id,199)"), s"seek not pushed:\n$plan")
   }
 
+  test("bucketed posting table serves BM25 with no exchange on the term aggregate") {
+    import graft.operators.Bm25
+    Bm25.buildPostingTable(spark, sf, "posting_bucketed")
+    try {
+      // identical scores from the materialized index
+      val fromTable = Bm25.searchFromTable(spark, "posting_bucketed").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      val direct = Bm25.search(spark, sf).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      assert(fromTable == direct)
+      // bucketing by term removes the shuffle before the per-term agg
+      val plan = spark.table("posting_bucketed")
+        .groupBy(col("term")).count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected bucket-pruned agg plan:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS posting_bucketed")
+  }
+
   test("upsert keeps incoming rows over stored rows; compact bounds files per lang") {
     val storeDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
     Ingest.ingestDocuments(spark, sf, storeDir)
