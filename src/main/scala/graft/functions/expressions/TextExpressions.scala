@@ -44,7 +44,7 @@ case class GramFingerprint(child: Expression) extends UnaryExpression {
   * the Column formulation (verified in TextAnalysisSpec /
   * DedupSpec) so native and relational pipelines interoperate.
   */
-private[expressions] object Tok {
+private[graft] object Tok {
   val StopSet: java.util.HashSet[String] = {
     val s = new java.util.HashSet[String]()
     graft.functions.TextFunctions.StopWords.foreach(s.add)

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.expressions.{ByteFeatures, GramFingerprint, SimHashWords, Tok}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Property-style checks: the native one-pass expressions must agree
+  * with straightforward reference implementations (and with the
+  * Column-based tokenizer) on seeded random inputs, including edge
+  * shapes the corpus never produces (empty strings, all-stopword
+  * text, repeated spaces, punctuation runs).
+  */
+class NativeExpressionPropertySpec extends GraftSuite {
+
+  private val rnd = new scala.util.Random(42)
+  private val alphabet =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789   ,.!?-_#@"
+
+  private def randomText(): String = {
+    val len = rnd.nextInt(200)
+    val sb = new StringBuilder
+    (0 until len).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+    sb.toString
+  }
+
+  private val samples: Seq[String] =
+    Seq("", " ", "  ", "a", "the the the", "ab", "no stop words here at all!",
+      "x".repeat(7), "y".repeat(8), "z".repeat(9)) ++
+      (0 until 200).map(_ => randomText())
+
+  test("JVM tokenizer matches the Column tokenizer on random input") {
+    import spark.implicits._
+    val viaColumn = samples.toDF("text")
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    val viaJvm = samples.map(s => {
+      val l = Tok.tokens(s); (0 until l.size).map(l.get).toList
+    })
+    assert(viaColumn.toSeq == viaJvm)
+  }
+
+  test("GramFingerprint matches a naive polynomial reference") {
+    samples.filter(_.nonEmpty).foreach { s =>
+      val got = GramFingerprint.compute(UTF8String.fromString(s)).toLongArray()
+      val n = math.max(s.length - 7, 1)
+      val hashes = (0 until n).map { i =>
+        val g = s.substring(i, math.min(i + 8, s.length))
+        g.foldLeft(0L)((h, c) => h * 131L + c.toLong)
+      }
+      assert(got(0) == hashes.min, s"min mismatch for '$s'")
+      assert(got(1) == hashes.distinct.size.toLong, s"distinct mismatch for '$s'")
+    }
+  }
+
+  test("SimHashWords matches a naive tf/bit-sum reference") {
+    samples.foreach { s =>
+      val got = Option(SimHashWords.compute(UTF8String.fromString(s)))
+        .map(_.toLongArray())
+      val l = Tok.tokens(s)
+      val toks = (0 until l.size).map(l.get)
+      if (toks.isEmpty) assert(got.isEmpty, s"expected null for '$s'")
+      else {
+        val tf = toks.groupBy(identity).view.mapValues(_.size.toLong)
+        val sums = new Array[Long](60)
+        tf.foreach { case (t, w) =>
+          val h = Tok.hash60(t)
+          (0 until 60).foreach { b =>
+            if (((h >>> b) & 1L) == 1L) sums(b) += w else sums(b) -= w
+          }
+        }
+        val lo = (0 until 32).map(b => if (sums(b) > 0) 1L << b else 0L).sum
+        val hi = (32 until 60).map(b => if (sums(b) > 0) 1L << (b - 32) else 0L).sum
+        assert(got.get.toSeq == Seq(lo, hi), s"simhash mismatch for '$s'")
+      }
+    }
+  }
+
+  test("ByteFeatures matches a naive positional histogram") {
+    samples.foreach { s =>
+      val bytes = s.getBytes("UTF-8")
+      val got = ByteFeatures.compute(bytes).toLongArray()
+      val want = new Array[Long](8)
+      bytes.zipWithIndex.foreach { case (b, i) => want(i % 8) += (b & 0xffL) }
+      assert(got.toSeq == want.toSeq, s"features mismatch for '$s'")
+    }
+  }
+
+  test("hash60 matches Spark's md5-conv formulation on random tokens") {
+    import spark.implicits._
+    val toks = samples.flatMap(s => {
+      val l = Tok.tokens(s); (0 until l.size).map(l.get)
+    }).distinct
+    if (toks.nonEmpty) {
+      val viaSpark = toks.toDF("t")
+        .select(col("t"), graft.functions.TextFunctions.hash60(col("t")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      toks.foreach(t => assert(viaSpark(t) == Tok.hash60(t), s"hash60 mismatch for '$t'"))
+    }
+  }
+}
