@@ -37,6 +37,8 @@ object SparkEntry {
     "filter_geo"        -> ((s, d) => Filtering.filterGeo(s, d)),
     "filter_nested"     -> ((s, d) => Filtering.filterNested(s, d)),
     "filter_sql_where"  -> ((s, d) => Filtering.filterSqlWhere(s, d)),
+    "filter_bbox"       -> ((s, d) => Filtering.filterBBox(s, d)),
+    "filter_array_text" -> ((s, d) => Filtering.filterArrayText(s, d)),
     "dedup_exact"     -> ((s, d) => Dedup.exact(s, d)),
     "dedup_minhash"   -> ((s, d) => Dedup.minhash(s, d)),
     "dedup_simhash"   -> ((s, d) => Dedup.simhash(s, d)),
@@ -83,6 +85,8 @@ object SparkEntry {
     "filter_geo"        -> Filtering.filterGeoSql,
     "filter_nested"     -> Filtering.filterNestedSql,
     "filter_sql_where"  -> Filtering.filterSqlWhereSql,
+    "filter_bbox"       -> Filtering.filterBBoxSql,
+    "filter_array_text" -> Filtering.filterArrayTextSql,
     "dedup_exact"     -> Dedup.exactSql,
     "dedup_minhash"   -> Dedup.minhashSql(),
     "dedup_simhash"   -> Dedup.simhashSql(),

@@ -35,6 +35,17 @@ object Filtering {
   /** Haversine within-distance (filtering.rs GeospatialOperator::WithinDistance). */
   final case class GeoWithin(latField: String, lonField: String,
                              lat: Double, lon: Double, radiusKm: Double) extends FilterExpr
+  /** Bounding box (filtering.rs GeometryValue::BoundingBox). */
+  final case class GeoBBox(latField: String, lonField: String,
+                           minLat: Double, minLon: Double,
+                           maxLat: Double, maxLon: Double) extends FilterExpr
+  /** Array membership (filtering.rs NestedOperator::ArrayContains). */
+  final case class ArrayHas(field: String, value: Any) extends FilterExpr
+  /** Text-search filter (filtering.rs FilterExpression::TextSearch +
+    * TextSearchOptions.case_sensitive): substring containment.
+    */
+  final case class TextContains(field: String, needle: String,
+                                caseSensitive: Boolean = false) extends FilterExpr
 
   sealed trait CmpOp
   case object Eq extends CmpOp; case object Ne extends CmpOp
@@ -54,6 +65,12 @@ object Filtering {
       cmp(get_json_object(col(field), s"$$.$path"), op, v)
     case GeoWithin(latF, lonF, lat, lon, r) =>
       haversineKm(col(latF), col(lonF), lit(lat), lit(lon)) <= r
+    case GeoBBox(latF, lonF, minLat, minLon, maxLat, maxLon) =>
+      col(latF).between(minLat, maxLat) && col(lonF).between(minLon, maxLon)
+    case ArrayHas(field, v) => array_contains(col(field), lit(v))
+    case TextContains(field, needle, cs) =>
+      if (cs) col(field).contains(needle)
+      else lower(col(field)).contains(needle.toLowerCase)
   }
 
   private def cmp(c: Column, op: CmpOp, v: Any): Column = op match {
@@ -174,6 +191,52 @@ object Filtering {
        |  AND event_type IN ('purchase', 'signup')
        |  AND CAST(json_extract_string(props, '$$.k') AS BIGINT) >= 50
        |ORDER BY event_id""".stripMargin
+
+  /** Bounding-box geospatial filter over the same derived pseudo
+    * coordinates as [[filterGeo]] — two range predicates, fully
+    * pushable to the scan (min/max row-group skipping applies when
+    * the coordinates are real stored columns).
+    */
+  def filterBBox(spark: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") * 7919 % 18000) / lit(100.0) - 90.0
+    val lon = (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0
+    Tables.customer(spark, dir)
+      .withColumn("lat", lat).withColumn("lon", lon)
+      .filter(compile(GeoBBox("lat", "lon", -30.0, -90.0, 30.0, 90.0)))
+      .select(col("c_custkey"), fx(col("lat"), 2).as("lat"), fx(col("lon"), 2).as("lon"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val filterBBoxSql: String = {
+    val lat = "((c_custkey * 7919 % 18000) / 100.0 - 90.0)"
+    val lon = "((c_custkey * 104729 % 36000) / 100.0 - 180.0)"
+    s"""SELECT c_custkey, ${fxSql(lat, 2)} AS lat, ${fxSql(lon, 2)} AS lon
+       |FROM customer
+       |WHERE $lat BETWEEN -30.0 AND 30.0 AND $lon BETWEEN -90.0 AND 90.0
+       |ORDER BY c_custkey""".stripMargin
+  }
+
+  /** Array-contains + text-search filters composed over documents:
+    * the token array must contain a term AND the raw text must
+    * contain a (case-insensitive) phrase — the ArrayContains and
+    * TextSearch arms of the reference filter ADT.
+    */
+  def filterArrayText(spark: SparkSession, dir: String): DataFrame = {
+    Tables.documents(spark, dir)
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(compile(AndF(Seq(
+        ArrayHas("toks", "spark"),
+        TextContains("text", "vector")))))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterArrayTextSql: String =
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE list_contains(string_split(lower(text), ' '), 'spark')
+       |  AND contains(lower(text), 'vector')
+       |ORDER BY doc_id""".stripMargin
 
   /** SQL WHERE passthrough (reference SqlFilterParser): the WHERE
     * string is parsed by Spark's own SQL parser into the same

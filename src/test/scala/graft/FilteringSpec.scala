@@ -52,4 +52,28 @@ class FilteringSpec extends GraftSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[Long]("qty") >= 45L * 10000))
   }
+
+  test("bounding box keeps only in-box coordinates") {
+    val rows = Filtering.filterBBox(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // fixed-point 1e2: box is [-30,30] lat x [-90,90] lon
+    assert(rows.forall { r =>
+      val lat = r.getAs[Long]("lat"); val lon = r.getAs[Long]("lon")
+      lat >= -3000 && lat <= 3000 && lon >= -9000 && lon <= 9000
+    })
+  }
+
+  test("array-contains + text-search filter arms compose") {
+    val rows = Filtering.filterArrayText(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+    docs.foreach { d =>
+      val t = d.getString(1).toLowerCase
+      val expected = t.split(" ").contains("spark") && t.contains("vector")
+      assert(ids.contains(d.getLong(0)) == expected, s"doc ${d.getLong(0)}")
+    }
+  }
 }
