@@ -51,6 +51,8 @@ object SparkEntry {
     "doc_get"   -> ((s, d) => DocOps.get(s, d)),
     "doc_list"  -> ((s, d) => DocOps.list(s, d)),
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
+    "doc_delete" -> ((s, d) => DocOps.delete(s, d)),
+    "filter_geo_near" -> ((s, d) => Filtering.filterGeoNear(s, d)),
     "mm_meta"   -> ((s, d) => Multimodal.meta(s, d)),
     "mm_features"     -> ((s, d) => Multimodal.features(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.frameSample(s, d)),
@@ -99,6 +101,8 @@ object SparkEntry {
     "doc_get"   -> DocOps.getSql(),
     "doc_list"  -> DocOps.listSql(),
     "doc_stats" -> DocOps.statsSql,
+    "doc_delete" -> DocOps.deleteSql,
+    "filter_geo_near" -> Filtering.filterGeoNearSql(),
     "mm_meta"   -> Multimodal.metaSql,
     "mm_features"     -> Multimodal.featuresSql,
     "mm_frame_sample" -> Multimodal.frameSampleSql,

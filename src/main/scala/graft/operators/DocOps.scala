@@ -52,6 +52,30 @@ object DocOps {
     s"""SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id > $cursor ORDER BY doc_id LIMIT $pageSize""".stripMargin
 
+  /** Batch delete (lib.rs delete_document / remove_document): a
+    * deletions relation anti-joined against the store — the
+    * distributed form of per-id tombstoning. Small deletion sets
+    * broadcast; here the output proves the deletion by per-lang
+    * surviving counts. Deletion set: every doc_id divisible by 7.
+    */
+  def delete(spark: SparkSession, dir: String): DataFrame = {
+    val deletions = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(deletions), Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("lang"))
+  }
+
+  val deleteSql: String =
+    s"""SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_id
+       |FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
   /** DatabaseStats equivalent: per (lang, source) counts and content
     * statistics in one grouped aggregate.
     */

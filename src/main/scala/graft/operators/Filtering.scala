@@ -238,6 +238,34 @@ object Filtering {
        |  AND contains(lower(text), 'vector')
        |ORDER BY doc_id""".stripMargin
 
+  /** Geospatial Near (filtering.rs GeospatialOperator::Near — the
+    * spatial-index nearest_neighbor call): k nearest points to a
+    * query location, expressed as orderBy(haversine)+limit →
+    * TakeOrderedAndProject (per-partition heaps; no global sort, no
+    * R-tree needed — the scan-side distance is codegen'd and the
+    * driver merges k rows).
+    */
+  def filterGeoNear(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val lat = (col("c_custkey") * 7919 % 18000) / lit(100.0) - 90.0
+    val lon = (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0
+    Tables.customer(spark, dir)
+      .withColumn("lat", lat).withColumn("lon", lon)
+      .select(col("c_custkey"),
+        fx(haversineKm(col("lat"), col("lon"), lit(40.0), lit(-74.0)), 3).as("dist_km"))
+      .orderBy(col("dist_km"), col("c_custkey"))
+      .limit(k)
+  }
+
+  def filterGeoNearSql(k: Int = 10): String = {
+    val lat = "((c_custkey * 7919 % 18000) / 100.0 - 90.0)"
+    val lon = "((c_custkey * 104729 % 36000) / 100.0 - 180.0)"
+    val d = haversineKmSql(lat, lon, "40.0", "-74.0")
+    s"""SELECT c_custkey, ${fxSql(d, 3)} AS dist_km
+       |FROM customer
+       |ORDER BY dist_km, c_custkey
+       |LIMIT $k""".stripMargin
+  }
+
   /** SQL WHERE passthrough (reference SqlFilterParser): the WHERE
     * string is parsed by Spark's own SQL parser into the same
     * Catalyst predicate a native filter would produce.
