@@ -66,6 +66,59 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment for IVF index builds: given a vector
+  * and the broadcast centroid list (array of struct(cid BIGINT,
+  * cemb ARRAY<DOUBLE>)), return the cid minimizing sequential squared
+  * L2, ties to the smaller cid — exactly the lexicographic
+  * (dist, cid) argmin of the relational array_sort formulation
+  * (spec-enforced parity), but one fused loop instead of an
+  * interpreted per-centroid lambda plus a per-row sort.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(v: Any, c: Any): Any =
+    NearestCentroid.compute(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.functions.expressions.NearestCentroid.compute($v, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroid {
+  def compute(emb: ArrayData, cents: ArrayData): Long = {
+    var bestDist = Double.PositiveInfinity
+    var bestCid = Long.MaxValue
+    val n = cents.numElements()
+    var i = 0
+    while (i < n) {
+      val s = cents.getStruct(i, 2)
+      val cid = s.getLong(0)
+      val cemb = s.getArray(1)
+      val d = math.min(emb.numElements(), cemb.numElements())
+      var dist = 0.0
+      var j = 0
+      while (j < d) {
+        val diff = emb.getDouble(j) - cemb.getDouble(j)
+        dist += diff * diff
+        j += 1
+      }
+      if (dist < bestDist || (dist == bestDist && cid < bestCid)) {
+        bestDist = dist
+        bestCid = cid
+      }
+      i += 1
+    }
+    bestCid
+  }
+}
+
 /** Fused dot product over two ArrayType(Double) columns; same codegen
   * rationale as [[CosineSim]].
   */

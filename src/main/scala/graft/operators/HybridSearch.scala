@@ -26,6 +26,12 @@ object HybridSearch {
   /** Ranked (doc_id, rank) for the dense branch: cosine vs query
     * vector `qid`, ranks on the fixed-point score with id tie-break
     * so both engines rank identically.
+    *
+    * The unpartitioned window here (and in the sparse/text twins) is
+    * deliberate: it ranks the branch's TakeOrdered output, which the
+    * upstream limit bounds to 2*limit rows regardless of corpus size
+    * — the "single partition" the WindowExec warning flags holds ~40
+    * rows at 100 TB too.
     */
   private def denseRanked(spark: SparkSession, dir: String, qid: Long, n: Int): DataFrame = {
     val w = Window.orderBy(col("score").desc, col("vec_id"))

@@ -311,10 +311,13 @@ object VectorSearch {
           slice(array_sort(transform(col("cents"), c => l2Struct(col("qv"), c))), 1, nprobe),
           p => p.getField("cid")).as("pcids"),
         col("qv"))
+    val assignExpr = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      column(graft.functions.expressions.NearestCentroid(
+        expression(col("emb")), expression(col("cents"))))
+    }
     corpus.crossJoin(broadcast(cents))
-      .withColumn("acid",
-        element_at(array_sort(transform(col("cents"), c => l2Struct(col("emb"), c))), 1)
-          .getField("cid"))
+      .withColumn("acid", assignExpr)
       .crossJoin(broadcast(probed))
       .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
       .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))

@@ -50,6 +50,27 @@ class VectorSearchSpec extends GraftSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("native nearest-centroid matches the relational array_sort argmin") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val corpus = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = corpus.filter(col("vec_id") % 61 === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("cents"))
+    val both = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        column(graft.functions.expressions.NearestCentroid(
+          expression(col("emb")), expression(col("cents")))).as("native"),
+        element_at(array_sort(transform(col("cents"), c =>
+          struct(
+            aggregate(zip_with(col("emb"), c.getField("cemb"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (acc, x) => acc + x).as("dist"),
+            c.getField("cid").as("cid")))), 1).getField("cid").as("relational"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+  }
+
   test("IVF probe recovers most of the exact top-k from nprobe cells") {
     val ivf = VectorSearch.annIvf(spark, sf, k = 10).collect()
     assert(ivf.length == 10)
