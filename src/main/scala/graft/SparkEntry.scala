@@ -48,6 +48,7 @@ object SparkEntry {
     "text_quality"    -> ((s, d) => TextAnalysis.quality(s, d)),
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
+    "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
     "doc_get"   -> ((s, d) => DocOps.get(s, d)),
     "doc_list"  -> ((s, d) => DocOps.list(s, d)),
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
@@ -98,6 +99,7 @@ object SparkEntry {
     "text_quality"    -> TextAnalysis.qualitySql,
     "token_count"     -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintSql,
+    "sample_stratified" -> TextAnalysis.sampleStratifiedSql,
     "doc_get"   -> DocOps.getSql(),
     "doc_list"  -> DocOps.listSql(),
     "doc_stats" -> DocOps.statsSql,

@@ -125,6 +125,38 @@ object TextAnalysis {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling — the training-data curation
+    * op that downsamples over-represented strata: per-lang keep
+    * rates, membership decided by a content-derived hash gate
+    * (hash60 % 100 < rate), so the sample is reproducible on any
+    * cluster, stable under re-partitioning, and requires no RNG state
+    * or second pass. Map-only at any scale.
+    */
+  val SampleRates: Seq[(String, Int)] =
+    Seq("en" -> 30, "de" -> 60, "es" -> 60, "fr" -> 60, "und" -> 100)
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(Option.empty[Column]) {
+      case (None, (code, r))    => Some(when(col("lang") === code, r))
+      case (Some(c), (code, r)) => Some(c.when(col("lang") === code, r))
+    }.get.otherwise(100)
+    Tables.documents(spark, dir)
+      .filter((hash60(col("text")) % 100) < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"))
+      .orderBy(col("lang"))
+  }
+
+  val sampleStratifiedSql: String = {
+    val rate = SampleRates.map { case (c, r) => s"WHEN lang = '$c' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_id
+       |FROM documents
+       |WHERE (${hash60Sql("text")} % 100) < $rate
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
   /** Document fingerprint from rolling 8-char grams (winnowing-style):
     * the minimal gram hash plus the distinct gram count form a
     * compact sketch; identical prefixes/bodies collide on min_hash.

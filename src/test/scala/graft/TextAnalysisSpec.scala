@@ -67,6 +67,20 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rs.forall(r => math.max(r.getAs[Long]("new_width"), r.getAs[Long]("new_height")) == 256))
   }
 
+  test("stratified sampling is deterministic and downsamples the big stratum") {
+    val a = TextAnalysis.sampleStratified(spark, sf).collect()
+    val b = TextAnalysis.sampleStratified(spark, sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    val byLang = a.map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_sampled")).toMap
+    val fullByLang = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("lang")).count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    // every stratum is sampled at or below its keep rate's ballpark
+    byLang.foreach { case (lang, n) => assert(n <= fullByLang(lang)) }
+    // en keeps ~30%: must be strictly downsampled
+    assert(byLang("en") < fullByLang("en"))
+  }
+
   test("frame sampling emits at most 4 in-range frame indices per asset") {
     val rows = Multimodal.frameSample(spark, sf).collect()
     val byAsset = rows.groupBy(_.getAs[Long]("asset_id"))
