@@ -101,6 +101,26 @@ object HybridSearch {
   val SparseWeight = 0.3
   val TextWeight   = 0.2
 
+  /** Outer-combine the three branch score frames into one
+    * (doc_id, dense_s, sparse_s, text_s) row per doc, absent branch =
+    * 0.0. Expressed as union + sum-aggregate (map-side partials, one
+    * hash shuffle) rather than chained full_outer joins — full outer
+    * can't broadcast, so the join formulation planned SortMergeJoins.
+    * Numerically identical: each doc has at most one row per branch,
+    * the other slots ride as 0.0.
+    */
+  private def outerFused(dense: DataFrame, sparse: DataFrame, txt: DataFrame): DataFrame =
+    dense.select(col("doc_id"), col("dense_s"),
+        lit(0.0).as("sparse_s"), lit(0.0).as("text_s"))
+      .unionByName(sparse.select(col("doc_id"), lit(0.0).as("dense_s"),
+        col("sparse_s"), lit(0.0).as("text_s")))
+      .unionByName(txt.select(col("doc_id"), lit(0.0).as("dense_s"),
+        lit(0.0).as("sparse_s"), col("text_s")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dense_s")).as("dense_s"),
+        sum(col("sparse_s")).as("sparse_s"),
+        sum(col("text_s")).as("text_s"))
+
   /** Normalized fusion (reference src/hybrid.rs normalized_fusion):
     * each branch is min-max normalized to [0,1] over its own top-N
     * before weighting, so no branch's score scale dominates. The
@@ -129,13 +149,10 @@ object HybridSearch {
       .select(col("doc_id"), col("ns").as("sparse_s"))
     val txt    = norm(Bm25.textSearch(spark, dir, query, n), "doc_id")
       .select(col("doc_id"), col("ns").as("text_s"))
-    dense
-      .join(sparse, Seq("doc_id"), "full_outer")
-      .join(txt, Seq("doc_id"), "full_outer")
+    outerFused(dense, sparse, txt)
       .select(col("doc_id"),
-        fx(coalesce(col("dense_s"), lit(0.0)) * DenseWeight +
-           coalesce(col("sparse_s"), lit(0.0)) * SparseWeight +
-           coalesce(col("text_s"), lit(0.0)) * TextWeight, 6).as("score"))
+        fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
+           col("text_s") * TextWeight, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -177,13 +194,10 @@ object HybridSearch {
       .select(col("doc_id"), (col("score") / 1e6).as("sparse_s"))
     val txt = Bm25.textSearch(spark, dir, query, n)
       .select(col("doc_id"), col("score").cast("double").as("text_s"))
-    dense
-      .join(sparse, Seq("doc_id"), "full_outer")
-      .join(txt, Seq("doc_id"), "full_outer")
+    outerFused(dense, sparse, txt)
       .select(col("doc_id"),
-        fx(coalesce(col("dense_s"), lit(0.0)) * DenseWeight +
-           coalesce(col("sparse_s"), lit(0.0)) * SparseWeight +
-           coalesce(col("text_s"), lit(0.0)) * TextWeight, 6).as("score"))
+        fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
+           col("text_s") * TextWeight, 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -234,16 +248,14 @@ object HybridSearch {
     val weights = q.select(w(DenseWeight, col("qd")).as("wd"),
       w(SparseWeight, col("qs")).as("ws"), w(TextWeight, col("qt")).as("wt"))
 
-    dense.select(col("doc_id"), (col("score") / 1e4).as("dense_s"))
-      .join(sparse.select(col("doc_id"), (col("score") / 1e6).as("sparse_s")),
-        Seq("doc_id"), "full_outer")
-      .join(txt.select(col("doc_id"), col("score").cast("double").as("text_s")),
-        Seq("doc_id"), "full_outer")
+    outerFused(
+      dense.select(col("doc_id"), (col("score") / 1e4).as("dense_s")),
+      sparse.select(col("doc_id"), (col("score") / 1e6).as("sparse_s")),
+      txt.select(col("doc_id"), col("score").cast("double").as("text_s")))
       .crossJoin(broadcast(weights))
       .select(col("doc_id"),
-        fx(coalesce(col("dense_s"), lit(0.0)) * col("wd") +
-           coalesce(col("sparse_s"), lit(0.0)) * col("ws") +
-           coalesce(col("text_s"), lit(0.0)) * col("wt"), 6).as("score"))
+        fx(col("dense_s") * col("wd") + col("sparse_s") * col("ws") +
+           col("text_s") * col("wt"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -318,17 +330,17 @@ object HybridSearch {
       when(keepBase, TextWeight).otherwise(TextWeight * 1.05).as("wt"))
 
     val n = limit * 2
-    VectorSearch.semanticTopK(spark, dir, qid, n)
-      .select(col("vec_id").as("doc_id"), (col("score") / 1e4).as("dense_s"))
-      .join(Bm25.search(spark, dir, query, n)
-        .select(col("doc_id"), (col("score") / 1e6).as("sparse_s")), Seq("doc_id"), "full_outer")
-      .join(Bm25.textSearch(spark, dir, query, n)
-        .select(col("doc_id"), col("score").cast("double").as("text_s")), Seq("doc_id"), "full_outer")
+    outerFused(
+      VectorSearch.semanticTopK(spark, dir, qid, n)
+        .select(col("vec_id").as("doc_id"), (col("score") / 1e4).as("dense_s")),
+      Bm25.search(spark, dir, query, n)
+        .select(col("doc_id"), (col("score") / 1e6).as("sparse_s")),
+      Bm25.textSearch(spark, dir, query, n)
+        .select(col("doc_id"), col("score").cast("double").as("text_s")))
       .crossJoin(broadcast(weights))
       .select(col("doc_id"),
-        fx(coalesce(col("dense_s"), lit(0.0)) * col("wd") +
-           coalesce(col("sparse_s"), lit(0.0)) * col("ws") +
-           coalesce(col("text_s"), lit(0.0)) * col("wt"), 6).as("score"))
+        fx(col("dense_s") * col("wd") + col("sparse_s") * col("ws") +
+           col("text_s") * col("wt"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
