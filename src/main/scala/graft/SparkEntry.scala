@@ -49,6 +49,7 @@ object SparkEntry {
     "token_count"     -> ((s, d) => TextAnalysis.tokenCount(s, d)),
     "doc_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(s, d)),
     "sample_stratified" -> ((s, d) => TextAnalysis.sampleStratified(s, d)),
+    "mock_embed" -> ((s, d) => Embeddings.mockEmbed(s, d)),
     "doc_get"   -> ((s, d) => DocOps.get(s, d)),
     "doc_list"  -> ((s, d) => DocOps.list(s, d)),
     "doc_stats" -> ((s, d) => DocOps.stats(s, d)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "token_count"     -> TextAnalysis.tokenCountSql,
     "doc_fingerprint" -> TextAnalysis.fingerprintSql,
     "sample_stratified" -> TextAnalysis.sampleStratifiedSql,
+    "mock_embed" -> Embeddings.mockEmbedSql(),
     "doc_get"   -> DocOps.getSql(),
     "doc_list"  -> DocOps.listSql(),
     "doc_stats" -> DocOps.statsSql,

@@ -50,6 +50,25 @@ class VectorSearchSpec extends GraftSuite {
       s"label filter not pushed:\n$plan")
   }
 
+  test("mock embedder emits unit vectors and identical texts collide at cosine 1") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Embeddings
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val e = Tables.documents(spark, sf)
+      .select(col("doc_id"), Embeddings.embed(col("text"), 64).as("emb"),
+        md5(col("text")).as("ch"))
+    val rows = e.select(col("doc_id"), col("ch"),
+      sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)).as("norm")).collect()
+    assert(rows.forall(r => math.abs(r.getAs[Double]("norm") - 1.0) < 1e-9))
+    // identical contents must embed identically → cosine exactly 1
+    import spark.implicits._
+    val twice = Seq("some repeated text", "some repeated text", "different text")
+      .toDF("text").select(Embeddings.embed(col("text"), 64).as("emb"))
+    val vecs = twice.collect().map(_.getSeq[Double](0))
+    assert(vecs(0) == vecs(1))
+    assert(vecs(0) != vecs(2))
+  }
+
   test("native nearest-centroid matches the relational array_sort argmin") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
