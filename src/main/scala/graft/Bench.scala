@@ -9,30 +9,43 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // one untimed smoke query warms JVM/codegen/scan machinery so the
     // first measured query doesn't absorb session startup
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    // Two passes, report per-query MIN: the host VM shows intermittent
-    // CPU steal (1.5-2.5x outliers on random queries), and the warm
-    // second pass measures queries against materialized shared state —
-    // the same footing as the reference engine, which serves queries
-    // from a pre-built in-memory index.
+    // Two passes. Pass 1 is cold (it also populates the persist()
+    // caches shared operator state would serve from); pass 2 is warm —
+    // the footing of the reference engine, which serves queries from a
+    // pre-built in-memory index. Both statistics are reported: the
+    // headline `queries`/`value` is the per-query MIN (warm/best-of-two
+    // — the host VM shows intermittent CPU steal), `queries_mean` is
+    // the two-pass mean so a cold-path regression cannot hide in the
+    // minimum. Failed queries are reported as -1 plus an `errors` map
+    // entry instead of masquerading as fast successes.
+    val errors = scala.collection.mutable.Map[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column (count() would let
       // Catalyst prune expensive final projections and under-report)
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val p1 = pass(); val p2 = pass()
-    val results = p1.map { case (k, v) => k -> math.min(v, p2(k)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def stat(f: (Double, Double) => Double): Map[String, Double] =
+      p1.map { case (k, v) => k -> (if (errors.contains(k)) -1.0 else f(v, p2(k))) }
+    val mins  = stat(math.min)
+    val means = stat((a, b) => (a + b) / 2.0)
+    def obj(m: Map[String, Any]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + (v match {
+        case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case x => x.toString
+      }) }.mkString("{", ",", "}")
+    val total = mins.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2 (warm); means in queries_mean","queries":${obj(mins)},"queries_mean":${obj(means)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

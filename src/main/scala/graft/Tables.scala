@@ -40,7 +40,13 @@ object Tables {
     */
   def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // probe the file index, not df.rdd — instantiating the RDD lineage
+    // at plan-build time would materialize physical planning for every
+    // query in an otherwise DataFrame-pure build. One parquet file can
+    // still split into many tasks, so this gate over-repartitions only
+    // in the tiny-local case it exists for.
+    val files = df.inputFiles.length
+    if (files > 0 && files < p) df.repartition(p) else df
   }
 }
 

@@ -236,6 +236,17 @@ object GramFingerprint {
 
   /** Static so generated code calls it directly (one invokestatic per
     * row inside whole-stage codegen).
+    *
+    * Each UTF-16 code unit is folded into 0..127 (`& 0x7F`) before the
+    * polynomial, so every intermediate is provably < 2^57 for ANY
+    * input — a raw code unit (<= 0xFFFF) times 131^7 would silently
+    * wrap Long here while the DuckDB twin's BIGINT raises, and the
+    * cross-engine hashes would diverge. The oracle applies the same
+    * `% 128`. The exactness contract remains ASCII-only: for
+    * supplementary characters Java charAt iterates UTF-16 units while
+    * DuckDB substr iterates codepoints, so gram boundaries differ —
+    * the fold just makes non-ASCII input safe and deterministic
+    * per-engine rather than crash-or-wrap.
     */
   def compute(text: UTF8String): GenericArrayData = {
     val s = text.toString
@@ -248,7 +259,7 @@ object GramFingerprint {
       var h = 0L
       var j = 0
       while (j < gLen) {
-        h += s.charAt(i + j).toLong * Pow(gLen - 1 - j)
+        h += (s.charAt(i + j) & 0x7F).toLong * Pow(gLen - 1 - j)
         j += 1
       }
       hashes(i) = h

@@ -131,13 +131,15 @@ object HybridSearch {
                  query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
     val n = limit * 2
     def norm(df0: DataFrame, idCol: String): DataFrame = {
-      // each branch feeds BOTH the min/max scalar aggregate and the
-      // fused rows; without persist the whole branch pipeline (scan +
-      // scoring + top-N) runs twice — the branch is <= 2*limit rows,
-      // so the cache is trivial at any scale
-      val df = df0.persist()
-      val stats = df.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
-      df.crossJoin(broadcast(stats))
+      // min/max via an unpartitioned window: the input is the branch's
+      // TakeOrdered output (<= 2*limit rows at ANY corpus size), so the
+      // single-partition window is free — and unlike the earlier
+      // persist() + scalar-aggregate formulation it leaves no
+      // CacheManager entry behind per (qid, query) in a long-lived
+      // serving session.
+      val w = Window.partitionBy()
+      df0.withColumn("lo", min(col("score")).over(w))
+        .withColumn("hi", max(col("score")).over(w))
         .select(col(idCol).as("doc_id"),
           when(col("hi") === col("lo"), lit(1.0))
             .otherwise((col("score") - col("lo")).cast("double") /
@@ -218,41 +220,65 @@ object HybridSearch {
   def learned(spark: SparkSession, dir: String, qid: Long = 0,
               query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
     val n = limit * 2
-    // persisted: each branch feeds both its quality aggregate and the
-    // fused join (<= 2*limit rows each)
+    // Single pipeline over the tagged UNION of the three branch top-Ns
+    // (<= 6*limit rows total at any corpus size): per-branch quality
+    // stats ride as window aggregates instead of persist() + scalar
+    // aggregates, so each branch is evaluated exactly once and no
+    // CacheManager entry accumulates per (qid, query).
     val dense = VectorSearch.semanticTopK(spark, dir, qid, n)
-      .select(col("vec_id").as("doc_id"), col("score")).persist()
-    val sparse = Bm25.search(spark, dir, query, n).select(col("doc_id"), col("score")).persist()
+      .select(lit("d").as("b"), col("vec_id").as("doc_id"), col("score"))
+    val sparse = Bm25.search(spark, dir, query, n)
+      .select(lit("s").as("b"), col("doc_id"), col("score"))
     val txt = Bm25.textSearch(spark, dir, query, n)
-      .select(col("doc_id"), col("score").cast("long").as("score")).persist()
+      .select(lit("t").as("b"), col("doc_id"), col("score").cast("long").as("score"))
+    val wb = Window.partitionBy(col("b"))
+    val wg = Window.partitionBy()
 
-    // quality from exact integer sums; `scale` maps the fixed-point
-    // long back to the double score space of linear fusion
-    def qual(df: DataFrame, scale: Double, qName: String): DataFrame = {
-      val agg = df.agg(count(lit(1)).as("n"),
-        sum(col("score")).as("s1"), sum(col("score") * col("score")).as("s2"))
+    // quality from exact integer sums over the branch window; `scale`
+    // maps the fixed-point long back to the double score space
+    def qOf(scale: Double): Column = {
       val nD = col("n").cast("double")
       val m = col("s1").cast("double") / scale / nD
       val m2 = col("s2").cast("double") / (scale * scale) / nD
       val sd = sqrt(greatest(m2 - m * m, lit(0.0)))
-      agg.select(
-        when(col("n") === 0, 0.0)
-          .otherwise(least(nD, lit(10.0)) / 10.0 * 0.3 + m * 0.5 +
-            greatest(lit(1.0) - sd, lit(0.0)) * 0.2).as(qName))
+      least(nD, lit(10.0)) / 10.0 * 0.3 + m * 0.5 +
+        greatest(lit(1.0) - sd, lit(0.0)) * 0.2
     }
-    val q = qual(dense, 1e4, "qd").crossJoin(qual(sparse, 1e6, "qs"))
-      .crossJoin(qual(txt, 1.0, "qt"))
+    // global per-branch quality: exactly one row per branch (rn = 1)
+    // contributes its q, every other row contributes literal 0.0 which
+    // adds exactly — an absent branch therefore yields 0.0, the same
+    // value the old n=0 scalar aggregate produced
+    def qg(tag: String): Column =
+      sum(when(col("b") === tag && col("rn") === 1, col("q")).otherwise(0.0)).over(wg)
+
+    val withQ = dense.unionByName(sparse).unionByName(txt)
+      .withColumn("n", count(lit(1)).over(wb))
+      .withColumn("s1", sum(col("score")).over(wb))
+      .withColumn("s2", sum(col("score") * col("score")).over(wb))
+      .withColumn("rn", row_number().over(wb.orderBy(col("doc_id"))))
+      .withColumn("q", when(col("b") === "d", qOf(1e4))
+        .when(col("b") === "s", qOf(1e6)).otherwise(qOf(1.0)))
+      .withColumn("qd", qg("d")).withColumn("qs", qg("s")).withColumn("qt", qg("t"))
     val total = col("qd") + col("qs") + col("qt")
     def w(base: Double, qc: Column): Column =
       when(total > 0, lit(base) * (lit(1.0) + qc / total * lit(0.2))).otherwise(base)
-    val weights = q.select(w(DenseWeight, col("qd")).as("wd"),
-      w(SparseWeight, col("qs")).as("ws"), w(TextWeight, col("qt")).as("wt"))
 
-    outerFused(
-      dense.select(col("doc_id"), (col("score") / 1e4).as("dense_s")),
-      sparse.select(col("doc_id"), (col("score") / 1e6).as("sparse_s")),
-      txt.select(col("doc_id"), col("score").cast("double").as("text_s")))
-      .crossJoin(broadcast(weights))
+    // same outer-combine shape as [[outerFused]] (0.0 fills add
+    // exactly), with the globally-constant weights riding through the
+    // aggregate via max()
+    withQ
+      .select(col("doc_id"),
+        when(col("b") === "d", col("score") / 1e4).otherwise(0.0).as("dense_s"),
+        when(col("b") === "s", col("score") / 1e6).otherwise(0.0).as("sparse_s"),
+        when(col("b") === "t", col("score").cast("double")).otherwise(0.0).as("text_s"),
+        w(DenseWeight, col("qd")).as("wd"),
+        w(SparseWeight, col("qs")).as("ws"),
+        w(TextWeight, col("qt")).as("wt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("dense_s")).as("dense_s"),
+        sum(col("sparse_s")).as("sparse_s"),
+        sum(col("text_s")).as("text_s"),
+        max(col("wd")).as("wd"), max(col("ws")).as("ws"), max(col("wt")).as("wt"))
       .select(col("doc_id"),
         fx(col("dense_s") * col("wd") + col("sparse_s") * col("ws") +
            col("text_s") * col("wt"), 6).as("score"))

@@ -180,8 +180,10 @@ object TextAnalysis {
   }
 
   /** Oracle twin of [[expressions.GramFingerprint]]: identical integer
-    * polynomial (ascii * 131^k, exact in BIGINT for ASCII, width 8 —
-    * max sum ~2^57).
+    * polynomial ((ascii % 128) * 131^k — the same 7-bit fold the
+    * native expression applies, keeping every intermediate < 2^57 in
+    * exact BIGINT; cross-engine exactness is contracted for ASCII
+    * corpora, see GramFingerprint.compute).
     */
   val fingerprintSql: String = {
     val pows = (0 until 8).map(i => math.pow(131.0, i).toLong).mkString("[", ", ", "]")
@@ -189,7 +191,7 @@ object TextAnalysis {
        |  SELECT doc_id, text,
        |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
        |      i -> list_sum(list_transform(range(0, least(8, length(text) - i + 1)),
-       |             j -> ascii(substr(text, i + j, 1)) * $pows[least(8, length(text) - i + 1) - j]))::BIGINT) AS hashes
+       |             j -> (ascii(substr(text, i + j, 1)) % 128) * $pows[least(8, length(text) - i + 1) - j]))::BIGINT) AS hashes
        |  FROM documents
        |)
        |SELECT doc_id, list_min(hashes) AS min_gram_hash,
