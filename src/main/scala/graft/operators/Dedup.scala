@@ -30,6 +30,15 @@ object Dedup {
     * at 100 TB one hot bucket would dominate the whole stage. The
     * window count rides the same (band, key) partitioning the
     * self-join shuffles on, so the bound costs no extra exchange.
+    *
+    * Buckets OVER the cap are never dropped: [[simhash]] and
+    * [[embeddingPairs]] salt-subdivide them on additional fingerprint
+    * bits / hyperplanes and pair within sub-buckets, star-linking any
+    * sub-bucket that is still over the cap to its min-id
+    * representative — work is bounded, recall is not deleted.
+    * [[minhash]]/[[ngramJaccard]] key on 60-bit hashes where only a
+    * true degenerate cluster exceeds the cap, so they keep the plain
+    * bound via [[boundBuckets]].
     */
   val MaxBucket = 500
 
@@ -46,6 +55,99 @@ object Dedup {
   /** DuckDB twin of [[boundBuckets]] as a QUALIFY-style CTE filter. */
   private def boundBucketsSql(keys: String): String =
     s"COUNT(*) OVER (PARTITION BY $keys) BETWEEN 2 AND $MaxBucket"
+
+  /** Candidate pairs from a banded relation with hot-bucket
+    * subdivision. `df` must carry one row per (member, bucket) with
+    * the bucket key in `keys`, a salt column `salt` (extra
+    * content-derived bits, only consulted for over-cap buckets) and
+    * any payload columns to ride along on both sides of the pair.
+    *
+    * Three disjoint sources union into the pair stream:
+    *   1. buckets of 2..MaxBucket members — all pairs (as before);
+    *   2. over-cap buckets, re-keyed on (keys, salt), sub-buckets of
+    *      2..MaxBucket — all pairs within the sub-bucket;
+    *   3. sub-buckets STILL over the cap (members agree on bucket AND
+    *      salt — a mega-cluster of near-identical content) — each
+    *      member pairs with the sub-bucket's min-id representative, so
+    *      the cluster stays connected (one transitive component, the
+    *      property dedup actually consumes) at linear cost instead of
+    *      a B² blow-up.
+    *
+    * Every window/self-join in here rides the partitioning of its own
+    * keys, so each source costs one keyed exchange; no bucket is ever
+    * dropped.
+    */
+  private def saltedPairs(df: DataFrame, keys: Seq[String], idCol: String,
+                          payload: Seq[String],
+                          hotExplode: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kc = keys.map(col)
+    val skc = kc :+ col("salt")
+    val counted = df.withColumn("_bn", count(lit(1)).over(Window.partitionBy(kc: _*)))
+    val small = counted.filter(col("_bn") >= 2 && col("_bn") <= MaxBucket).drop("_bn")
+    val hot = hotExplode(counted.filter(col("_bn") > MaxBucket).drop("_bn"))
+      .withColumn("_sn", count(lit(1)).over(Window.partitionBy(skc: _*)))
+    val subSmall = hot.filter(col("_sn") >= 2 && col("_sn") <= MaxBucket).drop("_sn")
+    val subBig = hot.filter(col("_sn") > MaxBucket).drop("_sn")
+      .withColumn("_rep", min(col(idCol)).over(Window.partitionBy(skc: _*)))
+
+    def side(src: DataFrame, joinKeys: Seq[String], n: Int): DataFrame =
+      src.select((joinKeys.map(col) ++
+        (col(idCol).as(s"id$n") +: payload.map(p => col(p).as(s"$p$n")))): _*)
+    def allPairs(src: DataFrame, joinKeys: Seq[String]): DataFrame =
+      side(src, joinKeys, 1).join(side(src, joinKeys, 2), joinKeys)
+        .filter(col("id1") < col("id2"))
+
+    val p1 = allPairs(small, keys)
+    val p2 = allPairs(subSmall, keys :+ "salt")
+    val p3 = side(subBig.filter(col(idCol) === col("_rep")), keys :+ "salt", 1)
+      .join(side(subBig, keys :+ "salt", 2), keys :+ "salt")
+      .filter(col("id1") < col("id2"))
+    val out = (Seq("id1", "id2") ++
+      payload.flatMap(p => Seq(s"${p}1", s"${p}2"))).map(col)
+    p1.select(out: _*)
+      .unionByName(p2.select(out: _*))
+      .unionByName(p3.select(out: _*))
+  }
+
+  /** DuckDB twin of [[saltedPairs]]: the chain of CTEs from a `banded`
+    * relation (same column contract: keys + id + payload, NO salt yet)
+    * to a `pairs` relation of (id1, id2, payload1, payload2) rows.
+    * `hotExplodeSql` must be a full SELECT over the `hotraw` CTE
+    * producing (keys, salt, id, payload) — the twin of `hotExplode`.
+    */
+  private def saltedPairsSql(keys: Seq[String], idCol: String,
+                             payload: Seq[String],
+                             hotExplodeSql: String): String = {
+    val k = keys.mkString(", ")
+    val ks = (keys :+ "salt").mkString(", ")
+    def on(cols: Seq[String]) = cols.map(c => s"a.$c = b.$c").mkString(" AND ")
+    val proj = s"a.$idCol AS id1, b.$idCol AS id2" +
+      payload.map(c => s", a.$c AS ${c}1, b.$c AS ${c}2").mkString
+    s"""counted AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY $k) AS bn FROM banded
+       |), small AS (
+       |  SELECT * FROM counted WHERE bn BETWEEN 2 AND $MaxBucket
+       |), hotraw AS (
+       |  SELECT * FROM counted WHERE bn > $MaxBucket
+       |), hot AS (
+       |  SELECT *, COUNT(*) OVER (PARTITION BY $ks) AS sn FROM ($hotExplodeSql)
+       |), subsmall AS (
+       |  SELECT * FROM hot WHERE sn BETWEEN 2 AND $MaxBucket
+       |), subbig AS (
+       |  SELECT *, MIN($idCol) OVER (PARTITION BY $ks) AS rep
+       |  FROM hot WHERE sn > $MaxBucket
+       |), pairs AS (
+       |  SELECT $proj FROM small a JOIN small b
+       |    ON ${on(keys)} AND a.$idCol < b.$idCol
+       |  UNION ALL
+       |  SELECT $proj FROM subsmall a JOIN subsmall b
+       |    ON ${on(keys :+ "salt")} AND a.$idCol < b.$idCol
+       |  UNION ALL
+       |  SELECT $proj FROM (SELECT * FROM subbig WHERE $idCol = rep) a
+       |    JOIN subbig b ON ${on(keys :+ "salt")} AND a.$idCol < b.$idCol
+       |)""".stripMargin
+  }
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).select(
@@ -280,31 +382,84 @@ object Dedup {
     * such pairs — this is exact search, not approximation, at a
     * linear shuffle cost. Pairs up to `maxHamming` that happen to
     * collide on a band are also surfaced.
+    *
+    * A band key space of 15 bits saturates at scale (32,768 values per
+    * band — at billions of docs EVERY bucket is over [[MaxBucket]]),
+    * so over-cap buckets are not dropped but salt-subdivided via
+    * [[saltedPairs]]: the 45 bits OUTSIDE the matched band split into
+    * four ~11-bit sub-bands, and members pair within (band, bits,
+    * sub-band). The hamming<=3 guarantee survives — such a pair agrees
+    * on the matched band, so its <=3 differing bits hit at most 3 of
+    * the 4 sub-bands (pigeonhole again). A sub-bucket still over the
+    * cap means >MaxBucket docs agree on ~26 fingerprint bits — a
+    * mega-cluster of near-identical boilerplate — and is star-linked
+    * to its min-id representative: the cluster dedups as one connected
+    * component at linear cost instead of a quadratic pair blow-up.
     */
-  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame = {
-    val docs = simhashWordsDf(spark, dir)
+  def simhash(spark: SparkSession, dir: String, maxHamming: Int = 10): DataFrame =
+    simhashPairsFromWords(simhashWordsDf(spark, dir), maxHamming)
+
+  /** Pair search over a prepared (doc_id, words: array<long>[lo, hi])
+    * relation — split out so specs can drive synthetic fingerprint
+    * corpora (hot-bucket coverage) through the exact production path.
+    */
+  private[graft] def simhashPairsFromWords(docs: DataFrame, maxHamming: Int): DataFrame = {
     val lo = col("words").getItem(0)
     val hi = col("words").getItem(1)
-    val banded = docs.select(col("doc_id"), col("words"),
-      explode(array(
-        struct(lit(0).as("band"), lo.bitwiseAND(0x7FFF).as("bits")),
-        struct(lit(1).as("band"), shiftright(lo, 15).bitwiseAND(0x7FFF).as("bits")),
-        struct(lit(2).as("band"), hi.bitwiseAND(0x7FFF).as("bits")),
-        struct(lit(3).as("band"), shiftright(hi, 15).bitwiseAND(0x7FFF).as("bits")))).as("b"))
-      .select(col("doc_id"), col("words"), col("b.band").as("band"), col("b.bits").as("bits"))
-    val bounded = boundBuckets(banded, col("band"), col("bits"))
-    val a = bounded.select(col("doc_id").as("id1"), col("words").as("w1"), col("band"), col("bits"))
-    val b = bounded.select(col("doc_id").as("id2"), col("words").as("w2"), col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
-      .filter(col("id1") < col("id2"))
+    // f packs the 60 fingerprint bits at positions 0..31 (lo) and
+    // 32..59 (hi); band start positions are 0, 15, 32, 47
+    val banded = docs
+      .withColumn("f", lo.bitwiseOR(shiftleft(hi, 32)))
+      .select(col("doc_id"), col("words"), col("f"),
+        explode(array(SimhashBandStarts.zipWithIndex.map { case (s, p) =>
+          struct(lit(p).as("band"),
+            shiftright(col("f"), s).bitwiseAND(0x7FFF).as("bits"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("words"), col("f"),
+        col("b.band").as("band"), col("b.bits").as("bits"))
+    // rem = the 45 (47 for the 13-bit top band) bits outside band p
+    val rem = SimhashBandStarts.zipWithIndex.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, p)) =>
+        val r = col("f").bitwiseAND((1L << s) - 1)
+          .bitwiseOR(shiftleft(shiftright(col("f"), s + 15), s))
+        when(col("band") === p, r).otherwise(acc)
+    }
+    val hotExplode: DataFrame => DataFrame = hot =>
+      hot.withColumn("rem", rem)
+        .withColumn("salt", explode(array(
+          col("rem").bitwiseAND(0x7FF),
+          lit(1L * 16384) + shiftright(col("rem"), 11).bitwiseAND(0x7FF),
+          lit(2L * 16384) + shiftright(col("rem"), 22).bitwiseAND(0x7FF),
+          lit(3L * 16384) + shiftright(col("rem"), 33))))
+    saltedPairs(banded, Seq("band", "bits"), "doc_id", Seq("words"), hotExplode)
       .select(col("id1"), col("id2"),
-        hammingDistance(col("w1"), col("w2")).as("hamming"))
+        hammingDistance(col("words1"), col("words2")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("id1"), col("id2"))
   }
 
-  def simhashSql(maxHamming: Int = 10): String =
+  /** Bit offsets of the four simhash bands inside the packed 60-bit
+    * fingerprint (15 bits each from lo at 0/15, 15+13 from hi at
+    * 32/47; lo bits 30-31 belong to no band, which only strengthens
+    * the pigeonhole bound).
+    */
+  private val SimhashBandStarts = Seq(0, 15, 32, 47)
+
+  def simhashSql(maxHamming: Int = 10): String = {
+    val bandStructs = SimhashBandStarts.zipWithIndex.map { case (s, p) =>
+      s"struct_pack(band := $p, bits := (f >> $s) & 32767)"
+    }.mkString("[\n    ", ",\n    ", "]")
+    val remCase = "CASE " + SimhashBandStarts.zipWithIndex.map { case (s, p) =>
+      s"WHEN band = $p THEN (f & ${(1L << s) - 1}) | ((f >> ${s + 15}) << $s)"
+    }.mkString(" ") + " END"
+    val hotExplodeSql =
+      s"""SELECT band, bits, doc_id, lo, hi, unnest([
+         |      rem & 2047,
+         |      16384 + ((rem >> 11) & 2047),
+         |      32768 + ((rem >> 22) & 2047),
+         |      49152 + (rem >> 33)]) AS salt
+         |    FROM (SELECT *, $remCase AS rem FROM hotraw)""".stripMargin
     s"""WITH toks AS (
        |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
        |), tp AS (
@@ -320,21 +475,16 @@ object Dedup {
        |    list_sum(list_transform(range(0, 28), i -> CASE WHEN bitsums[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS hi
        |  FROM sums
        |), banded AS (
-       |  SELECT doc_id, lo, hi, unnest([
-       |    struct_pack(band := 0, bits := lo & 32767),
-       |    struct_pack(band := 1, bits := (lo >> 15) & 32767),
-       |    struct_pack(band := 2, bits := hi & 32767),
-       |    struct_pack(band := 3, bits := (hi >> 15) & 32767)], recursive := true)
-       |  FROM words
-       |), bounded AS (
-       |  SELECT * FROM banded QUALIFY ${boundBucketsSql("band, bits")}
-       |)
-       |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::BIGINT AS hamming
-       |FROM bounded a JOIN bounded b
-       |  ON a.band = b.band AND a.bits = b.bits AND a.doc_id < b.doc_id
-       |WHERE (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))) <= $maxHamming
+       |  SELECT doc_id, lo, hi, f, unnest($bandStructs, recursive := true)
+       |  FROM (SELECT doc_id, lo, hi, (lo | (hi << 32)) AS f FROM words)
+       |),
+       |${saltedPairsSql(Seq("band", "bits"), "doc_id", Seq("lo", "hi"), hotExplodeSql)}
+       |SELECT DISTINCT id1, id2,
+       |  (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2)))::BIGINT AS hamming
+       |FROM pairs
+       |WHERE (bit_count(xor(lo1, lo2)) + bit_count(xor(hi1, hi2))) <= $maxHamming
        |ORDER BY id1, id2""".stripMargin
+  }
 
   // ---- n-gram jaccard ----
 
@@ -388,43 +538,65 @@ object Dedup {
 
   // ---- embedding cosine near-dup ----
 
+  /** Number of extra hyperplanes salting over-cap embedding buckets:
+    * a hot bucket re-partitions into 2^10 sub-buckets keyed by the
+    * member's signature on planes the base bucket never consulted —
+    * the standard LSH precision/recall dial (more planes = only closer
+    * pairs still collide), applied ONLY where the base 2^6 key space
+    * saturated, instead of discarding the bucket.
+    */
+  val EmbeddingSaltPlanes = 10
+
   /** Embedding near-duplicate candidates: pairs inside the same
     * random-hyperplane LSH bucket, ranked by exact cosine, top-k.
-    * The bucket key bounds the pair space to ~n^2/2^planes; at scale
-    * more planes (or multi-probe) tighten it further.
+    * The bucket key bounds the pair space to ~n^2/2^planes; buckets
+    * over [[MaxBucket]] are salt-subdivided on
+    * [[EmbeddingSaltPlanes]] extra hyperplanes via [[saltedPairs]]
+    * (sub-buckets still over the cap — near-identical mega-clusters —
+    * star-link to their min-id representative), so at 100x data the
+    * operator degrades to higher precision, never to silence.
     */
-  def embeddingPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val planes = VectorSearch.lshPlanes(64)
-    val e = boundBuckets(
+  def embeddingPairs(spark: SparkSession, dir: String, k: Int = 50): DataFrame =
+    embeddingPairsFromVecs(
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
-        .withColumn("bucket", VectorSearch.lshBucket(col("emb"), planes)),
-      col("bucket"))
-    val a = e.select(col("vec_id").as("id1"), col("emb").as("e1"), col("bucket"))
-    val b = e.select(col("vec_id").as("id2"), col("emb").as("e2"), col("bucket"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
+        .select(col("vec_id"), toDouble(col("embedding")).as("emb")), k)
+
+  /** Pair search over a prepared (vec_id, emb: array<double>) relation
+    * — split out so specs can drive synthetic hot-bucket corpora
+    * through the exact production path.
+    */
+  private[graft] def embeddingPairsFromVecs(vecs: DataFrame, k: Int): DataFrame = {
+    val all = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes + EmbeddingSaltPlanes)
+    val base = all.take(VectorSearch.LshPlanes)
+    val extra = all.drop(VectorSearch.LshPlanes)
+    val banded = vecs
+      .withColumn("bucket", VectorSearch.lshBucket(col("emb"), base))
+    val hotExplode: DataFrame => DataFrame =
+      _.withColumn("salt", VectorSearch.lshBucket(col("emb"), extra))
+    saltedPairs(banded, Seq("bucket"), "vec_id", Seq("emb"), hotExplode)
       .select(col("id1"), col("id2"),
-        fx(cosineSimilarity(col("e1"), col("e2")), 6).as("cosine"))
+        fx(cosineSimilarity(col("emb1"), col("emb2")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id1"), col("id2"))
       .limit(k)
   }
 
   def embeddingPairsSql(k: Int = 50): String = {
-    val planes = VectorSearch.lshPlanes(64)
-    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
-    val bucketExpr = (0 until VectorSearch.LshPlanes).map { j =>
-      s"(CASE WHEN list_dot_product(emb, planes[${j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    val all = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes + EmbeddingSaltPlanes)
+    val planesSql = all.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    def sigExpr(from: Int, n: Int): String = (0 until n).map { j =>
+      s"(CASE WHEN list_dot_product(emb, planes[${from + j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
     }.mkString(" + ")
+    val hotExplodeSql =
+      s"SELECT bucket, vec_id, emb, planes, (${sigExpr(VectorSearch.LshPlanes, EmbeddingSaltPlanes)}) AS salt FROM hotraw"
     s"""WITH e0 AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes FROM embeddings
-       |), e AS (
-       |  SELECT vec_id, emb, ($bucketExpr) AS bucket FROM e0
-       |  QUALIFY ${boundBucketsSql("bucket")}
-       |)
-       |SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |  ${fxSql(VectorSearch.cosineSql("a.emb", "b.emb"), 6)} AS cosine
-       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |), banded AS (
+       |  SELECT vec_id, emb, planes, (${sigExpr(0, VectorSearch.LshPlanes)}) AS bucket FROM e0
+       |),
+       |${saltedPairsSql(Seq("bucket"), "vec_id", Seq("emb"), hotExplodeSql)}
+       |SELECT id1, id2,
+       |  ${fxSql(VectorSearch.cosineSql("emb1", "emb2"), 6)} AS cosine
+       |FROM pairs
        |ORDER BY cosine DESC, id1, id2
        |LIMIT $k""".stripMargin
   }

@@ -234,11 +234,14 @@ object VectorSearch {
   /** Deterministic Rademacher hyperplanes: component (j, d) is +-1
     * from one md5 bit, computed once on the driver and inlined as
     * literals — the DuckDB oracle embeds the same matrix, so both
-    * engines bucket identically.
+    * engines bucket identically. `n` > [[LshPlanes]] extends the same
+    * deterministic family (rows 0..LshPlanes-1 are always identical),
+    * used by [[graft.operators.Dedup.embeddingPairs]] to salt
+    * hot buckets with extra planes.
     */
-  def lshPlanes(dim: Int): Array[Array[Int]] = {
+  def lshPlanes(dim: Int, n: Int = LshPlanes): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(LshPlanes, dim) { (j, d) =>
+    Array.tabulate(n, dim) { (j, d) =>
       val h = md.digest(s"graft-lsh:$j:$d".getBytes("UTF-8"))
       if ((h(0) & 0x80) != 0) -1 else 1
     }
