@@ -46,6 +46,51 @@ object Filtering {
     */
   final case class TextContains(field: String, needle: String,
                                 caseSensitive: Boolean = false) extends FilterExpr
+  /** Fuzzy text-search filter (filtering.rs TextSearchOptions.fuzzy +
+    * max_distance): matches when any token of the field is within
+    * `maxDistance` Levenshtein edits of the needle.
+    */
+  final case class FuzzyContains(field: String, needle: String,
+                                 maxDistance: Int) extends FilterExpr
+  /** JSON array length predicate (filtering.rs
+    * NestedOperator::ArrayLength) over the array at `path`.
+    */
+  final case class ArrayLen(field: String, path: String, op: CmpOp,
+                            value: Any) extends FilterExpr
+  /** JSON object key-presence (filtering.rs
+    * NestedOperator::ObjectHasKey) for the object at `path`.
+    */
+  final case class ObjectHasKey(field: String, path: String,
+                                key: String) extends FilterExpr
+  /** JSON object value-presence (filtering.rs
+    * NestedOperator::ObjectHasValue): any top-level value of the
+    * object at `path` equals `value` (values compared as strings, the
+    * reference's value_index keying).
+    */
+  final case class ObjectHasValue(field: String, path: String,
+                                  value: String) extends FilterExpr
+  /** Nested substring containment (filtering.rs
+    * NestedOperator::Contains / execute_nested_contains).
+    */
+  final case class NestedContains(field: String, path: String,
+                                  needle: String) extends FilterExpr
+
+  /** Geospatial polygon operators (filtering.rs
+    * GeospatialOperator::{Within, Contains, Intersects} with
+    * GeometryValue::Polygon). The indexed field here is a point, so
+    * all three reduce to the same point-in-polygon test: point Within
+    * polygon == polygon Contains point == point Intersects polygon.
+    */
+  sealed trait PolyOp
+  case object PolyWithin extends PolyOp
+  case object PolyContains extends PolyOp
+  case object PolyIntersects extends PolyOp
+  /** Point-in-polygon filter; `vertices` are (lat, lon) pairs of a
+    * closed ring (last edge wraps to the first vertex).
+    */
+  final case class GeoPoly(latField: String, lonField: String,
+                           vertices: Seq[(Double, Double)],
+                           op: PolyOp = PolyWithin) extends FilterExpr
 
   sealed trait CmpOp
   case object Eq extends CmpOp; case object Ne extends CmpOp
@@ -71,6 +116,53 @@ object Filtering {
     case TextContains(field, needle, cs) =>
       if (cs) col(field).contains(needle)
       else lower(col(field)).contains(needle.toLowerCase)
+    case FuzzyContains(field, needle, d) =>
+      exists(graft.functions.TextFunctions.tokens(col(field)),
+        t => levenshtein(t, lit(needle)) <= d)
+    case ArrayLen(field, path, op, v) =>
+      cmp(json_array_length(get_json_object(col(field), s"$$.$path")), op, v)
+    case ObjectHasKey(field, path, key) =>
+      array_contains(json_object_keys(get_json_object(col(field), s"$$.$path")), key)
+    case ObjectHasValue(field, path, v) =>
+      // parse the object as map<string,string> (scalars read as their
+      // literal token text) and probe the values — Spark's
+      // get_json_object needs a foldable path, so per-key probing is
+      // expressed via from_json instead
+      array_contains(
+        map_values(from_json(get_json_object(col(field), s"$$.$path"),
+          "map<string,string>", Map.empty[String, String])), v)
+    case NestedContains(field, path, needle) =>
+      get_json_object(col(field), s"$$.$path").contains(needle)
+    case GeoPoly(latF, lonF, vs, _) => pointInPolygon(col(latF), col(lonF), vs)
+  }
+
+  /** Ray-casting point-in-polygon: count edges whose (lat-horizontal)
+    * ray crossing lies to the right of the point; odd = inside. Pure
+    * codegen'd arithmetic on polygon literals — no spatial index
+    * needed, and Catalyst can still push the surrounding conjuncts.
+    * The DuckDB twin [[pointInPolygonSql]] mirrors the expression tree
+    * operand-for-operand so both engines take identical IEEE paths.
+    */
+  def pointInPolygon(lat: Column, lon: Column,
+                     vs: Seq[(Double, Double)]): Column = {
+    val crossings = vs.indices.map { i =>
+      val (y1, x1) = vs(i)
+      val (y2, x2) = vs((i + 1) % vs.size)
+      val crosses = (lit(y1) > lat) =!= (lit(y2) > lat)
+      val xint = lit(x2 - x1) * (lat - lit(y1)) / lit(y2 - y1) + lit(x1)
+      when(crosses && lon < xint, 1).otherwise(0)
+    }.reduce(_ + _)
+    crossings % 2 === 1
+  }
+
+  def pointInPolygonSql(lat: String, lon: String,
+                        vs: Seq[(Double, Double)]): String = {
+    val terms = vs.indices.map { i =>
+      val (y1, x1) = vs(i)
+      val (y2, x2) = vs((i + 1) % vs.size)
+      s"CASE WHEN (($y1 > $lat) <> ($y2 > $lat)) AND ($lon < ${x2 - x1} * (($lat) - $y1) / ${y2 - y1} + $x1) THEN 1 ELSE 0 END"
+    }
+    terms.mkString("((", " + ", s") % 2 = 1)")
   }
 
   private def cmp(c: Column, op: CmpOp, v: Any): Column = op match {
@@ -284,4 +376,106 @@ object Filtering {
        |FROM lineitem
        |WHERE $SqlWhere
        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Fuzzy text-search filter: documents containing a token within 2
+    * edits of a misspelled needle (filtering.rs TextSearchOptions
+    * fuzzy/max_distance). Map-only scan predicate — codegen'd
+    * levenshtein over the token array, no shuffle at any scale.
+    */
+  def filterFuzzy(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(compile(FuzzyContains("text", "sprak", 2)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val filterFuzzySql: String =
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE len(list_filter(${graft.functions.TextFunctions.tokensSql("text")},
+       |          t -> levenshtein(t, 'sprak') <= 2)) > 0
+       |ORDER BY doc_id""".stripMargin
+
+  /** Nested-operator arms (filtering.rs NestedOperator ArrayLength /
+    * ObjectHasKey / ObjectHasValue / Contains) over a JSON document
+    * column. events.props is a flat {"k": n} object, so — like the
+    * pseudo-coordinates of [[filterGeo]] — both engines derive the
+    * same richer JSON value deterministically from it, then the REAL
+    * generic JSON operators apply: array length on $$.tags, value /
+    * key probes and substring containment on $$.meta.
+    */
+  def filterNestedOps(spark: SparkSession, dir: String): DataFrame = {
+    val k = coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L))
+    val tags = when(col("k") % 3 === 0,
+        concat(lit("[\""), col("event_type"), lit("\",\"hot\"]")))
+      .otherwise(concat(lit("[\""), col("event_type"), lit("\"]")))
+    val meta = concat(
+      lit("{\"k\": "), col("k").cast("string"),
+      lit(", \"status\": \""),
+      when(col("k") % 2 === 0, lit("even")).otherwise(lit("odd")), lit("\""),
+      when(col("k") % 5 === 0, lit(", \"extra\": \"1\"")).otherwise(lit("")),
+      lit("}"))
+    Tables.events(spark, dir)
+      .withColumn("k", k)
+      .withColumn("j", concat(lit("{\"tags\": "), tags, lit(", \"meta\": "), meta, lit("}")))
+      .filter(compile(AndF(Seq(
+        ArrayLen("j", "tags", Eq, 2),
+        ObjectHasValue("j", "meta", "even"),
+        NotF(ObjectHasKey("j", "meta", "extra")),
+        NestedContains("j", "meta.status", "ev")))))
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
+  val filterNestedOpsSql: String =
+    s"""WITH e AS (
+       |  SELECT event_id, event_type,
+       |    COALESCE(CAST(json_extract_string(props, '$$.k') AS BIGINT), -1) AS k
+       |  FROM events
+       |), withj AS (
+       |  SELECT event_id, k,
+       |    '{"tags": ' ||
+       |    CASE WHEN k % 3 = 0 THEN '["' || event_type || '","hot"]'
+       |         ELSE '["' || event_type || '"]' END ||
+       |    ', "meta": {"k": ' || k::VARCHAR || ', "status": "' ||
+       |    CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END || '"' ||
+       |    CASE WHEN k % 5 = 0 THEN ', "extra": "1"' ELSE '' END ||
+       |    '}}' AS j
+       |  FROM e
+       |)
+       |SELECT event_id, k FROM withj
+       |WHERE json_array_length(j, '$$.tags') = 2
+       |  AND list_contains(list_transform(json_keys(j, '$$.meta'),
+       |        kk -> json_extract_string(j, '$$.meta.' || kk)), 'even')
+       |  AND NOT list_contains(json_keys(j, '$$.meta'), 'extra')
+       |  AND contains(json_extract_string(j, '$$.meta.status'), 'ev')
+       |ORDER BY event_id""".stripMargin
+
+  /** Polygon vertices (lat, lon) for the oracle-checked point-in-
+    * polygon entry — an irregular quad with no horizontal edges.
+    */
+  val DemoPolygon: Seq[(Double, Double)] =
+    Seq((70.0, -20.0), (20.0, 150.0), (-65.0, 60.0), (-40.0, -130.0))
+
+  /** Point-in-polygon over the derived pseudo-coordinates
+    * (filtering.rs GeospatialOperator::Within +
+    * GeometryValue::Polygon).
+    */
+  def filterPolygon(spark: SparkSession, dir: String): DataFrame = {
+    val lat = (col("c_custkey") * 7919 % 18000) / lit(100.0) - 90.0
+    val lon = (col("c_custkey") * 104729 % 36000) / lit(100.0) - 180.0
+    Tables.customer(spark, dir)
+      .withColumn("lat", lat).withColumn("lon", lon)
+      .filter(compile(GeoPoly("lat", "lon", DemoPolygon)))
+      .select(col("c_custkey"), fx(col("lat"), 2).as("lat"), fx(col("lon"), 2).as("lon"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val filterPolygonSql: String = {
+    val lat = "((c_custkey * 7919 % 18000) / 100.0 - 90.0)"
+    val lon = "((c_custkey * 104729 % 36000) / 100.0 - 180.0)"
+    s"""SELECT c_custkey, ${fxSql(lat, 2)} AS lat, ${fxSql(lon, 2)} AS lon
+       |FROM customer
+       |WHERE ${pointInPolygonSql(lat, lon, DemoPolygon)}
+       |ORDER BY c_custkey""".stripMargin
+  }
 }
