@@ -63,6 +63,61 @@ class FilteringSpec extends GraftSuite {
     })
   }
 
+  test("fuzzy text filter matches tokens within edit distance") {
+    val rows = Filtering.filterFuzzy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every hit has a token within 2 edits of "sprak" ("spark" qualifies)
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", "")
+        .split(" ").filter(t => t.length > 1 && !graft.functions.TextFunctions.StopWords.contains(t))
+      val expected = toks.exists(t => lev(t, "sprak") <= 2)
+      assert(ids.contains(r.getLong(0)) == expected, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("nested-operator arms: array length, has-key, has-value, contains") {
+    val rows = Filtering.filterNestedOps(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // predicate set reduces to k%3==0 (2 tags) AND k%2==0 (value "even")
+    // AND k%5!=0 (no "extra" key); status "even" contains "ev" is implied
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      assert(k % 3 == 0 && k % 2 == 0 && k % 5 != 0, s"k=$k")
+    }
+  }
+
+  test("point-in-polygon: ray casting agrees with a reference check") {
+    import Filtering._
+    val poly = DemoPolygon
+    def inside(lat: Double, lon: Double): Boolean = {
+      var c = 0
+      poly.indices.foreach { i =>
+        val (y1, x1) = poly(i); val (y2, x2) = poly((i + 1) % poly.size)
+        if (((y1 > lat) != (y2 > lat)) &&
+          lon < (x2 - x1) * (lat - y1) / (y2 - y1) + x1) c += 1
+      }
+      c % 2 == 1
+    }
+    val rows = Filtering.filterPolygon(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lat = r.getAs[Long]("lat") / 100.0; val lon = r.getAs[Long]("lon") / 100.0
+      assert(inside(lat, lon), s"($lat,$lon) flagged inside but reference check disagrees")
+    }
+    // and a known-outside corner is excluded
+    assert(!inside(89.0, 179.0))
+  }
+
   test("array-contains + text-search filter arms compose") {
     val rows = Filtering.filterArrayText(spark, sf).collect()
     assert(rows.nonEmpty)
