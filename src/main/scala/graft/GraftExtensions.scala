@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProd].getName, "dot_prod"),
       (args: Seq[Expression]) => DotProd(args(0), args(1))))
     ext.injectOptimizerRule(_ => graft.plans.CapResultLimit)
+    ext.injectOptimizerRule(_ => graft.plans.MinSimilarityThreshold)
   }
 }

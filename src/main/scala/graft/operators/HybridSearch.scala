@@ -428,6 +428,70 @@ object HybridSearch {
        |LIMIT $limit""".stripMargin
   }
 
+  /** Search-response assembly with snippet extraction (reference
+    * src/hybrid.rs:339-349 search_documents result shaping + :674-700
+    * extract_snippet): RRF-fused hits join back to the document store
+    * and each hit carries a ±(50,150)-char window around the first
+    * case-insensitive occurrence of the query text, "..."-prefixed
+    * when the window is clipped, falling back to the 200-char document
+    * head when the phrase is absent — the reference's exact slicing
+    * rules, re-expressed as codegen'd string columns.
+    *
+    * Scale: the hit set is `limit` rows, broadcast against the
+    * documents scan (pruned to doc_id+text) — one broadcast hash join,
+    * no shuffle of the corpus. The default query here is the
+    * two-word phrase "spark vector" so both the found-window and
+    * absent-fallback arms execute on real data.
+    */
+  val SnippetQuery = "spark vector"
+
+  def searchSnippets(spark: SparkSession, dir: String, qid: Long = 0,
+                     query: String = SnippetQuery, limit: Int = 10): DataFrame = {
+    val q = query.toLowerCase
+    val qlen = q.length
+    val hits = rrf(spark, dir, qid, query, limit)
+    val docs = graft.Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val pos  = locate(q, lower(col("text")))          // 1-based; 0 = absent
+    val start = greatest(pos - 1 - 50, lit(0))         // 0-based slice start
+    val fin   = least(pos - 1 + qlen + 150, length(col("text")))
+    val sn    = col("text").substr(start + 1, fin - start)
+    val snippet = when(pos === 0, col("text").substr(lit(1), lit(200)))
+      .when(length(sn) > 200, concat(lit("..."), sn.substr(lit(1), lit(200))))
+      .when(start > 0, concat(lit("..."), sn))
+      .otherwise(sn)
+    docs.join(broadcast(hits), Seq("doc_id"))
+      .select(col("doc_id"), col("rrf_score"), snippet.as("snippet"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+  }
+
+  def searchSnippetsSql(qid: Long = 0, query: String = SnippetQuery, limit: Int = 10): String = {
+    val q = query.toLowerCase
+    val qlen = q.length
+    s"""WITH hits AS (
+       |  ${rrfSql(qid, query, limit)}
+       |), j AS (
+       |  SELECT hits.doc_id, hits.rrf_score, d.text,
+       |    strpos(lower(d.text), '$q') AS pos
+       |  FROM hits JOIN documents d ON hits.doc_id = d.doc_id
+       |), s AS (
+       |  SELECT doc_id, rrf_score, text, pos,
+       |    greatest(pos - 1 - 50, 0) AS st,
+       |    least(pos - 1 + $qlen + 150, length(text)) AS fin
+       |  FROM j
+       |), w AS (
+       |  SELECT doc_id, rrf_score, text, pos, st,
+       |    substring(text, st + 1, fin - st) AS sn
+       |  FROM s
+       |)
+       |SELECT doc_id, rrf_score,
+       |  CASE WHEN pos = 0 THEN substring(text, 1, 200)
+       |       WHEN length(sn) > 200 THEN '...' || substring(sn, 1, 200)
+       |       WHEN st > 0 THEN '...' || sn
+       |       ELSE sn END AS snippet
+       |FROM w
+       |ORDER BY rrf_score DESC, doc_id""".stripMargin
+  }
+
   def linearSql(qid: Long = 0, query: String = Bm25.DefaultQuery, limit: Int = 20): String = {
     val n = limit * 2
     s"""WITH dense AS (

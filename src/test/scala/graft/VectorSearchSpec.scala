@@ -103,7 +103,39 @@ class VectorSearchSpec extends GraftSuite {
       s"IVF recall too low: ${(brute intersect got).size}/10")
   }
 
-  test("LSH probe stays inside the query's bucket and finds close neighbors") {
+  test("two-level IVF plans broadcasts only: no corpus exchange, fine cells broadcast-joined") {
+    val plan = VectorSearch.annIvf(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"fine-cell join not broadcast:\n$plan")
+    // the only exchanges allowed are broadcast exchanges (centroid/query
+    // sides) — the corpus itself must never shuffle
+    val shuffles = "(?m)^.*ShuffleExchange.*$".r.findAllIn(plan).toList
+    assert(shuffles.isEmpty, s"unexpected corpus shuffle:\n${shuffles.mkString("\n")}")
+  }
+
+  /** VERDICT r1 #4: make the HNSW-replacement claim measurable — both
+    * approximate paths must hold a recall floor against their
+    * brute-force twins, and the number is printed for the record.
+    */
+  test("ANN recall harness: lsh and ivf recall@k vs brute force >= 0.6") {
+    // ivf: single-query recall@10
+    val bruteIvf = VectorSearch.semanticTopK(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = VectorSearch.annIvf(spark, sf, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfRecall = (bruteIvf intersect ivf).size.toDouble / bruteIvf.size
+    // lsh: batched recall@5 over 8 queries
+    val bruteBatch = VectorSearch.annTopKBatch(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = VectorSearch.annLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lshRecall = (bruteBatch intersect lsh).size.toDouble / bruteBatch.size
+    info(f"recall@10 ivf=$ivfRecall%.3f  recall@5x8 lsh=$lshRecall%.3f")
+    println(f"[ann-recall] ivf=$ivfRecall%.3f lsh=$lshRecall%.3f (floor 0.6)")
+    assert(ivfRecall >= 0.6, f"ivf recall $ivfRecall%.3f under floor")
+    assert(lshRecall >= 0.6, f"lsh recall $lshRecall%.3f under floor")
+  }
+
+  test("multi-probe LSH recovers true neighbors from the probed buckets") {
     val rows = VectorSearch.annLsh(spark, sf).collect()
     assert(rows.nonEmpty)
     // every returned neighbor scores above random-pair expectation
