@@ -55,8 +55,13 @@ object Bench {
     // means + errors (cold-path regression visibility, advisor ask) go to
     // BENCH_DETAIL.json in the repo root for the judge to read directly.
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2 (warm); pass-mean in queries_mean","queries":${obj(mins)},"queries_mean":${obj(means)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}"""
-    try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail)
-    catch { case _: Throwable => () }
+    // detail path is env-overridable so a different launch cwd can't
+    // silently strand the file; failures warn on stderr (stdout must
+    // stay the single parseable JSON line)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "BENCH_DETAIL.json")
+    try Files.writeString(Paths.get(detailPath), detail)
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_DETAIL write failed at $detailPath: ${e.getMessage}") }
     val errFlag = if (errors.isEmpty) "" else s""","errors":${obj(errors.toMap)}"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(mins)}$errFlag,"sf":"$sfDir"}""")
     spark.stop()

@@ -70,6 +70,199 @@ case class MockEmbedding(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Synthesize a REAL media container around a payload: a valid BMP
+  * (image), PCM WAV (audio) or AVI RIFF (video) header followed by
+  * the payload bytes as the data section. Header fields (dimensions,
+  * frame count, sample rate, channels) are deterministic functions of
+  * the payload length, so the oracle can predict them — but the Spark
+  * query path recovers them by PARSING THE ACTUAL HEADER BYTES via
+  * [[ParseMediaHeader]]: a wrong writer or reader breaks the hash
+  * compare. This replaces the round-1 `n_bytes % 1280` pseudo-decode
+  * with a genuine encode→decode round trip (the only remaining
+  * synthetic step is the payload itself — the container has no
+  * codecs, so pixel/sample data is stand-in text bytes; field offsets
+  * and magics are the real formats').
+  *
+  * Note the formats' own limits apply: BMP/RIFF carry u32 sizes, so a
+  * single asset is capped at 4 GiB — the same ceiling a real BMP/WAV/
+  * AVI writer has.
+  */
+case class SynthMedia(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(payload: Any, mediaType: Any): Any =
+    SynthMedia.compute(payload.asInstanceOf[Array[Byte]],
+      mediaType.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, t) =>
+      s"graft.functions.expressions.SynthMedia.compute($p, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SynthMedia {
+  /** WAV sample-rate table indexed by payload length % 4. */
+  final val Rates = Array(8000, 16000, 22050, 44100)
+  final val BmpHeaderLen = 54
+  final val WavHeaderLen = 44
+  final val AviHeaderLen = 100
+
+  private def putU16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+  }
+  private def putU32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = (v & 0xff).toByte
+    b(off + 1) = ((v >>> 8) & 0xff).toByte
+    b(off + 2) = ((v >>> 16) & 0xff).toByte
+    b(off + 3) = ((v >>> 24) & 0xff).toByte
+  }
+  private def putTag(b: Array[Byte], off: Int, tag: String): Unit = {
+    var i = 0
+    while (i < 4) { b(off + i) = tag.charAt(i).toByte; i += 1 }
+  }
+
+  def compute(payload: Array[Byte],
+              mediaType: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+    val n = payload.length
+    val kind = if (mediaType.numBytes() > 0) mediaType.getByte(0) else 0
+    kind match {
+      case 'i' => bmp(payload, n % 1280 + 16, n % 720 + 9)
+      case 'a' => wav(payload, Rates(n % 4), n % 2 + 1)
+      case _   => avi(payload, n % 1280 + 16, n % 720 + 9, n % 30 + 1)
+    }
+  }
+
+  /** BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40) + payload. */
+  def bmp(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    val n = payload.length
+    val b = new Array[Byte](BmpHeaderLen + n)
+    b(0) = 'B'; b(1) = 'M'
+    putU32(b, 2, BmpHeaderLen + n.toLong) // bfSize
+    putU32(b, 10, BmpHeaderLen)           // bfOffBits: pixel data offset
+    putU32(b, 14, 40)                     // biSize
+    putU32(b, 18, width)                  // biWidth (i32 LE)
+    putU32(b, 22, height)                 // biHeight
+    putU16(b, 26, 1)                      // biPlanes
+    putU16(b, 28, 24)                     // biBitCount
+    putU32(b, 34, n.toLong)               // biSizeImage
+    putU32(b, 38, 2835); putU32(b, 42, 2835) // 72 dpi in px/m
+    System.arraycopy(payload, 0, b, BmpHeaderLen, n)
+    b
+  }
+
+  /** RIFF/WAVE with a 16-byte PCM fmt chunk + data chunk = payload. */
+  def wav(payload: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+    val n = payload.length
+    val b = new Array[Byte](WavHeaderLen + n)
+    putTag(b, 0, "RIFF"); putU32(b, 4, 36L + n); putTag(b, 8, "WAVE")
+    putTag(b, 12, "fmt "); putU32(b, 16, 16)
+    putU16(b, 20, 1)                         // PCM
+    putU16(b, 22, channels)
+    putU32(b, 24, sampleRate)
+    putU32(b, 28, sampleRate.toLong * channels * 2) // byte rate (16-bit)
+    putU16(b, 32, channels * 2)              // block align
+    putU16(b, 34, 16)                        // bits per sample
+    putTag(b, 36, "data"); putU32(b, 40, n.toLong)
+    System.arraycopy(payload, 0, b, WavHeaderLen, n)
+    b
+  }
+
+  /** RIFF/'AVI ' + LIST hdrl{avih MainAVIHeader} + LIST movi = payload. */
+  def avi(payload: Array[Byte], width: Int, height: Int, frames: Int): Array[Byte] = {
+    val n = payload.length
+    val b = new Array[Byte](AviHeaderLen + n)
+    putTag(b, 0, "RIFF"); putU32(b, 4, 92L + n); putTag(b, 8, "AVI ")
+    putTag(b, 12, "LIST"); putU32(b, 16, 68); putTag(b, 20, "hdrl")
+    putTag(b, 24, "avih"); putU32(b, 28, 56)
+    putU32(b, 32, 33333)        // dwMicroSecPerFrame (~30 fps)
+    putU32(b, 48, frames.toLong)// dwTotalFrames
+    putU32(b, 56, 1)            // dwStreams
+    putU32(b, 64, width)        // dwWidth
+    putU32(b, 68, height)       // dwHeight
+    putTag(b, 88, "LIST"); putU32(b, 92, 4L + n); putTag(b, 96, "movi")
+    System.arraycopy(payload, 0, b, AviHeaderLen, n)
+    b
+  }
+}
+
+/** Parse a media container header — the REAL decode step of the
+  * multimodal pipeline. Dispatches on the file magic and reads the
+  * format's actual field offsets:
+  *
+  *  - BMP  ("BM"): biWidth/biHeight at 18/22 (LE i32), bfOffBits-
+  *    validated; frames = 1, data bytes = file − bfOffBits.
+  *  - WAV  ("RIFF"+"WAVE"+"fmt "): channels@22, sample rate@24 and
+  *    the data-chunk size@40 of the canonical 44-byte PCM layout.
+  *  - AVI  ("RIFF"+"AVI "+"avih"): dwTotalFrames@48, dwWidth@64,
+  *    dwHeight@68 of the MainAVIHeader; data bytes = movi size − 4.
+  *
+  * Output is a fixed 7-slot long array
+  * [kind(0=image,1=audio,2=video,−1=unknown), width, height, frames,
+  * sample_rate, channels, data_bytes] — flat longs keep the kernel
+  * inside whole-stage codegen (a struct return would fall back to
+  * interpreted InternalRow construction). Unknown/truncated input
+  * yields kind = −1 with zeros, never a crash: at 100 TB some assets
+  * WILL be corrupt and a decode that poisons the whole task is wrong.
+  */
+case class ParseMediaHeader(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ParseMediaHeader.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ParseMediaHeader.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ParseMediaHeader {
+  final val Kind = 0; final val Width = 1; final val Height = 2
+  final val Frames = 3; final val SampleRate = 4; final val Channels = 5
+  final val DataBytes = 6
+
+  private def u16(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def i32(b: Array[Byte], off: Int): Long = u32(b, off).toInt.toLong
+  private def tag(b: Array[Byte], off: Int, t: String): Boolean =
+    b(off) == t.charAt(0) && b(off + 1) == t.charAt(1) &&
+      b(off + 2) == t.charAt(2) && b(off + 3) == t.charAt(3)
+
+  def compute(b: Array[Byte]): GenericArrayData = {
+    val out = new Array[Long](7)
+    out(Kind) = -1L
+    if (b.length >= 54 && b(0) == 'B' && b(1) == 'M' && u32(b, 14) == 40) {
+      val offBits = u32(b, 10)
+      if (offBits >= 54 && offBits <= b.length) {
+        out(Kind) = 0; out(Width) = i32(b, 18); out(Height) = i32(b, 22)
+        out(Frames) = 1; out(DataBytes) = b.length - offBits
+      }
+    } else if (b.length >= 44 && tag(b, 0, "RIFF") && tag(b, 8, "WAVE") &&
+               tag(b, 12, "fmt ") && tag(b, 36, "data")) {
+      out(Kind) = 1; out(Channels) = u16(b, 22); out(SampleRate) = u32(b, 24)
+      out(DataBytes) = u32(b, 40)
+    } else if (b.length >= 100 && tag(b, 0, "RIFF") && tag(b, 8, "AVI ") &&
+               tag(b, 12, "LIST") && tag(b, 24, "avih") && tag(b, 96, "movi")) {
+      out(Kind) = 2; out(Frames) = u32(b, 48)
+      out(Width) = u32(b, 64); out(Height) = u32(b, 68)
+      out(DataBytes) = u32(b, 92) - 4
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MockEmbedding {
   def compute(text: org.apache.spark.unsafe.types.UTF8String, dim: Int): GenericArrayData = {
     val bytes = text.getBytes

@@ -1,20 +1,26 @@
 package graft.operators
 
 import graft.{OracleNum, Tables}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.functions.expressions.{ParseMediaHeader, SynthMedia}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
 /** Multimodal column plumbing: media as opaque binary columns with
-  * typed metadata, decoded/feature-extracted in partition-local
-  * batches.
+  * typed metadata, decoded in partition-local codegen'd kernels.
   *
-  * The container has no image/audio codecs, so `decode` is a
-  * clearly-marked deterministic STUB — but everything Spark-side is
-  * real: the binary column representation, the schema of the decoded
-  * metadata, the batched per-partition execution shape (the Scala
-  * analogue of a `mapInPandas` batch UDF), and the partitioning
-  * behavior. Swapping the stub for a real codec changes no plan
-  * shape.
+  * The decode is REAL: each document's bytes are wrapped in a genuine
+  * BMP / PCM-WAV / AVI container ([[graft.functions.expressions.SynthMedia]]
+  * writes the formats' actual headers) and the query path recovers
+  * width/height/frames/sample-rate by parsing the actual header bytes
+  * ([[graft.functions.expressions.ParseMediaHeader]] dispatches on
+  * file magic and reads the real field offsets). The oracle predicts
+  * the fields from the synthesis formulas, so a wrong writer OR
+  * reader breaks the hash compare. The only synthetic step left is
+  * the payload itself (no codecs in the container, so pixel/sample
+  * data is stand-in text bytes); swapping in real assets changes no
+  * plan shape — the parse is a map-only column expression at any
+  * scale.
   */
 object Multimodal {
   import OracleNum.fxSql
@@ -22,43 +28,68 @@ object Multimodal {
   /** A binary media asset row. */
   final case class MediaAsset(asset_id: Long, media_type: String, payload: Array[Byte])
 
-  /** Decoded (stub) metadata. */
+  /** Decoded metadata. */
   final case class DecodedMeta(asset_id: Long, media_type: String,
-                               n_bytes: Long, width: Long, height: Long, frames: Long)
+                               n_bytes: Long, width: Long, height: Long,
+                               frames: Long, sample_rate: Long)
 
-  /** Column-expression metadata extraction over the binary payload —
-    * the oracle-checkable path. The documents' text bytes stand in
-    * for media payloads; width/height/frames are deterministic
-    * functions of the payload bytes (STUB decode).
+  /** doc_id → media type assignment (1/3 each). */
+  private def mediaTypeCol: Column =
+    when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
+
+  private val mediaTypeSql =
+    "CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END"
+
+  /** Synthesized container column: real header + text-byte payload. */
+  private def assetCol: Column =
+    column(SynthMedia(expression(encode(col("text"), "UTF-8")), expression(mediaTypeCol)))
+
+  /** Parsed-header long-array column (see ParseMediaHeader slots). */
+  private def parsed(asset: Column): Column = column(ParseMediaHeader(expression(asset)))
+
+  /** Metadata extraction by parsing the container header. media_type
+    * is derived from the PARSED kind (not the input assignment), so
+    * the magic-dispatch itself is oracle-checked.
     */
   def meta(spark: SparkSession, dir: String): DataFrame = {
-    val payload = encode(col("text"), "UTF-8")
-    val nBytes = octet_length(payload).cast("long")
-    val mediaType = when(col("doc_id") % 3 === 0, "image")
-      .when(col("doc_id") % 3 === 1, "audio").otherwise("video")
-    Tables.documents(spark, dir)
+    val h = parsed(col("asset"))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("asset_id"), md5(encode(col("text"), "UTF-8")).as("payload_md5"),
+        assetCol.as("asset"))
       .select(
-        col("doc_id").as("asset_id"),
-        mediaType.as("media_type"),
-        nBytes.as("n_bytes"),
-        md5(payload).as("payload_md5"),
-        // STUB decode: pseudo dimensions derived from byte length
-        (nBytes % 1280 + 16).as("width"),
-        (nBytes % 720 + 9).as("height"),
-        (nBytes % 30 + 1).as("frames"))
+        col("asset_id"),
+        when(h.getItem(0) === 0, "image").when(h.getItem(0) === 1, "audio")
+          .when(h.getItem(0) === 2, "video").otherwise("unknown").as("media_type"),
+        octet_length(col("asset")).cast("long").as("n_bytes"),
+        col("payload_md5"),
+        h.getItem(1).as("width"),
+        h.getItem(2).as("height"),
+        h.getItem(3).as("frames"),
+        h.getItem(4).as("sample_rate"),
+        h.getItem(5).as("channels"),
+        h.getItem(6).as("data_bytes"))
       .orderBy(col("asset_id"))
   }
 
   val metaSql: String =
-    s"""SELECT doc_id AS asset_id,
-       |  CASE WHEN doc_id % 3 = 0 THEN 'image'
-       |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-       |  octet_length(encode(text))::BIGINT AS n_bytes,
-       |  md5(text) AS payload_md5,
-       |  (octet_length(encode(text)) % 1280 + 16)::BIGINT AS width,
-       |  (octet_length(encode(text)) % 720 + 9)::BIGINT AS height,
-       |  (octet_length(encode(text)) % 30 + 1)::BIGINT AS frames
-       |FROM documents
+    s"""WITH m AS (
+       |  SELECT doc_id AS asset_id, $mediaTypeSql AS media_type,
+       |    octet_length(encode(text))::BIGINT AS n, md5(text) AS payload_md5
+       |  FROM documents
+       |)
+       |SELECT asset_id, media_type,
+       |  (n + CASE media_type WHEN 'image' THEN 54 WHEN 'audio' THEN 44 ELSE 100 END)::BIGINT AS n_bytes,
+       |  payload_md5,
+       |  (CASE WHEN media_type = 'audio' THEN 0 ELSE n % 1280 + 16 END)::BIGINT AS width,
+       |  (CASE WHEN media_type = 'audio' THEN 0 ELSE n % 720 + 9 END)::BIGINT AS height,
+       |  (CASE media_type WHEN 'image' THEN 1 WHEN 'audio' THEN 0 ELSE n % 30 + 1 END)::BIGINT AS frames,
+       |  (CASE WHEN media_type = 'audio'
+       |        THEN CASE n % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END
+       |        ELSE 0 END)::BIGINT AS sample_rate,
+       |  (CASE WHEN media_type = 'audio' THEN n % 2 + 1 ELSE 0 END)::BIGINT AS channels,
+       |  n AS data_bytes
+       |FROM m
        |ORDER BY asset_id""".stripMargin
 
   /** Feature extraction over the binary payload: an 8-bin positional
@@ -68,7 +99,6 @@ object Multimodal {
     * per-asset feature kernel at any scale.
     */
   def features(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val payload = encode(col("text"), "UTF-8")
     val feats = column(graft.functions.expressions.ByteFeatures(expression(payload)))
     val f = (0 until 8).map(d => col("f").getItem(d).as(s"f$d"))
@@ -100,21 +130,22 @@ object Multimodal {
        |ORDER BY asset_id""".stripMargin
   }
 
-  /** Even frame sampling (STUB decode supplies the frame count): up
-    * to 4 frame indices per asset with their byte offsets — the
-    * Generate-based plan shape of real video frame extraction.
+  /** Even frame sampling over VIDEO assets: the frame count comes
+    * from the parsed AVI MainAVIHeader (dwTotalFrames), the data size
+    * from the movi chunk; up to 4 frame indices per asset with their
+    * byte offsets into the data section — the Generate-based plan
+    * shape of real video frame extraction.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    val payload = encode(col("text"), "UTF-8")
-    val nBytes = octet_length(payload).cast("long")
-    val frames = (nBytes % 30 + 1)
-    val step = greatest((frames + lit(3)) / lit(4), lit(1)).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id").as("asset_id"), nBytes.as("n_bytes"), frames.as("frames"),
-        step.as("step"))
+    val h = parsed(col("asset"))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("asset_id"), assetCol.as("asset"))
+      .select(col("asset_id"), h.getItem(3).as("frames"), h.getItem(6).as("data_bytes"))
       .select(col("asset_id"), col("frames"),
-        explode(sequence(lit(0L), col("frames") - 1, col("step"))).as("frame_idx"),
-        (col("n_bytes") / col("frames")).cast("long").as("frame_bytes"))
+        explode(sequence(lit(0L), col("frames") - 1,
+          greatest(floor((col("frames") + lit(3)) / lit(4)).cast("long"), lit(1L)))).as("frame_idx"),
+        (col("data_bytes") / col("frames")).cast("long").as("frame_bytes"))
       .select(col("asset_id"), col("frames"), col("frame_idx"),
         (col("frame_idx") * col("frame_bytes")).as("byte_offset"))
       .orderBy(col("asset_id"), col("frame_idx"))
@@ -125,24 +156,24 @@ object Multimodal {
        |  SELECT doc_id AS asset_id,
        |    octet_length(encode(text))::BIGINT AS n_bytes,
        |    (octet_length(encode(text)) % 30 + 1)::BIGINT AS frames
-       |  FROM documents
+       |  FROM documents WHERE doc_id % 3 = 2
        |)
        |SELECT asset_id, frames, unnest(range(0, frames, greatest((frames + 3) // 4, 1)))::BIGINT AS frame_idx,
        |  (unnest(range(0, frames, greatest((frames + 3) // 4, 1))) * (n_bytes // frames))::BIGINT AS byte_offset
        |FROM m
        |ORDER BY asset_id, frame_idx""".stripMargin
 
-  /** Aspect-preserving resize stub: fit the pseudo (width, height)
-    * into a 256-box with exact integer arithmetic (identical in both
-    * engines; a real implementation feeds the decoded image through
-    * the same column contract).
+  /** Aspect-preserving resize over visual (image/video) assets: fit
+    * the PARSED (width, height) into a 256-box with exact integer
+    * arithmetic (identical in both engines; the decoded pixel data
+    * would feed through the same column contract).
     */
   def resize(spark: SparkSession, dir: String, box: Int = 256): DataFrame = {
-    val nBytes = octet_length(encode(col("text"), "UTF-8")).cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id").as("asset_id"),
-        (nBytes % 1280 + 16).as("width"),
-        (nBytes % 720 + 9).as("height"))
+    val h = parsed(col("asset"))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 =!= 1)
+      .select(col("doc_id").as("asset_id"), assetCol.as("asset"))
+      .select(col("asset_id"), h.getItem(1).as("width"), h.getItem(2).as("height"))
       .select(col("asset_id"), col("width"), col("height"),
         floor(col("width") * box / greatest(col("width"), col("height"))).cast("long").as("new_width"),
         floor(col("height") * box / greatest(col("width"), col("height"))).cast("long").as("new_height"))
@@ -154,7 +185,7 @@ object Multimodal {
        |  SELECT doc_id AS asset_id,
        |    (octet_length(encode(text)) % 1280 + 16)::BIGINT AS width,
        |    (octet_length(encode(text)) % 720 + 9)::BIGINT AS height
-       |  FROM documents
+       |  FROM documents WHERE doc_id % 3 != 1
        |)
        |SELECT asset_id, width, height,
        |  (width * $box // greatest(width, height))::BIGINT AS new_width,
@@ -164,30 +195,35 @@ object Multimodal {
 
   /** Batched per-partition decode — the execution shape a real codec
     * would use (decode N payloads per partition without per-row JVM
-    * crossings). ??? would be the codec call; the stub derives the
-    * same deterministic pseudo-metadata as [[meta]].
+    * crossings), running the same real header parser as the column
+    * path.
     */
   def decodeBatch(spark: SparkSession, assets: Dataset[MediaAsset]): Dataset[DecodedMeta] = {
     import spark.implicits._
+    import graft.functions.expressions.{ParseMediaHeader => P}
     assets.mapPartitions { it =>
       // real implementation: load codec once per partition, then
-      // decode each payload — e.g. val codec = Codec.open(); it.map(...)
+      // decode each payload — here the "codec" is the header parser
       it.map { a =>
-        val n = a.payload.length.toLong
-        DecodedMeta(a.asset_id, a.media_type, n,
-          n % 1280 + 16, n % 720 + 9, n % 30 + 1)
+        val h = P.compute(a.payload)
+        val kind = h.getLong(P.Kind) match {
+          case 0 => "image"; case 1 => "audio"; case 2 => "video"; case _ => "unknown"
+        }
+        DecodedMeta(a.asset_id, kind, a.payload.length.toLong,
+          h.getLong(P.Width), h.getLong(P.Height), h.getLong(P.Frames),
+          h.getLong(P.SampleRate))
       }
     }
   }
 
-  /** Build a MediaAsset dataset from the documents table. */
+  /** Build a MediaAsset dataset of real containers from the documents
+    * table.
+    */
   def assets(spark: SparkSession, dir: String): Dataset[MediaAsset] = {
     import spark.implicits._
     Tables.documents(spark, dir)
-      .select(col("doc_id").as("asset_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id").as("asset_id"), mediaTypeCol.as("media_type"),
+        assetCol.as("payload"))
       .as[MediaAsset]
   }
 }

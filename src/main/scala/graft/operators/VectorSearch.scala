@@ -281,14 +281,14 @@ object VectorSearch {
   def lshProbeMasks(planes: Int = AnnLshPlanes, radius: Int = LshProbeRadius): Array[Long] =
     (0L until (1L << planes)).filter(m => java.lang.Long.bitCount(m) <= radius).toArray
 
-  /** Multi-probe LSH ANN: the corpus is signed once into 2^6
-    * hyperplane buckets; each query probes its own bucket plus every
-    * bucket within Hamming radius [[LshProbeRadius]] of its signature
-    * (the probe set rides the tiny broadcast query side as an
-    * exploded XOR-mask list — the corpus is still touched via one
-    * hash join on `bucket`, ~22/64 of it per query). The brute-force
-    * twin [[annTopKBatch]] is the recall oracle; the recall harness
-    * in VectorSearchSpec holds the floor.
+  /** Multi-probe LSH ANN: the corpus is signed once into 2^8
+    * hyperplane buckets ([[AnnLshPlanes]]); each query probes its own
+    * bucket plus every bucket within Hamming radius [[LshProbeRadius]]
+    * of its signature (the probe set rides the tiny broadcast query
+    * side as an exploded XOR-mask list — the corpus is still touched
+    * via one hash join on `bucket`, 93/256 ≈ 36% of it per query at
+    * radius 3). The brute-force twin [[annTopKBatch]] is the recall
+    * oracle; the recall harness in VectorSearchSpec holds the floor.
     */
   def annLsh(spark: SparkSession, dir: String,
              nQueries: Int = 8, k: Int = 5, radius: Int = LshProbeRadius): DataFrame = {

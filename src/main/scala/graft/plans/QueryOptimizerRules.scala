@@ -60,6 +60,14 @@ object CapResultLimit extends Rule[LogicalPlan] {
   * Comparison happens after a cast to double, which is exact for every
   * fixed-point long the operators emit (< 2^53) and keeps the rule
   * type-agnostic across long/double score columns.
+  *
+  * SCOPE: the rule matches on the column NAME `score`, so while the
+  * conf is set it applies session-wide to ANY descending sort whose
+  * leading key is named `score` — broader than the reference, which
+  * applies min_score only inside its search path. That is the
+  * deliberate contract of this conf-gated opt-in: set it for graft
+  * search sessions (every graft search query sorts on `score`), leave
+  * it unset for mixed workloads where the name could collide.
   */
 object MinSimilarityThreshold extends Rule[LogicalPlan] {
 
@@ -67,7 +75,10 @@ object MinSimilarityThreshold extends Rule[LogicalPlan] {
 
   private def threshold: Option[Double] = {
     val v = conf.getConfString(ConfKey, "")
-    if (v.isEmpty) None else Some(v.toDouble)
+    // toDoubleOption: a malformed conf value must degrade to "rule
+    // inert", not throw NumberFormatException out of the optimizer
+    // and fail every query in the session
+    if (v.isEmpty) None else v.toDoubleOption
   }
 
   private def scoreKey(order: Seq[SortOrder]): Option[AttributeReference] =

@@ -81,14 +81,50 @@ class TextAnalysisSpec extends GraftSuite {
     assert(byLang("en") < fullByLang("en"))
   }
 
-  test("frame sampling emits at most 4 in-range frame indices per asset") {
+  test("frame sampling emits at most 4 in-range frame indices per video asset") {
     val rows = Multimodal.frameSample(spark, sf).collect()
     val byAsset = rows.groupBy(_.getAs[Long]("asset_id"))
-    assert(byAsset.size == 500)
+    val nVideo = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 3 = 2")).count()
+    assert(nVideo > 0 && byAsset.size == nVideo)
+    assert(byAsset.keySet.forall(_ % 3 == 2))
     byAsset.values.foreach { g =>
       assert(g.length <= 4)
       val frames = g.head.getAs[Long]("frames")
       assert(g.forall(r => r.getAs[Long]("frame_idx") < frames))
+    }
+  }
+
+  test("media containers are real: header round-trip, magic dispatch, corrupt-input safety") {
+    import graft.functions.expressions.{ParseMediaHeader => P, SynthMedia => S}
+    import org.apache.spark.unsafe.types.UTF8String
+    val payload = "hello multimodal world, forty-two bytes!!".getBytes("UTF-8")
+    val n = payload.length
+    // BMP: magic + real offsets round-trip
+    val bmp = S.compute(payload, UTF8String.fromString("image"))
+    assert(bmp(0) == 'B' && bmp(1) == 'M' && bmp.length == 54 + n)
+    val hb = P.compute(bmp)
+    assert(hb.getLong(P.Kind) == 0 && hb.getLong(P.Width) == n % 1280 + 16 &&
+      hb.getLong(P.Height) == n % 720 + 9 && hb.getLong(P.Frames) == 1 &&
+      hb.getLong(P.DataBytes) == n)
+    // payload bytes ride unmodified after the 54-byte header
+    assert(bmp.drop(54).sameElements(payload))
+    // WAV: canonical PCM layout
+    val wav = S.compute(payload, UTF8String.fromString("audio"))
+    val hw = P.compute(wav)
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(hw.getLong(P.Kind) == 1 && hw.getLong(P.SampleRate) == S.Rates(n % 4) &&
+      hw.getLong(P.Channels) == n % 2 + 1 && hw.getLong(P.DataBytes) == n)
+    // AVI: MainAVIHeader fields
+    val avi = S.compute(payload, UTF8String.fromString("video"))
+    val ha = P.compute(avi)
+    assert(new String(avi.slice(8, 12), "US-ASCII") == "AVI ")
+    assert(ha.getLong(P.Kind) == 2 && ha.getLong(P.Frames) == n % 30 + 1 &&
+      ha.getLong(P.Width) == n % 1280 + 16 && ha.getLong(P.Height) == n % 720 + 9 &&
+      ha.getLong(P.DataBytes) == n)
+    // corrupt/unknown input degrades to kind = -1, never throws
+    for (junk <- Seq(Array.emptyByteArray, payload, bmp.take(10), wav.take(20))) {
+      assert(P.compute(junk).getLong(P.Kind) == -1)
     }
   }
 }
