@@ -39,14 +39,19 @@ object Bm25 {
   val DefaultQuery = "spark vector join stream window"
 
   def search(spark: SparkSession, dir: String,
-             query: String = DefaultQuery, k: Int = 20): DataFrame = {
+             query: String = DefaultQuery, k: Int = 20): DataFrame =
+    searchDocs(spark, Tables.documents(spark, dir), query, k)
+
+  /** [[search]] over an arbitrary `(doc_id, text, ...)` corpus frame. */
+  def searchDocs(spark: SparkSession, docs: DataFrame,
+                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
     val terms = tokenizeQuery(query)
     // tokenization is the scan-side cost shared by every sparse query
     // (bm25 + all five fusion strategies run it per branch); persist
     // lets Spark's cache manager serve all of them from one pass.
     // At 100 TB this is the posting table you would materialize once,
     // bucketed by term.
-    val toks = Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val toks = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
@@ -105,23 +110,122 @@ object Bm25 {
     * so repeated queries never reshuffle the corpus.
     */
   def buildPostingTable(spark: SparkSession, dir: String,
-                        tableName: String, buckets: Int = 8): Unit =
-    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
+                        tableName: String, buckets: Int = 8): Unit = {
+    postingRows(
+      Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+      gen = 0L)
       .write.mode("overwrite")
       .bucketBy(buckets, "term")
       .sortBy("term")
       .saveAsTable(tableName)
+    emptyDeleteLog(spark).write.mode("overwrite").saveAsTable(deleteLogTable(tableName))
+  }
+
+  // ----- incremental maintenance -------------------------------------------
+  //
+  // The reference maintains its BM25 inverted index incrementally:
+  // sparse.rs add_document (src/sparse.rs:71) tokenizes one document and
+  // patches its postings in place; remove_document (src/sparse.rs:110)
+  // walks the posting lists and deletes the doc's entries. In-place
+  // mutation is not a columnar-store operation, so the Spark-first
+  // re-expression is LOG-STRUCTURED: adds APPEND new bucket files to the
+  // bucketed posting table (O(delta) write — the corpus is never
+  // rewritten), and deletes/replacements APPEND to a tiny generation-
+  // stamped delete log. The probe-side live view filters dead
+  // generations with one broadcast join (the log is orders of magnitude
+  // smaller than the corpus between compactions), so probe plans gain NO
+  // shuffle Exchange over the freshly-built table — verified in
+  // ExtensionsSpec. [[compactPostingTable]] folds the log back in, the
+  // same merge-on-compaction contract as the store path
+  // (sources/Ingest.compact; advanced_storage.rs maintenance).
+  //
+  // Generations are caller-assigned and monotonically increasing per
+  // maintained table (the batch analogue of the reference's sequential
+  // single-writer API).
+
+  /** Delete-log side table: `(doc_id, del_gen)` — a row kills every
+    * posting of `doc_id` with `gen <= del_gen`. */
+  def deleteLogTable(tableName: String): String = tableName + "_dels"
+
+  private def emptyDeleteLog(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("del_gen"))
+
+  /** Exploded postings for a `(doc_id, text)` batch at a generation. */
+  private def postingRows(docs: DataFrame, gen: Long): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"), lit(gen).as("gen"))
+
+  /** add_document (src/sparse.rs:71), upsert semantics: append the
+    * batch's postings at `gen` and supersede any earlier generation of
+    * the same doc ids. `buckets` must match the table's bucket spec
+    * (Spark rejects a mismatched append).
+    */
+  def addDocuments(spark: SparkSession, tableName: String,
+                   docs: DataFrame, gen: Long, buckets: Int = 8): Unit = {
+    postingRows(docs, gen)
+      .write.mode("append")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+    docs.select(col("doc_id"), lit(gen - 1L).as("del_gen"))
+      .write.mode("append").saveAsTable(deleteLogTable(tableName))
+  }
+
+  /** remove_document (src/sparse.rs:110): append tombstones killing
+    * every posting of the given ids up to and including `gen`. */
+  def removeDocuments(spark: SparkSession, tableName: String,
+                      docIds: Seq[Long], gen: Long): Unit = {
+    import spark.implicits._
+    docIds.toDF("doc_id").select(col("doc_id"), lit(gen).as("del_gen"))
+      .write.mode("append").saveAsTable(deleteLogTable(tableName))
+  }
+
+  /** Live view of a maintained posting table: postings minus
+    * superseded/deleted generations. One broadcast of the per-doc max
+    * tombstone — the posting side is scanned in place (bucketed, no
+    * shuffle).
+    */
+  def livePostings(spark: SparkSession, tableName: String): DataFrame = {
+    val posting = spark.table(tableName)
+    val dels = spark.table(deleteLogTable(tableName))
+    // broadcast ANTI join (no log-side aggregation): a posting row dies
+    // if ANY tombstone for its doc covers its generation. The whole
+    // live view adds zero shuffle Exchanges over the bare table scan —
+    // asserted in ExtensionsSpec.
+    posting.join(broadcast(dels),
+      posting("doc_id") === dels("doc_id") && posting("gen") <= dels("del_gen"),
+      "left_anti")
+  }
+
+  /** Fold the delete log into the posting table: rewrite live rows as
+    * a fresh bucketed table and clear the log. Run periodically after
+    * incremental maintenance has grown the log / bucket file count
+    * (advanced_storage.rs maintenance; same contract as
+    * sources/Ingest.compact for the document store).
+    */
+  def compactPostingTable(spark: SparkSession, tableName: String,
+                          buckets: Int = 8): Unit = {
+    val tmp = tableName + "_compacting"
+    livePostings(spark, tableName)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tableName")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
+    emptyDeleteLog(spark).write.mode("overwrite").saveAsTable(deleteLogTable(tableName))
+  }
 
   /** BM25 over a pre-built bucketed posting table (same scores as
-    * [[search]]; the scan side is the materialized index).
+    * [[search]]; the scan side is the materialized index, read through
+    * the [[livePostings]] view so incremental adds/removes are visible
+    * without a rebuild).
     */
   def searchFromTable(spark: SparkSession, tableName: String,
                       query: String = DefaultQuery, k: Int = 20): DataFrame = {
     val terms = tokenizeQuery(query)
-    val posting = spark.table(tableName)
+    val posting = livePostings(spark, tableName)
     val lens = posting.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val tf = posting

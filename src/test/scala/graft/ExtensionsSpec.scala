@@ -117,6 +117,57 @@ class ExtensionsSpec extends GraftSuite {
     assert(spark.read.parquet(compactDir).count() == n0)
   }
 
+  test("incremental posting maintenance: upsert/delete visible, probe shuffle-free, compaction folds the log") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    Bm25.buildPostingTable(spark, sf, "posting_inc")
+    try {
+      val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      val newId = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) + 1L
+      // upsert: replace doc 1's text, add a brand-new doc; delete doc 2
+      val batch = Seq(
+        (1L, "spark spark vector window stream join"),
+        (newId, "stream window join vector spark")).toDF("doc_id", "text")
+      Bm25.addDocuments(spark, "posting_inc", batch, gen = 1L)
+      Bm25.removeDocuments(spark, "posting_inc", Seq(2L), gen = 1L)
+
+      // scores from the maintained index == direct BM25 over the
+      // equivalently patched corpus — no rebuild happened
+      def topk(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      val patched = docs.filter(!col("doc_id").isin(1L, 2L)).unionByName(batch)
+      val expected = topk(Bm25.searchDocs(spark, patched))
+      assert(topk(Bm25.searchFromTable(spark, "posting_inc")) == expected)
+
+      // probe side after maintenance: the live view adds only a
+      // BroadcastExchange for the tombstone log — zero shuffles over
+      // the bucketed scan
+      val livePlan = Bm25.livePostings(spark, "posting_inc")
+        .filter(col("term").isin("spark", "vector"))
+        .groupBy(col("term")).count()
+        .queryExecution.executedPlan.toString
+      assert(!livePlan.contains("Exchange hashpartitioning"),
+        s"maintained probe gained a shuffle:\n$livePlan")
+
+      // compaction folds the log: same results, physically-removed dead
+      // rows, empty log, bucket spec intact (still shuffle-free agg)
+      val liveRows = Bm25.livePostings(spark, "posting_inc").count()
+      Bm25.compactPostingTable(spark, "posting_inc")
+      assert(topk(Bm25.searchFromTable(spark, "posting_inc")) == expected)
+      assert(spark.table("posting_inc").count() == liveRows)
+      assert(spark.table(Bm25.deleteLogTable("posting_inc")).isEmpty)
+      val compactPlan = spark.table("posting_inc")
+        .groupBy(col("term")).count()
+        .queryExecution.executedPlan.toString
+      assert(!compactPlan.contains("Exchange"),
+        s"bucket spec lost in compaction:\n$compactPlan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS posting_inc")
+      spark.sql("DROP TABLE IF EXISTS posting_inc_dels")
+      spark.sql("DROP TABLE IF EXISTS posting_inc_compacting")
+    }
+  }
+
   test("ingest dedups by content hash and partitions by lang") {
     val out = java.nio.file.Files.createTempDirectory("graft_store").toString
     Ingest.ingestDocuments(spark, sf, out)
