@@ -101,40 +101,61 @@ object Filtering {
   case object IsNull extends CmpOp; case object IsNotNull extends CmpOp
 
   /** Compile a FilterExpr tree to one Catalyst predicate Column. */
-  def compile(f: FilterExpr): Column = f match {
-    case Cmp(field, op, v) => cmp(col(field), op, v)
-    case AndF(os)          => os.map(compile).reduce(_ && _)
-    case OrF(os)           => os.map(compile).reduce(_ || _)
-    case NotF(o)           => !compile(o)
+  def compile(f: FilterExpr): Column = compileBound(f, col)
+
+  /** [[compile]] with field names resolved through `bind` — lets a
+    * caller substitute a derived expression for a field (see
+    * [[compileShared]]).
+    */
+  def compileBound(f: FilterExpr, bind: String => Column): Column = f match {
+    case Cmp(field, op, v) => cmp(bind(field), op, v)
+    case AndF(os)          => os.map(compileBound(_, bind)).reduce(_ && _)
+    case OrF(os)           => os.map(compileBound(_, bind)).reduce(_ || _)
+    case NotF(o)           => !compileBound(o, bind)
     case JsonCmp(field, path, op, v) =>
-      cmp(get_json_object(col(field), s"$$.$path"), op, v)
+      cmp(get_json_object(bind(field), s"$$.$path"), op, v)
     case GeoWithin(latF, lonF, lat, lon, r) =>
-      haversineKm(col(latF), col(lonF), lit(lat), lit(lon)) <= r
+      haversineKm(bind(latF), bind(lonF), lit(lat), lit(lon)) <= r
     case GeoBBox(latF, lonF, minLat, minLon, maxLat, maxLon) =>
-      col(latF).between(minLat, maxLat) && col(lonF).between(minLon, maxLon)
-    case ArrayHas(field, v) => array_contains(col(field), lit(v))
+      bind(latF).between(minLat, maxLat) && bind(lonF).between(minLon, maxLon)
+    case ArrayHas(field, v) => array_contains(bind(field), lit(v))
     case TextContains(field, needle, cs) =>
-      if (cs) col(field).contains(needle)
-      else lower(col(field)).contains(needle.toLowerCase)
+      if (cs) bind(field).contains(needle)
+      else lower(bind(field)).contains(needle.toLowerCase)
     case FuzzyContains(field, needle, d) =>
-      exists(graft.functions.TextFunctions.tokens(col(field)),
+      exists(graft.functions.TextFunctions.tokens(bind(field)),
         t => levenshtein(t, lit(needle)) <= d)
     case ArrayLen(field, path, op, v) =>
-      cmp(json_array_length(get_json_object(col(field), s"$$.$path")), op, v)
+      cmp(json_array_length(get_json_object(bind(field), s"$$.$path")), op, v)
     case ObjectHasKey(field, path, key) =>
-      array_contains(json_object_keys(get_json_object(col(field), s"$$.$path")), key)
+      array_contains(json_object_keys(get_json_object(bind(field), s"$$.$path")), key)
     case ObjectHasValue(field, path, v) =>
       // parse the object as map<string,string> (scalars read as their
       // literal token text) and probe the values — Spark's
       // get_json_object needs a foldable path, so per-key probing is
       // expressed via from_json instead
       array_contains(
-        map_values(from_json(get_json_object(col(field), s"$$.$path"),
+        map_values(from_json(get_json_object(bind(field), s"$$.$path"),
           "map<string,string>", Map.empty[String, String])), v)
     case NestedContains(field, path, needle) =>
-      get_json_object(col(field), s"$$.$path").contains(needle)
-    case GeoPoly(latF, lonF, vs, _) => pointInPolygon(col(latF), col(lonF), vs)
+      get_json_object(bind(field), s"$$.$path").contains(needle)
+    case GeoPoly(latF, lonF, vs, _) => pointInPolygon(bind(latF), bind(lonF), vs)
   }
+
+  /** Compile with `field` bound to the expression `value`, factored as
+    * a Catalyst `With` common expression: however many arms probe the
+    * field, the expression is evaluated ONCE per row. Without this,
+    * predicate pushdown through the defining Project inlines the
+    * expression into every arm — for a derived JSON column probed by
+    * N JSON operators that means N string constructions and parses
+    * per row instead of one.
+    */
+  def compileShared(f: FilterExpr, field: String, value: Column,
+                    dataType: org.apache.spark.sql.types.DataType =
+                      org.apache.spark.sql.types.StringType): Column =
+    graft.functions.expressions.SharedExpr.shared(Seq(value -> dataType)) {
+      case Seq(v) => compileBound(f, n => if (n == field) v else col(n))
+    }
 
   /** Ray-casting point-in-polygon: count edges whose (lat-horizontal)
     * ray crossing lies to the right of the point; odd = inside. Pure
@@ -414,14 +435,17 @@ object Filtering {
       when(col("k") % 2 === 0, lit("even")).otherwise(lit("odd")), lit("\""),
       when(col("k") % 5 === 0, lit(", \"extra\": \"1\"")).otherwise(lit("")),
       lit("}"))
+    val j = concat(lit("{\"tags\": "), tags, lit(", \"meta\": "), meta, lit("}"))
     Tables.events(spark, dir)
       .withColumn("k", k)
-      .withColumn("j", concat(lit("{\"tags\": "), tags, lit(", \"meta\": "), meta, lit("}")))
-      .filter(compile(AndF(Seq(
+      // factor j as a shared common expression: the four JSON arms
+      // below probe ONE per-row construction+parse instead of four
+      // (filter pushdown would otherwise inline j into every arm)
+      .filter(compileShared(AndF(Seq(
         ArrayLen("j", "tags", Eq, 2),
         ObjectHasValue("j", "meta", "even"),
         NotF(ObjectHasKey("j", "meta", "extra")),
-        NestedContains("j", "meta.status", "ev")))))
+        NestedContains("j", "meta.status", "ev"))), "j", j))
       .select(col("event_id"), col("k"))
       .orderBy(col("event_id"))
   }

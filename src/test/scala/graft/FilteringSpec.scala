@@ -96,6 +96,16 @@ class FilteringSpec extends GraftSuite {
     }
   }
 
+  test("compileShared factors the probed JSON column once across all arms") {
+    val opt = Filtering.filterNestedOps(spark, sf).queryExecution.optimizedPlan.toString
+    // the derived JSON doc must survive as a single factored common
+    // expression (not be re-inlined into each of the 4 arms by filter
+    // pushdown): its construction literal appears exactly once
+    assert(opt.contains("_common_expr"), s"With factoring dissolved:\n$opt")
+    val constructions = "\\Q{\"tags\": \\E".r.findAllIn(opt).size
+    assert(constructions == 1, s"expected 1 shared construction, got $constructions:\n$opt")
+  }
+
   test("point-in-polygon: ray casting agrees with a reference check") {
     import Filtering._
     val poly = DemoPolygon
