@@ -25,7 +25,10 @@ object Bench {
     // minimum. Failed queries are reported as -1 plus an `errors` map
     // entry instead of masquerading as fast successes.
     val errors = scala.collection.mutable.Map[String, String]()
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated subset for local iteration; absent = all
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(q => s(q._1)))
+    def pass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column (count() would let
       // Catalyst prune expensive final projections and under-report)

@@ -1,9 +1,10 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass document fingerprint sketch (winnowing-style, reference
@@ -218,6 +219,167 @@ object ShingleHashes {
     var k = 0
     while (it.hasNext) { out(k) = Tok.hash60(it.next()) % mod; k += 1 }
     new GenericArrayData(out)
+  }
+}
+
+/** MinHash signature over a shingle-hash array in one pass: sig_j =
+  * min over the array of ((h * (2j+1)) + (7919j + 12345)) mod `mod` —
+  * the exact permutation family of the relational formulation
+  * (Dedup.minhash 32 min-aggregates) and its DuckDB oracle, NULL for
+  * an empty array (parity with a groupBy over zero posting rows).
+  * Replaces the 32-aggregate keyed shuffle over the exploded posting
+  * with a zero-shuffle map over the per-doc sketch (reference
+  * semantics: grape-vector-db near-dup surface, src/lib.rs content
+  * identity).
+  */
+case class MinHashSig(child: Expression, numHashes: Int, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData], numHashes, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = ctx.freshName("mhs")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |org.apache.spark.sql.catalyst.util.GenericArrayData $v =
+         |  graft.functions.expressions.MinHashSig.compute($c, $numHashes, ${mod}L);
+         |if ($v == null) { ${ev.isNull} = true; } else { ${ev.value} = $v; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  def compute(arr: ArrayData, numHashes: Int, mod: Long): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * (2 * j + 1) + (7919L * j + 12345L)) % mod
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}
+
+/** Join-multiplicity overlap of two long arrays: for every value v,
+  * count_left(v) * count_right(v), summed — exactly the row count of
+  * the relational posting self-join `p1 JOIN p2 ON p1.h = p2.h` the
+  * Jaccard verify stage used to compute, so hash-collision
+  * multiplicities stay oracle-identical. Two sorted merges instead of
+  * two shuffled joins + a groupBy.
+  */
+case class PairOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PairOverlap.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expressions.PairOverlap.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PairOverlap {
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    java.util.Arrays.sort(x)
+    java.util.Arrays.sort(y)
+    var i = 0; var j = 0; var out = 0L
+    while (i < x.length && j < y.length) {
+      val xv = x(i); val yv = y(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        var ri = i; while (ri < x.length && x(ri) == xv) ri += 1
+        var rj = j; while (rj < y.length && y(rj) == yv) rj += 1
+        out += (ri - i).toLong * (rj - j).toLong
+        i = ri; j = rj
+      }
+    }
+    out
+  }
+}
+
+/** Per-document sparse TF vector in one pass (reference
+  * src/sparse.rs:333 document_to_sparse_vector + :288 tokenize):
+  * tokenize, count term frequencies, emit one (term_id, weight)
+  * struct per distinct term with term_id = 60-bit md5 hash and
+  * weight = round(tf / total_tokens, 6 dp fixed-point) — identical
+  * arithmetic to `OracleNum.fx(tf/total, 6)` on the relational path.
+  * Structs are sorted by (term_id, weight). Empty/token-less docs
+  * return an empty array (explode emits no rows — parity with the
+  * groupBy-over-nothing relational form). Replaces an explode +
+  * groupBy(doc,term) shuffle + per-doc window with a zero-shuffle map.
+  */
+case class TermFreqs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term_id", LongType, nullable = false),
+      StructField("weight", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TermFreqs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TermFreqs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermFreqs {
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = Tok.tokens(text.toString)
+    val total = toks.size
+    if (total == 0) return new GenericArrayData(Array.empty[Any])
+    val tf = new java.util.LinkedHashMap[String, Int]()
+    var i = 0
+    while (i < total) {
+      tf.merge(toks.get(i), 1, (a: Int, b: Int) => a + b)
+      i += 1
+    }
+    val rows = new Array[InternalRow](tf.size)
+    val it = tf.entrySet().iterator()
+    var k = 0
+    val totalD = total.toDouble
+    while (it.hasNext) {
+      val e = it.next()
+      val w = math.floor((e.getValue.toDouble / totalD) * 1000000L + 0.5).toLong
+      rows(k) = InternalRow(Tok.hash60(e.getKey), w)
+      k += 1
+    }
+    java.util.Arrays.sort(rows, new java.util.Comparator[InternalRow] {
+      override def compare(r1: InternalRow, r2: InternalRow): Int = {
+        val c = java.lang.Long.compare(r1.getLong(0), r2.getLong(0))
+        if (c != 0) c else java.lang.Long.compare(r1.getLong(1), r2.getLong(1))
+      }
+    })
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
   }
 }
 

@@ -276,14 +276,15 @@ object Bm25 {
     * any cluster.
     */
   def sparseVectors(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    tf.withColumn("total", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
-      .select(col("doc_id"), hash60(col("term")).as("term_id"),
-        fx(col("tf").cast("double") / col("total").cast("double"), 6).as("weight"))
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // one-pass native sketch (tokenize → tf map → (term_id, weight)
+    // structs, zero shuffle) — same values as the relational
+    // explode + groupBy(doc,term) + per-doc-window formulation, which
+    // paid two keyed shuffles; the only remaining sort is oracle-only
+    val tfs = column(graft.functions.expressions.TermFreqs(expression(col("text"))))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tfs).as("e"))
+      .select(col("doc_id"), col("e.term_id").as("term_id"), col("e.weight").as("weight"))
       .orderBy(col("doc_id"), col("term_id"))
   }
 

@@ -202,69 +202,75 @@ object Dedup {
 
   // ---- minhash + LSH ----
 
-  /** Exploded posting table of hashed distinct shingles: one
-    * (doc_id, h) row per shingle, computed by the native one-pass
+  /** Per-document hashed-shingle sketch: one row per doc with the
+    * distinct shingle-hash array, computed by the native one-pass
     * [[graft.functions.expressions.ShingleHashes]] expression
     * (tokenize → distinct space-joined 3-grams → md5-hash each
-    * exactly once, all inside one map). All downstream dedup joins
-    * are int-only — no string or array column ever enters a shuffle,
-    * and shingle construction itself costs zero shuffles (the earlier
-    * relational lead-window formulation paid a window shuffle plus a
-    * distinct shuffle over one row per token).
+    * exactly once, all inside one map). Signatures, posting rows,
+    * sizes and the Jaccard verify all derive from this ONE cached
+    * doc-level frame (~1 row / ~2.4 KB per doc — three orders of
+    * magnitude fewer rows than the exploded posting it replaces), so
+    * no string column ever enters a shuffle and the sketch itself
+    * costs zero shuffles.
     */
-  private def shinglePosting(spark: SparkSession, dir: String): DataFrame = {
+  private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val hashes = column(graft.functions.expressions.ShingleHashes(
       expression(col("text")), 3, P))
     Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(hashes).as("h"))
-      // the posting feeds 4+ plan branches (sigs/df/verify/sizes);
+      .select(col("doc_id"), hashes.as("sh"))
+      // the sketch feeds 3+ plan branches (sigs/candidates/verify);
       // Spark has no subtree reuse across different shuffle keys, so
       // without this the tokenize+md5 pipeline runs once per branch.
-      // ~16 bytes/row: at 100 TB input this is ~1% of corpus size and
-      // would spill to disk, still beating 4 full recomputes.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
-  /** Exact Jaccard for candidate (id1, id2) pairs from the hashed
-    * posting table: |A∩B| via a co-grouped join on (shingle hash),
-    * sizes via per-doc counts. Pure relational — linear shuffles,
-    * quadratic work only inside candidate buckets.
-    */
-  private def verifyJaccard(cand: DataFrame, posting: DataFrame): DataFrame = {
-    val sizes = posting.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cand
-      .join(posting.select(col("doc_id").as("id1"), col("h")), "id1")
-      .join(posting.select(col("doc_id").as("id2"), col("h")), Seq("id2", "h"))
-      .groupBy(col("id1"), col("id2"))
-      .agg(count(lit(1)).cast("double").as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), "id1")
-      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), "id2")
-      .select(col("id1"), col("id2"),
-        fx(col("inter") / (col("sz1") + col("sz2") - col("inter")).cast("double")).as("jaccard"))
+  private def pairOverlap(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.expressions.PairOverlap(expression(a), expression(b)))
   }
 
-  /** MinHash+LSH near-duplicate pairs: 32 permutation minima are
-    * 32 min-aggregates over the posting table (one shuffle keyed by
-    * doc, map-side partials); docs sharing any of 8 four-row band
-    * keys are candidates; candidates are verified with exact shingle
-    * Jaccard >= threshold. Permutation j is
+  /** Exact Jaccard for candidate (id1, id2) pairs against the
+    * doc-level sketch frame: each side joins its shingle array in by
+    * doc id, |A∩B| is a native sorted-merge count with join
+    * multiplicity ([[graft.functions.expressions.PairOverlap]] — row
+    * counts identical to the posting-self-join formulation, so
+    * hash-collision cases stay oracle-exact), |A|/|B| are array
+    * sizes. Two keyed joins instead of the posting formulation's two
+    * joins + groupBy + two size joins; quadratic work only ever runs
+    * inside candidate buckets.
+    */
+  private def verifyJaccard(cand: DataFrame, docs: DataFrame): DataFrame =
+    cand
+      .join(docs.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", pairOverlap(col("sh1"), col("sh2")).cast("double"))
+      .select(col("id1"), col("id2"),
+        fx(col("inter") / (size(col("sh1")).cast("long") + size(col("sh2")).cast("long")
+          - col("inter")).cast("double")).as("jaccard"))
+
+  /** MinHash+LSH near-duplicate pairs: 32 permutation minima come
+    * from the native one-pass [[graft.functions.expressions.MinHashSig]]
+    * map over the cached shingle sketch (zero shuffle — the earlier
+    * formulation paid a 32-aggregate keyed shuffle over the exploded
+    * posting); docs sharing any of 8 four-row band keys are
+    * candidates; candidates are verified with exact shingle Jaccard
+    * >= threshold. Permutation j is
     * h_j(x) = ((2j+1) * x + 7919j + 12345) mod (2^31-1) — products
     * stay far below 2^63 in both engines.
     */
   def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val posting = shinglePosting(spark, dir)
-    val sigs = posting.groupBy(col("doc_id")).agg(
-      min((col("h") * (2 * 0 + 1) + (7919 * 0 + 12345)) % P).as("s0"),
-      (1 until NumHashes).map { j =>
-        min((col("h") * (2 * j + 1) + (7919 * j + 12345)) % P).as(s"s$j")
-      }: _*)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = shingleDocs(spark, dir)
+    val sigs = docs.select(col("doc_id"),
+      column(graft.functions.expressions.MinHashSig(
+        expression(col("sh")), NumHashes, P)).as("sig"))
+      .filter(col("sig").isNotNull)
     val bands = sigs.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
-            col(s"s${b * BandRows + r}")): _*)).as("band_key"))
+            col("sig").getItem(b * BandRows + r)): _*)).as("band_key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
     val bounded = boundBuckets(bands, col("band"), col("band_key"))
@@ -273,7 +279,7 @@ object Dedup {
         Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
-    verifyJaccard(cand, posting)
+    verifyJaccard(cand, docs)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
   }
@@ -504,12 +510,16 @@ object Dedup {
 
   def ngramJaccard(spark: SparkSession, dir: String,
                    dfCap: Int = 20, threshold: Double = 0.3): DataFrame = {
-    val posting = shinglePosting(spark, dir)
-    val rare = posting.groupBy(col("h"))
-      .agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleDocs(spark, dir)
+    val posting = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    // df rides a window over the SAME h-partitioning the candidate
+    // self-join shuffles on (one keyed exchange total), instead of a
+    // separate groupBy(h) aggregate joined back in
+    val rarePosting = posting
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap && col("df") >= 2)
-      .select(col("h"))
-    val rarePosting = posting.join(rare, "h")
+      .select(col("h"), col("doc_id"))
     val cand = rarePosting.select(col("h"), col("doc_id").as("id1"))
       .join(rarePosting.select(col("h"), col("doc_id").as("id2")), "h")
       .filter(col("id1") < col("id2"))
@@ -517,7 +527,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_common"))
       .filter(col("n_common") >= NgramMinCommon)
       .select(col("id1"), col("id2"))
-    verifyJaccard(cand, posting)
+    verifyJaccard(cand, docs)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
   }

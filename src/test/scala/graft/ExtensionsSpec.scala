@@ -75,8 +75,27 @@ class ExtensionsSpec extends GraftSuite {
     assert(plan.contains("GreaterThan(doc_id,199)"), s"seek not pushed:\n$plan")
   }
 
+  /** Drop tables from the catalog AND delete their warehouse
+    * locations — a killed previous JVM leaves orphan directories the
+    * in-memory catalog no longer knows, which fail the next CTAS with
+    * LOCATION_ALREADY_EXISTS.
+    */
+  private def dropHard(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), n)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   test("bucketed posting table serves BM25 with no exchange on the term aggregate") {
     import graft.operators.Bm25
+    dropHard("posting_bucketed", "posting_bucketed_dels")
     Bm25.buildPostingTable(spark, sf, "posting_bucketed")
     try {
       // identical scores from the materialized index
@@ -90,7 +109,7 @@ class ExtensionsSpec extends GraftSuite {
         .groupBy(col("term")).count()
         .queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"expected bucket-pruned agg plan:\n$plan")
-    } finally spark.sql("DROP TABLE IF EXISTS posting_bucketed")
+    } finally dropHard("posting_bucketed", "posting_bucketed_dels")
   }
 
   test("upsert keeps incoming rows over stored rows; compact bounds files per lang") {
@@ -120,6 +139,7 @@ class ExtensionsSpec extends GraftSuite {
   test("incremental posting maintenance: upsert/delete visible, probe shuffle-free, compaction folds the log") {
     import graft.operators.Bm25
     import spark.implicits._
+    dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting")
     Bm25.buildPostingTable(spark, sf, "posting_inc")
     try {
       val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
@@ -161,11 +181,7 @@ class ExtensionsSpec extends GraftSuite {
         .queryExecution.executedPlan.toString
       assert(!compactPlan.contains("Exchange"),
         s"bucket spec lost in compaction:\n$compactPlan")
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS posting_inc")
-      spark.sql("DROP TABLE IF EXISTS posting_inc_dels")
-      spark.sql("DROP TABLE IF EXISTS posting_inc_compacting")
-    }
+    } finally dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting")
   }
 
   test("ingest dedups by content hash and partitions by lang") {

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.expressions.{ByteFeatures, GramFingerprint, SimHashWords, Tok}
+import graft.functions.expressions.{ByteFeatures, GramFingerprint, MinHashSig, PairOverlap, ShingleHashes, SimHashWords, TermFreqs, Tok}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,6 +83,52 @@ class NativeExpressionPropertySpec extends GraftSuite {
       val want = new Array[Long](8)
       bytes.zipWithIndex.foreach { case (b, i) => want(i % 8) += (b & 0xffL) }
       assert(got.toSeq == want.toSeq, s"features mismatch for '$s'")
+    }
+  }
+
+  test("MinHashSig matches the naive per-permutation minimum") {
+    val P = graft.operators.Dedup.P
+    samples.foreach { s =>
+      val sh = ShingleHashes.compute(UTF8String.fromString(s), 3, P).toLongArray()
+      val got = Option(MinHashSig.compute(new GenericArrayData(sh), 32, P))
+        .map(_.toLongArray())
+      if (sh.isEmpty) assert(got.isEmpty, s"expected null for '$s'")
+      else {
+        val want = (0 until 32).map { j =>
+          sh.map(h => (h * (2 * j + 1) + (7919L * j + 12345L)) % P).min
+        }
+        assert(got.get.toSeq == want, s"minhash sig mismatch for '$s'")
+      }
+    }
+  }
+
+  test("PairOverlap matches the join-multiplicity count") {
+    (0 until 200).foreach { _ =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(12).toLong)
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(12).toLong)
+      val got = PairOverlap.compute(new GenericArrayData(a), new GenericArrayData(b))
+      val want = (for (x <- a; y <- b if x == y) yield 1L).sum
+      assert(got == want, s"overlap mismatch for ${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
+  test("TermFreqs matches the relational tf/total fixed-point weights") {
+    samples.foreach { s =>
+      val got = TermFreqs.compute(UTF8String.fromString(s))
+      val l = Tok.tokens(s)
+      val toks = (0 until l.size).map(l.get)
+      if (toks.isEmpty) assert(got.numElements() == 0, s"expected empty for '$s'")
+      else {
+        val want = toks.groupBy(identity).map { case (t, g) =>
+          (Tok.hash60(t),
+            math.floor((g.size.toDouble / toks.size.toDouble) * 1000000L + 0.5).toLong)
+        }.toSeq.sorted
+        val rows = (0 until got.numElements()).map { i =>
+          val r = got.getStruct(i, 2); (r.getLong(0), r.getLong(1))
+        }
+        assert(rows == want, s"term freqs mismatch for '$s'")
+        assert(rows.map(_._2).sum >= 999999 || rows.isEmpty) // weights ≈ sum to 1
+      }
     }
   }
 
