@@ -157,6 +157,63 @@ object TextAnalysis {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Sliding-window chunk geometry: [[ChunkSize]]-token windows every
+    * [[ChunkStride]] tokens (overlap = ChunkSize - ChunkStride), the
+    * standard pre-embedding segmentation of an LLM training/RAG
+    * pipeline.
+    */
+  val ChunkSize = 64
+  val ChunkOverlap = 16
+  val ChunkStride: Int = ChunkSize - ChunkOverlap
+
+  /** Sliding-window text chunking: one row per (doc, window) with the
+    * window's text and geometry. Chunk i covers whitespace tokens
+    * [i*stride+1, i*stride+ChunkSize]; a doc of n <= ChunkSize tokens
+    * is one chunk; otherwise the last window starts at the smallest
+    * multiple of stride covering token n. Map + Generate only — zero
+    * shuffles at any corpus size (the trailing sort is oracle-only);
+    * the chunk stream is what a downstream embed/index stage consumes
+    * (reference ingestion surface: lib.rs add_document → embed;
+    * chunking happens upstream of the reference, so this operator is
+    * the Spark-side feeder for it).
+    */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val nChunks = when(n <= ChunkSize, lit(1L))
+      .otherwise(ceil((n - lit(ChunkSize)).cast("double") / ChunkStride) + 1L)
+    val start = col("chunk_ix") * ChunkStride + 1
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"), n.as("n"), nChunks.as("m"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("m") - 1L)).as("chunk_ix"))
+      .select(col("doc_id"), col("chunk_ix"),
+        start.cast("long").as("start_tok"),
+        least(lit(ChunkSize), col("n") - start + 1).cast("long").as("n_chunk_toks"),
+        array_join(slice(col("toks"), start, lit(ChunkSize)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  }
+
+  val textChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, toks, n,
+       |    CASE WHEN n <= $ChunkSize THEN 1
+       |         ELSE CAST(CEIL((n - $ChunkSize) / $ChunkStride.0) AS BIGINT) + 1 END AS m
+       |  FROM t
+       |), w AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, m)) AS chunk_ix FROM c
+       |)
+       |SELECT doc_id, chunk_ix,
+       |  (chunk_ix * $ChunkStride + 1)::BIGINT AS start_tok,
+       |  least($ChunkSize, n - (chunk_ix * $ChunkStride + 1) + 1)::BIGINT AS n_chunk_toks,
+       |  array_to_string(list_slice(toks, chunk_ix * $ChunkStride + 1,
+       |    chunk_ix * $ChunkStride + $ChunkSize), ' ') AS chunk_text
+       |FROM w
+       |ORDER BY doc_id, chunk_ix""".stripMargin
+
   /** Document fingerprint from rolling 8-char grams (winnowing-style):
     * the minimal gram hash plus the distinct gram count form a
     * compact sketch; identical prefixes/bodies collide on min_hash.

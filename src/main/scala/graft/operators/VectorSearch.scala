@@ -181,7 +181,7 @@ object VectorSearch {
     * them. Output ordering matches row_number over
     * (score DESC, vec_id ASC).
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.topK
     scored
       .groupBy(col("query_id"))

@@ -1,0 +1,178 @@
+package graft.sources
+
+import graft.Tables
+import graft.OracleNum.fx
+import graft.functions.VectorFunctions.{cosineSimilarity, l2DistanceSq, toDouble}
+import graft.operators.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index layouts (reference grape-vector-db
+  * src/query.rs:282 save_index / :338 load_index / :257 rebuild_index,
+  * src/lib.rs:560 rebuild_index). The reference serializes its HNSW/IVF
+  * graph to disk and mmaps it back; the Spark-first index is a
+  * PARTITIONED PARQUET LAYOUT — the "index" is the directory structure
+  * plus precomputed routing columns, and "loading" it is just reading
+  * the layout, so it needs no driver-resident state at any corpus
+  * size.
+  *
+  * - LSH: corpus written `partitionBy(bucket)` with the 2^8 hyperplane
+  *   signature precomputed. A probe joins on `bucket` against the tiny
+  *   broadcast query relation, and Spark's dynamic partition pruning
+  *   turns that join into a file-level prune: only probed bucket
+  *   directories are read — at 100 TB a radius-1 probe touches
+  *   9/256 ≈ 3.5% of the files, and the signature scan cost (8 dot
+  *   products per vector per query) is paid once at build time instead
+  *   of per query.
+  * - IVF: corpus written `partitionBy(cell)` keyed by the fine
+  *   centroid assignment (same two-level strided centroids as
+  *   [[VectorSearch.annIvf]]), with the fine-centroid relation saved
+  *   alongside. A query resolves its nprobe cells from the centroid
+  *   table (KBs), then the cell equi-join dynamic-prunes the corpus
+  *   scan to nprobe directories — the classic IVF serving contract
+  *   (read nprobe/nlist of the data) expressed purely as layout.
+  *
+  * Results are bit-identical to the scan-side twins
+  * ([[VectorSearch.annLsh]] / [[VectorSearch.annIvf]]) — asserted in
+  * VectorIndexSpec along with the pruning plans — so the driver
+  * entries `ann_lsh_indexed` / `ann_ivf_indexed` reuse the same DuckDB
+  * oracles.
+  *
+  * Partition-column values are written as INTs (Spark's partition-type
+  * inference reads small integral dir names back as int): bucket is
+  * 0..255 by construction; the IVF cell id is a centroid vec_id, which
+  * a 100 TB build would remap to a dense 0..nlist-1 int at index-build
+  * time anyway.
+  */
+object VectorIndex {
+
+  /** Build (or rebuild, mode=overwrite) the LSH-partitioned layout. */
+  def buildLshIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val planes = VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes)
+    Tables.embeddings(spark, dir)
+      .withColumn("bucket",
+        VectorSearch.lshBucket(toDouble(col("embedding")), planes).cast("int"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+  }
+
+  /** Multi-probe LSH ANN served from the persisted layout: identical
+    * results to [[VectorSearch.annLsh]], but the corpus side reads the
+    * prebuilt bucket directories (signature precomputed at build time)
+    * and the bucket equi-join dynamic-partition-prunes the scan to the
+    * probed buckets.
+    */
+  def annLshFromIndex(spark: SparkSession, path: String,
+                      nQueries: Int = 8, k: Int = 5,
+                      radius: Int = VectorSearch.LshProbeRadius): DataFrame = {
+    val masks = VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius)
+      .map(_.toInt)
+    val corpus = spark.read.parquet(path)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("bucket"))
+    val queries = corpus
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+        explode(lit(masks)).as("mask"), col("bucket"))
+      .select(col("query_id"), col("qv"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    val scored = corpus
+      .join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+    VectorSearch.rankTopK(scored, k)
+  }
+
+  /** Build (or rebuild) the IVF cell-partitioned layout: corpus rows
+    * routed to their fine cell (two-level strided centroids, identical
+    * assignment to [[VectorSearch.annIvf]]) and written
+    * `partitionBy(cell)`; the fine-centroid relation (cid, cemb, ccid)
+    * is saved alongside as `<path>_centroids`.
+    */
+  def buildIvfIndex(spark: SparkSession, dir: String, path: String,
+                    stride: Int = VectorSearch.IvfStride): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def nearestCentroid(emb: org.apache.spark.sql.Column,
+                        cents: org.apache.spark.sql.Column) =
+      column(graft.functions.expressions.NearestCentroid(
+        expression(emb), expression(cents)))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("emb"))
+    val coarseArr = corpus
+      .filter(col("vec_id") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
+    val fine = corpus.filter(col("vec_id") % stride === 0)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        nearestCentroid(col("emb"), col("carr")).as("ccid"))
+    fine.write.mode("overwrite").parquet(path + "_centroids")
+    val fineByCoarse = fine.groupBy(col("ccid"))
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+    corpus.crossJoin(broadcast(coarseArr))
+      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
+      .join(broadcast(fineByCoarse), Seq("ccid"))
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroid(col("emb"), col("fcents")).cast("int").as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** IVF ANN served from the persisted layout: identical results to
+    * [[VectorSearch.annIvf]]. The query resolves its probe cells from
+    * the saved centroid relation (KB-scale reads), then the cell
+    * equi-join dynamic-prunes the corpus scan to the nprobe cell
+    * directories — no assignment recompute, no full scan.
+    */
+  def annIvfFromIndex(spark: SparkSession, path: String, qid: Long = 0,
+                      stride: Int = VectorSearch.IvfStride,
+                      nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
+    val fine = spark.read.parquet(path + "_centroids")
+    val corpus = spark.read.parquet(path)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("cell"))
+    val qv = corpus.filter(col("vec_id") === qid).select(col("emb").as("qv"))
+    // IvfProbeCoarse nearest coarse cells, then the nprobe nearest
+    // fine cells inside them — same selection as annIvf, driven from
+    // the saved centroid relation instead of a rebuilt one (coarse
+    // membership is the stride arithmetic, not cid == ccid, which a
+    // duplicate-embedding centroid could break on the argmin tie)
+    val coarse = fine.filter(col("cid") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
+      .select(col("cid").as("pccid"), col("cemb").as("coarse_emb"))
+    val qcoarse = coarse.crossJoin(broadcast(qv))
+      .select(col("pccid"), l2DistanceSq(col("coarse_emb"), col("qv")).as("dist"), col("qv"))
+      .orderBy(col("dist"), col("pccid"))
+      .limit(VectorSearch.IvfProbeCoarse)
+    val probeCells = fine.join(broadcast(qcoarse), col("ccid") === col("pccid"))
+      .select(col("cid"), l2DistanceSq(col("cemb"), col("qv")).as("dist"), col("qv"))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").cast("int").as("cell"), col("qv"))
+    corpus.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic per-SF index location (content is a pure function
+    * of the table directory, so a prebuilt layout is reusable across
+    * sessions — the load_index path).
+    */
+  def indexPath(dir: String, kind: String): String =
+    System.getProperty("java.io.tmpdir") + "/graft_vindex_" + kind + "_" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    new java.io.File(path, "_SUCCESS").exists()
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annLshIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = indexPath(dir, "lsh")
+    if (!exists(spark, path)) buildLshIndex(spark, dir, path)
+    annLshFromIndex(spark, path)
+  }
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val path = indexPath(dir, "ivf")
+    if (!exists(spark, path)) buildIvfIndex(spark, dir, path)
+    annIvfFromIndex(spark, path)
+  }
+}

@@ -93,4 +93,30 @@ object EventStreams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming ingest → incremental BM25 index maintenance: each
+    * micro-batch of (doc_id, text) rows appends its postings to the
+    * bucketed posting table at generation baseGen + batchId via
+    * [[graft.operators.Bm25.addDocuments]] — the streaming form of the
+    * reference's add_document index path (sparse.rs:71: every insert
+    * patches the inverted index immediately). foreachBatch is the
+    * idiomatic sink here because a bucketed saveAsTable append is a
+    * batch-transactional side effect Structured Streaming cannot
+    * express as a direct streaming write; batchId-derived generations
+    * make the sink idempotent-per-batch (a replayed batch rewrites the
+    * same generation's supersede rule) and keep the single-writer
+    * monotonic-generation contract. Probe-side plans on the maintained
+    * table stay Exchange-free (see Bm25.livePostings) — the stream
+    * never forces an index rebuild.
+    */
+  def indexStream(docs: DataFrame, tableName: String,
+                  baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.operators.Bm25.addDocuments(
+          batch.sparkSession, tableName,
+          batch.select(col("doc_id"), col("text")), gen = baseGen + batchId)
+      }
+      .start()
 }

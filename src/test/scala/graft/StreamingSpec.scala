@@ -61,6 +61,60 @@ class StreamingSpec extends GraftSuite {
     assert(hashes.size == batchDistinct)
   }
 
+  test("streamed documents become searchable through incremental index maintenance") {
+    import graft.operators.Bm25
+    // fresh maintained posting table (hard-drop orphan locations a
+    // killed JVM may have left)
+    Seq("posting_stream", "posting_stream_dels").foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    Bm25.buildPostingTable(spark, sf, "posting_stream")
+    try {
+      val maxId = Tables.documents(spark, sf)
+        .agg(max(col("doc_id"))).head.getLong(0)
+      // stage two new docs as a file stream: one matching the default
+      // query strongly, one unrelated
+      val stageDir = java.nio.file.Files.createTempDirectory("docs_index_stream")
+      import spark.implicits._
+      // corpus-unique terms: df=1 → max idf, so the streamed doc must
+      // be the TOP hit for them once its postings land
+      Seq(
+        (maxId + 1, "zanzibar quokka archipelago zanzibar quokka"),
+        (maxId + 2, "completely unrelated content about gardening tulips"))
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(stageDir.toString)
+      val stream = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(stageDir.toString)
+      val q = EventStreams.indexStream(stream, "posting_stream")
+      q.processAllAvailable()
+      q.stop()
+      // the streamed doc must now surface in BM25 served from the
+      // maintained table
+      val hits = Bm25.searchFromTable(spark, "posting_stream",
+          query = "zanzibar quokka")
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+      assert(hits.headOption.contains(maxId + 1), s"streamed doc not indexed: $hits")
+      assert(!hits.contains(maxId + 2))
+      // and the maintained table still probes without a shuffle (the
+      // tombstone broadcast is the only exchange kind allowed)
+      val plan = Bm25.livePostings(spark, "posting_stream")
+        .filter(col("term") === "spark")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"probe gained a shuffle:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS posting_stream")
+      spark.sql("DROP TABLE IF EXISTS posting_stream_dels")
+    }
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     val events = Tables.events(spark, sf).as[EventStreams.Event]

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.VectorSearch
+import graft.sources.VectorIndex
+
+/** The persisted ANN layouts (save_index / load_index / rebuild_index
+  * re-expression) must serve bit-identical results to their scan-side
+  * twins, and their probe plans must dynamic-partition-prune the
+  * corpus scan — the property that makes the layout an index at
+  * 100 TB (only probed bucket/cell directories are read).
+  */
+class VectorIndexSpec extends GraftSuite {
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.toString + "/idx"
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("LSH index serves the exact annLsh results with a partition-pruned scan") {
+    val path = tmpDir("graft_lsh_idx")
+    VectorIndex.buildLshIndex(spark, sf, path)
+    val served = VectorIndex.annLshFromIndex(spark, path)
+    assert(rows(served) == rows(VectorSearch.annLsh(spark, sf)))
+    // the bucket equi-join must reach the scan as a dynamic partition
+    // pruning filter (file-level prune to the probed buckets)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP on bucket join:\n$plan")
+    // the layout is partitioned by bucket
+    val parts = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.matches("bucket=\\d+")))
+  }
+
+  test("IVF index serves the exact annIvf results with a partition-pruned scan") {
+    val path = tmpDir("graft_ivf_idx")
+    VectorIndex.buildIvfIndex(spark, sf, path)
+    val served = VectorIndex.annIvfFromIndex(spark, path)
+    assert(rows(served) == rows(VectorSearch.annIvf(spark, sf)))
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP on cell join:\n$plan")
+  }
+
+  test("rebuild overwrites the layout in place (rebuild_index contract)") {
+    val path = tmpDir("graft_lsh_rebuild")
+    VectorIndex.buildLshIndex(spark, sf, path)
+    val first = rows(VectorIndex.annLshFromIndex(spark, path))
+    VectorIndex.buildLshIndex(spark, sf, path) // rebuild over existing
+    assert(rows(VectorIndex.annLshFromIndex(spark, path)) == first)
+  }
+}
