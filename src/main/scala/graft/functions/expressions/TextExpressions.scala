@@ -322,6 +322,56 @@ object PairOverlap {
   }
 }
 
+/** Per-document query-term frequency counter: given the token array
+  * and the query's term list, one linear scan yields
+  * [dl, tf_0, ..., tf_{k-1}] (dl = token count, tf_j = occurrences of
+  * terms(j)). Feeds the single-aggregate BM25 formulation: corpus
+  * stats (n_docs, avgdl, per-term df) become ONE shuffle-free
+  * aggregate over these sketches and scoring is a map — replacing the
+  * explode + two groupBys + broadcast-join pipeline (reference
+  * sparse.rs search_bm25 semantics unchanged).
+  */
+case class TokenTfs(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TokenTfs.compute(input.asInstanceOf[ArrayData], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TokenTfs.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenTfs {
+  def compute(arr: ArrayData, terms: Array[UTF8String]): GenericArrayData = {
+    val out = new Array[Long](terms.length + 1)
+    val n = arr.numElements()
+    out(0) = n
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j).equals(t)) { out(j + 1) += 1; j = terms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document sparse TF vector in one pass (reference
   * src/sparse.rs:333 document_to_sparse_vector + :288 tokenize):
   * tokenize, count term frequencies, emit one (term_id, weight)

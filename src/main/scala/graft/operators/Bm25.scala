@@ -42,9 +42,24 @@ object Bm25 {
              query: String = DefaultQuery, k: Int = 20): DataFrame =
     searchDocs(spark, Tables.documents(spark, dir), query, k)
 
-  /** [[search]] over an arbitrary `(doc_id, text, ...)` corpus frame. */
+  /** [[search]] over an arbitrary `(doc_id, text, ...)` corpus frame.
+    *
+    * Single-aggregate formulation: each doc maps to its
+    * [dl, tf_0..tf_{k-1}] sketch (native
+    * [[graft.functions.expressions.TokenTfs]], one array scan); corpus
+    * stats (n_docs, avgdl, per-term df) are ONE shuffle-free scalar
+    * aggregate over those sketches; scoring is a map over the same
+    * sketches with the stats broadcast, ranked by
+    * TakeOrderedAndProject. Two cache passes + one broadcast total —
+    * the earlier explode + groupBy(doc,term) + groupBy(term) +
+    * two-broadcast-join pipeline paid three keyed shuffles for the
+    * same numbers (identical IEEE arithmetic per term; a zero tf
+    * contributes exactly 0.0 to the sum, mirroring the absent join
+    * row).
+    */
   def searchDocs(spark: SparkSession, docs: DataFrame,
                  query: String = DefaultQuery, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val terms = tokenizeQuery(query)
     // tokenization is the scan-side cost shared by every sparse query
     // (bm25 + all five fusion strategies run it per branch); persist
@@ -54,26 +69,24 @@ object Bm25 {
     val toks = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val lens = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val stats = lens.agg(
-      count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    val tf = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val df = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val score = idf * (col("tf") * lit(K1 + 1.0)) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl") / col("avgdl"))))
-    tf.join(broadcast(df), "term")
+    val counts = toks.select(col("doc_id"),
+      column(graft.functions.expressions.TokenTfs(
+        expression(col("toks")), terms)).as("c"))
+    val dl = col("c").getItem(0)
+    val aggExprs = count(lit(1)).as("n_docs") +: avg(dl).as("avgdl") +:
+      terms.indices.map(j =>
+        sum((col("c").getItem(j + 1) > 0).cast("long")).cast("double").as(s"df$j"))
+    val stats = counts.agg(aggExprs.head, aggExprs.tail: _*)
+    val termScores = terms.indices.map { j =>
+      val tf = col("c").getItem(j + 1).cast("double")
+      val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl / col("avgdl"))))
+    }
+    counts
+      .filter(terms.indices.map(j => col("c").getItem(j + 1)).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), score.as("term_score"))
-      .groupBy(col("doc_id"))
-      .agg(fx(sum(col("term_score")), 6).as("score"))
+      .select(col("doc_id"), fx(termScores.reduce(_ + _), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

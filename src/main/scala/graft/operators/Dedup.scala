@@ -546,6 +546,82 @@ object Dedup {
        |),
        |${verifySqlTail((threshold * 1e4).toLong)}""".stripMargin
 
+  // ---- near-dup clusters (connected components) ----
+
+  /** Connected components over an undirected (id1, id2) pair relation
+    * by iterative min-label propagation: every node adopts the
+    * smallest label among itself and its neighbors until fixpoint.
+    * Each round is one join + one aggregate (both keyed shuffles);
+    * rounds needed = component diameter, and near-dup components are
+    * shallow (dup clusters are clique-ish), so the loop converges in
+    * a handful of distributed rounds at any corpus size — the same
+    * shape GraphX/GraphFrames use for CC. The driver only checks the
+    * per-round convergence count, never the data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // shuffle_hash hints: neither side is broadcastable at scale and
+      // a sort adds nothing to an equi-probe — keeps the whole-surface
+      // no-SortMergeJoin invariant (PlanHygieneSpec)
+      val propagated = labels
+        .join(edges.hint("shuffle_hash"), col("node") === col("a"))
+        .select(col("b").as("node"), col("label"))
+        .unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = propagated
+        .join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = propagated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate clusters from the verified minhash pairs: each
+    * doc in any near-dup pair maps to its component's minimal id —
+    * the keep/drop decision a dedup pipeline actually executes
+    * (reference near-dup surface src/lib.rs content identity;
+    * pair-to-cluster resolution is the step after [[minhash]]).
+    */
+  def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhash(spark, dir, threshold).select(col("id1"), col("id2")))
+      .select(col("node").as("doc_id"), col("label").as("keep_id"),
+        (col("node") =!= col("label")).as("is_dup"))
+      .orderBy(col("doc_id"))
+
+  def clustersSql(threshold: Double = 0.5): String =
+    s"""WITH pairs0 AS (
+       |  ${minhashSql(threshold).replace("\n", "\n  ")}
+       |), edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs0
+       |  UNION SELECT id2, id1 FROM pairs0
+       |), reach AS (
+       |  WITH RECURSIVE r(node, root) AS (
+       |    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |    UNION
+       |    SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
+       |  ) SELECT * FROM r
+       |)
+       |SELECT node AS doc_id, MIN(root) AS keep_id,
+       |  (node <> MIN(root)) AS is_dup
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+
   // ---- embedding cosine near-dup ----
 
   /** Number of extra hyperplanes salting over-cap embedding buckets:

@@ -70,4 +70,33 @@ class DedupSpec extends GraftSuite {
     val scores = rows.map(_.getAs[Long]("cosine")).toSeq
     assert(scores == scores.sortBy(-_))
   }
+
+  test("connected components resolve chains, cliques and disjoint pairs") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, disjoint pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters mark every paired doc with its component minimum") {
+    val pairs = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val rows = Dedup.clusters(spark, sf).collect()
+    val label = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    // every doc in a pair is labeled, both ends share a label, and the
+    // label is the component's minimal member
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      assert(label(a) <= math.min(a, b))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Long]("doc_id") != r.getAs[Long]("keep_id")))
+    }
+    assert(rows.map(_.getAs[Long]("keep_id")).toSet.subsetOf(label.keySet))
+  }
 }
