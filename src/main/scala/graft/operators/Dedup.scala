@@ -559,31 +559,41 @@ object Dedup {
     * per-round convergence count, never the data.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val fwd = pairs.select(col("id1").as("a"), col("id2").as("b"))
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("node")).distinct()
+      .persist(lvl)
+    // One propagation round. Every node keeps a self row carrying its
+    // incoming label as `own` (neighbor rows carry a MaxValue
+    // sentinel), so min(own) rides the SAME aggregate as min(label)
+    // and the convergence test needs no extra join against the
+    // previous labels. shuffle_hash hint: neither side is
+    // broadcastable at scale and a sort adds nothing to an equi-probe
+    // (keeps the whole-surface no-SortMergeJoin invariant).
+    def step(l: DataFrame): DataFrame = l
+      .join(edges.hint("shuffle_hash"), col("node") === col("a"))
+      .select(col("b").as("node"), col("label"), lit(Long.MaxValue).as("own"))
+      .unionByName(l.select(col("node"), col("label"), col("label").as("own")))
+      .groupBy(col("node"))
+      .agg(min(col("label")).as("label"), min(col("own")).as("old"))
+    var cached = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
+    var labels = cached
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // shuffle_hash hints: neither side is broadcastable at scale and
-      // a sort adds nothing to an equi-probe — keeps the whole-surface
-      // no-SortMergeJoin invariant (PlanHygieneSpec)
-      val propagated = labels
-        .join(edges.hint("shuffle_hash"), col("node") === col("a"))
-        .select(col("b").as("node"), col("label"))
-        .unionByName(labels)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = propagated
-        .join(labels.withColumnRenamed("label", "old").hint("shuffle_hash"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = propagated
+      // two lazy rounds per materialized convergence check: the check
+      // compares round 2 against round 1, and step(x) == x is exactly
+      // the fixpoint condition, so stopping here is stopping at
+      // convergence — with half the driver actions of check-per-round
+      val mid = step(labels).select(col("node"), col("label"))
+      val next = step(mid).persist(lvl)
+      val changed = next.filter(col("label") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }
