@@ -81,12 +81,23 @@ object Dedup {
                           payload: Seq[String],
                           hotExplode: DataFrame => DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val kc = keys.map(col)
     val skc = kc :+ col("salt")
+    // persist the two window-counted frames: six pair-branch sides
+    // consume them (small x2, subSmall x2, subBig x2) and Spark plans
+    // each side as an independent subtree — without the cache the
+    // whole upstream sketch pipeline (scan + fingerprint map + keyed
+    // exchange + window) executes once PER SIDE (observed 6x in the
+    // physical plan). Both frames are bucket-keyed and tiny relative
+    // to the corpus; the plans are parameter-free so the CacheManager
+    // holds one entry per operator, not one per query.
     val counted = df.withColumn("_bn", count(lit(1)).over(Window.partitionBy(kc: _*)))
+      .persist(lvl)
     val small = counted.filter(col("_bn") >= 2 && col("_bn") <= MaxBucket).drop("_bn")
     val hot = hotExplode(counted.filter(col("_bn") > MaxBucket).drop("_bn"))
       .withColumn("_sn", count(lit(1)).over(Window.partitionBy(skc: _*)))
+      .persist(lvl)
     val subSmall = hot.filter(col("_sn") >= 2 && col("_sn") <= MaxBucket).drop("_sn")
     val subBig = hot.filter(col("_sn") > MaxBucket).drop("_sn")
       .withColumn("_rep", min(col(idCol)).over(Window.partitionBy(skc: _*)))
