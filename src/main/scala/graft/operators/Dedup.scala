@@ -526,11 +526,14 @@ object Dedup {
     val posting = docs.select(col("doc_id"), explode(col("sh")).as("h"))
     // df rides a window over the SAME h-partitioning the candidate
     // self-join shuffles on (one keyed exchange total), instead of a
-    // separate groupBy(h) aggregate joined back in
+    // separate groupBy(h) aggregate joined back in; persisted because
+    // both self-join sides consume it as independent subtrees (same
+    // 6x-replan pathology as saltedPairs, here 2x)
     val rarePosting = posting
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
       .filter(col("df") <= dfCap && col("df") >= 2)
       .select(col("h"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = rarePosting.select(col("h"), col("doc_id").as("id1"))
       .join(rarePosting.select(col("h"), col("doc_id").as("id2")), "h")
       .filter(col("id1") < col("id2"))
