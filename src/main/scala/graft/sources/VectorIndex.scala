@@ -43,6 +43,13 @@ import org.apache.spark.sql.functions._
   * 0..255 by construction; the IVF cell id is a centroid vec_id, which
   * a 100 TB build would remap to a dense 0..nlist-1 int at index-build
   * time anyway.
+  *
+  * At demo scale the layout is slower than the scan-side twin: a few
+  * thousand vectors fan out into hundreds of tiny per-bucket files, so
+  * file listing costs more than the prune saves. The layout targets
+  * corpora where each bucket directory holds many full row-groups —
+  * there the probe reads probed-fraction × corpus bytes while the
+  * scan-side twin always reads (and re-signs) everything.
   */
 object VectorIndex {
 
