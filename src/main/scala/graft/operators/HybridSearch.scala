@@ -428,6 +428,58 @@ object HybridSearch {
        |LIMIT $limit""".stripMargin
   }
 
+  /** One recorded query observation (reference types.rs:307
+    * QueryMetrics; record_query_metrics hybrid.rs:916 appends these to
+    * a bounded in-memory history — the Spark-first history is an
+    * append-only table, unbounded because storage is distributed).
+    */
+  final case class QueryMetric(query_id: String, query_text: String,
+                               ts: Long, duration_ms: Double,
+                               result_count: Long, n_clicked: Long,
+                               satisfaction: Option[Double],
+                               fusion_strategy: String)
+
+  /** Per-strategy fusion performance stats (reference types.rs:288
+    * FusionPerformanceStats / hybrid.rs:938 get_performance_stats):
+    * avg + exact P95 latency, click-through rate (share of queries
+    * with at least one clicked result), average satisfaction over
+    * rated queries, total query count. One groupBy over the metrics
+    * table — map-side partials, a single keyed shuffle at any history
+    * size (`percentile` is Spark's exact implementation; swap for
+    * `percentile_approx` when the history outgrows per-group memory).
+    */
+  def fusionPerformanceStats(metrics: DataFrame): DataFrame =
+    metrics.groupBy(col("fusion_strategy"))
+      .agg(
+        fx(avg(col("duration_ms")), 3).as("avg_query_time_ms"),
+        fx(expr("percentile(duration_ms, 0.95)"), 3).as("p95_query_time_ms"),
+        fx(avg((col("n_clicked") > 0).cast("double")), 4).as("click_through_rate"),
+        fx(avg(col("satisfaction")), 4).as("avg_satisfaction"),
+        count(lit(1)).as("total_queries"))
+      .orderBy(col("fusion_strategy"))
+
+  /** Cache-hit-rate heuristic over the query history (hybrid.rs:942
+    * calculate_cache_hit_rate: queries under 10 ms are assumed cache
+    * hits). Scalar aggregate — one row out at any history size.
+    */
+  def cacheHitRate(metrics: DataFrame, thresholdMs: Double = 10.0): DataFrame =
+    metrics.agg(
+      coalesce(fx(avg((col("duration_ms") < thresholdMs).cast("double")), 4), lit(0L))
+        .as("cache_hit_rate"))
+
+  /** Adaptive fusion fed from the recorded metrics table — closes the
+    * reference's learning loop (record_query_metrics →
+    * adapt_weights_from_history): the history argument of
+    * [[adaptive]] is exactly the (query_text, satisfaction)
+    * projection of the metrics log.
+    */
+  def adaptiveFromMetrics(spark: SparkSession, dir: String, metrics: DataFrame,
+                          qid: Long = 0, query: String = Bm25.DefaultQuery,
+                          limit: Int = 20): DataFrame =
+    adaptive(spark, dir,
+      metrics.select(col("query_text"), col("satisfaction")),
+      qid, query, limit)
+
   /** Search-response assembly with snippet extraction (reference
     * src/hybrid.rs:339-349 search_documents result shaping + :674-700
     * extract_snippet): RRF-fused hits join back to the document store

@@ -132,6 +132,22 @@ class NativeExpressionPropertySpec extends GraftSuite {
     }
   }
 
+  test("TokenTfs counts query terms like a naive scan, dl first") {
+    import graft.functions.expressions.TokenTfs
+    val queryTerms = Seq("spark", "vector", "no1such2term")
+    val termArr = queryTerms.map(UTF8String.fromString).toArray
+    samples.foreach { s =>
+      val l = Tok.tokens(s)
+      val toks = (0 until l.size).map(l.get)
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val got = TokenTfs.compute(arr, termArr).toLongArray()
+      assert(got(0) == toks.size.toLong, s"dl mismatch for '$s'")
+      queryTerms.zipWithIndex.foreach { case (t, j) =>
+        assert(got(j + 1) == toks.count(_ == t).toLong, s"tf($t) mismatch for '$s'")
+      }
+    }
+  }
+
   test("hash60 matches Spark's md5-conv formulation on random tokens") {
     import spark.implicits._
     val toks = samples.flatMap(s => {

@@ -76,4 +76,39 @@ class RetrievalSpec extends GraftSuite {
     assert(ad.map(_.getAs[Long]("score")).toSeq !=
            lin.map(_.getAs[Long]("score")).toSeq)
   }
+
+  test("fusion performance stats aggregate the recorded query metrics") {
+    import spark.implicits._
+    import HybridSearch.QueryMetric
+    val metrics = Seq(
+      QueryMetric("q1", "spark vector", 1L, 5.0, 20, 2, Some(4.0), "rrf"),
+      QueryMetric("q2", "spark join", 2L, 15.0, 20, 0, Some(2.0), "rrf"),
+      QueryMetric("q3", "stream window", 3L, 25.0, 10, 1, None, "rrf"),
+      QueryMetric("q4", "vector stream", 4L, 40.0, 20, 0, Some(5.0), "linear"))
+      .toDS().toDF()
+    val stats = HybridSearch.fusionPerformanceStats(metrics).collect()
+      .map(r => r.getAs[String]("fusion_strategy") -> r).toMap
+    val rrf = stats("rrf")
+    assert(rrf.getAs[Long]("total_queries") == 3)
+    assert(rrf.getAs[Long]("avg_query_time_ms") == 15000)   // 15.0 ms @ 3dp
+    assert(rrf.getAs[Long]("p95_query_time_ms") == 24000)   // exact percentile(0.95)
+    assert(rrf.getAs[Long]("click_through_rate") == 6667)   // 2/3 @ 4dp
+    assert(rrf.getAs[Long]("avg_satisfaction") == 30000)    // (4+2)/2 @ 4dp
+    assert(stats("linear").getAs[Long]("total_queries") == 1)
+    // cache-hit heuristic: 1 of 4 under 10ms
+    val hit = HybridSearch.cacheHitRate(metrics).head.getAs[Long]("cache_hit_rate")
+    assert(hit == 2500)
+    // empty history degrades to 0, not null (reference returns 0.0)
+    val none = HybridSearch.cacheHitRate(
+      metrics.filter(org.apache.spark.sql.functions.col("duration_ms") < 0))
+      .head.getAs[Long]("cache_hit_rate")
+    assert(none == 0L)
+    // the metrics log feeds the adaptive learning loop directly
+    val viaMetrics = HybridSearch.adaptiveFromMetrics(spark, sf,
+      HybridSearch.DemoHistory.map { case (q, s) =>
+        QueryMetric(q, q, 0L, 20.0, 20, 0, s, "adaptive")
+      }.toDS().toDF()).collect()
+    val direct = HybridSearch.adaptiveDemo(spark, sf).collect()
+    assert(viaMetrics.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
+  }
 }
