@@ -64,6 +64,38 @@ object Ingest {
       .drop("rn", "is_new")
   }
 
+  /** Zero-copy snapshot (reference advanced_storage.rs:266
+    * create_backup / :307 create_checkpoint): record the store's
+    * exact current FILE SET in a manifest instead of copying data —
+    * the time-travel core of Delta/Iceberg reduced to its essence.
+    * O(metadata) regardless of store size; [[readSnapshot]] reads
+    * precisely the manifested files, so later APPENDS never leak into
+    * the snapshot. A rewriting [[compact]] writes a NEW directory, so
+    * snapshots of the old path stay valid until it is vacuumed — the
+    * retain-until-dropped contract backup files have in the
+    * reference.
+    */
+  def snapshot(spark: SparkSession, storePath: String, snapPath: String): Unit = {
+    val files = spark.read.parquet(storePath).inputFiles.sorted
+    val dir = java.nio.file.Paths.get(snapPath)
+    java.nio.file.Files.createDirectories(dir)
+    // line 1 = basePath (restores partition-column inference), then
+    // one data file per line
+    java.nio.file.Files.write(dir.resolve("manifest.txt"),
+      (storePath +: files.toSeq).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Read a store AS OF a [[snapshot]]: exactly the manifested files,
+    * with partition columns re-derived against the recorded basePath.
+    */
+  def readSnapshot(spark: SparkSession, snapPath: String): DataFrame = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(snapPath, "manifest.txt"))
+    val basePath = lines.get(0)
+    val files = (1 until lines.size).map(lines.get)
+    spark.read.option("basePath", basePath).parquet(files: _*)
+  }
+
   /** Store maintenance (reference advanced_storage.rs compaction
     * surface): rewrite a store into `filesPerPartition` files per
     * lang partition, sorted by doc_id within each file so point

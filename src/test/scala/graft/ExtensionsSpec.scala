@@ -184,6 +184,29 @@ class ExtensionsSpec extends GraftSuite {
     } finally dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting")
   }
 
+  test("snapshot isolates a store state from later appends (backup/checkpoint)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val store = java.nio.file.Files.createTempDirectory("graft_snap_store").toString
+    val snap = java.nio.file.Files.createTempDirectory("graft_snap_manifest").toString
+    Ingest.ingestDocuments(spark, sf, store)
+    val before = spark.read.parquet(store).count()
+    Ingest.snapshot(spark, store, snap)
+    // later micro-batch appends new files to the live store
+    spark.read.parquet(store).limit(1)
+      .withColumn("doc_id", lit(900001L))
+      .withColumn("text", lit("zz snapshot isolation test doc"))
+      .withColumn("content_hash", graft.functions.TextFunctions.hash60(col("text")))
+      .write.mode("append").partitionBy("lang").parquet(store)
+    assert(spark.read.parquet(store).count() == before + 1)
+    // the snapshot still reads the exact pre-append file set, with
+    // partition columns intact
+    val snapDf = Ingest.readSnapshot(spark, snap)
+    assert(snapDf.count() == before)
+    assert(snapDf.columns.contains("lang"))
+    assert(snapDf.filter(col("doc_id") === 900001L).isEmpty)
+  }
+
   test("ingest dedups by content hash and partitions by lang") {
     val out = java.nio.file.Files.createTempDirectory("graft_store").toString
     Ingest.ingestDocuments(spark, sf, out)
