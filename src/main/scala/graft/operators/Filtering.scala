@@ -103,6 +103,13 @@ object Filtering {
   /** Compile a FilterExpr tree to one Catalyst predicate Column. */
   def compile(f: FilterExpr): Column = compileBound(f, col)
 
+  /** JSON path for `path` relative to a field: empty path means the
+    * field IS the value (lets arms probe a shared sub-document
+    * directly).
+    */
+  private def jsonPath(path: String): String =
+    if (path.isEmpty) "$" else s"$$.$path"
+
   /** [[compile]] with field names resolved through `bind` — lets a
     * caller substitute a derived expression for a field (see
     * [[compileShared]]).
@@ -113,7 +120,7 @@ object Filtering {
     case OrF(os)           => os.map(compileBound(_, bind)).reduce(_ || _)
     case NotF(o)           => !compileBound(o, bind)
     case JsonCmp(field, path, op, v) =>
-      cmp(get_json_object(bind(field), s"$$.$path"), op, v)
+      cmp(get_json_object(bind(field), jsonPath(path)), op, v)
     case GeoWithin(latF, lonF, lat, lon, r) =>
       haversineKm(bind(latF), bind(lonF), lit(lat), lit(lon)) <= r
     case GeoBBox(latF, lonF, minLat, minLon, maxLat, maxLon) =>
@@ -126,19 +133,19 @@ object Filtering {
       exists(graft.functions.TextFunctions.tokens(bind(field)),
         t => levenshtein(t, lit(needle)) <= d)
     case ArrayLen(field, path, op, v) =>
-      cmp(json_array_length(get_json_object(bind(field), s"$$.$path")), op, v)
+      cmp(json_array_length(get_json_object(bind(field), jsonPath(path))), op, v)
     case ObjectHasKey(field, path, key) =>
-      array_contains(json_object_keys(get_json_object(bind(field), s"$$.$path")), key)
+      array_contains(json_object_keys(get_json_object(bind(field), jsonPath(path))), key)
     case ObjectHasValue(field, path, v) =>
       // parse the object as map<string,string> (scalars read as their
       // literal token text) and probe the values — Spark's
       // get_json_object needs a foldable path, so per-key probing is
       // expressed via from_json instead
       array_contains(
-        map_values(from_json(get_json_object(bind(field), s"$$.$path"),
+        map_values(from_json(get_json_object(bind(field), jsonPath(path)),
           "map<string,string>", Map.empty[String, String])), v)
     case NestedContains(field, path, needle) =>
-      get_json_object(bind(field), s"$$.$path").contains(needle)
+      get_json_object(bind(field), jsonPath(path)).contains(needle)
     case GeoPoly(latF, lonF, vs, _) => pointInPolygon(bind(latF), bind(lonF), vs)
   }
 
@@ -153,8 +160,22 @@ object Filtering {
   def compileShared(f: FilterExpr, field: String, value: Column,
                     dataType: org.apache.spark.sql.types.DataType =
                       org.apache.spark.sql.types.StringType): Column =
-    graft.functions.expressions.SharedExpr.shared(Seq(value -> dataType)) {
-      case Seq(v) => compileBound(f, n => if (n == field) v else col(n))
+    compileSharedFields(f, Seq((field, value, dataType)))
+
+  /** [[compileShared]] over several bound fields: each value column is
+    * factored as its own once-per-row common expression. A binding may
+    * derive from another binding's UNDERLYING column (not its ref) —
+    * e.g. bind both a constructed JSON document and an extracted
+    * sub-document, so arms probing the sub-document skip re-parsing
+    * the full document per arm.
+    */
+  def compileSharedFields(f: FilterExpr,
+                          fields: Seq[(String, Column,
+                            org.apache.spark.sql.types.DataType)]): Column =
+    graft.functions.expressions.SharedExpr.shared(
+      fields.map(x => x._2 -> x._3)) { refs =>
+      val bound = fields.map(_._1).zip(refs).toMap
+      compileBound(f, n => bound.getOrElse(n, col(n)))
     }
 
   /** Ray-casting point-in-polygon: count edges whose (lat-horizontal)
@@ -439,8 +460,12 @@ object Filtering {
     Tables.events(spark, dir)
       .withColumn("k", k)
       // factor j as a shared common expression: the four JSON arms
-      // below probe ONE per-row construction+parse instead of four
-      // (filter pushdown would otherwise inline j into every arm)
+      // below probe ONE per-row construction instead of four (filter
+      // pushdown would otherwise inline j into every arm). Binding the
+      // $.meta sub-document as a SECOND common is a measured
+      // anti-optimization here: commons cannot reference each other,
+      // so the meta common rebuilds j per row and the "$"-path probes
+      // still re-parse — one shared j is the optimum for this shape.
       .filter(compileShared(AndF(Seq(
         ArrayLen("j", "tags", Eq, 2),
         ObjectHasValue("j", "meta", "even"),
