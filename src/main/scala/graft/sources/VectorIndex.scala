@@ -160,11 +160,21 @@ object VectorIndex {
 
   /** Deterministic per-SF index location (content is a pure function
     * of the table directory, so a prebuilt layout is reusable across
-    * sessions — the load_index path).
+    * sessions — the load_index path). The path embeds a stamp of the
+    * source table's file sizes/mtimes: if the table is REGENERATED in
+    * place, the stamp changes and build-if-missing rebuilds instead of
+    * serving a stale layout.
     */
-  def indexPath(dir: String, kind: String): String =
+  def indexPath(dir: String, kind: String): String = {
+    def stat(f: java.io.File): (Long, Long) =
+      if (f.isDirectory) {
+        val cs = f.listFiles().map(stat)
+        (cs.map(_._1).sum, (0L +: cs.map(_._2)).max)
+      } else (f.length, f.lastModified)
+    val (sz, mt) = stat(new java.io.File(dir, "embeddings.parquet"))
     System.getProperty("java.io.tmpdir") + "/graft_vindex_" + kind + "_" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + sz + "_" + mt
+  }
 
   private def exists(spark: SparkSession, path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
