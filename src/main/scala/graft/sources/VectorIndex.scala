@@ -59,6 +59,11 @@ object VectorIndex {
     Tables.embeddings(spark, dir)
       .withColumn("bucket",
         VectorSearch.lshBucket(toDouble(col("embedding")), planes).cast("int"))
+      // co-locate each bucket before the partitioned write: one file
+      // per bucket directory instead of one per (shuffle partition x
+      // bucket) — at scale use repartition(n, col) so a hot bucket
+      // still splits across tasks
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
   }
 
@@ -119,6 +124,7 @@ object VectorIndex {
       .join(broadcast(fineByCoarse), Seq("ccid"))
       .select(col("vec_id"), col("embedding"),
         nearestCentroid(col("emb"), col("fcents")).cast("int").as("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
