@@ -60,11 +60,19 @@ object Bench {
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-2 (warm); pass-mean in queries_mean","queries":${obj(mins)},"queries_mean":${obj(means)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}"""
     // detail path is env-overridable so a different launch cwd can't
     // silently strand the file; failures warn on stderr (stdout must
-    // stay the single parseable JSON line)
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_PATH", "BENCH_DETAIL.json")
-    try Files.writeString(Paths.get(detailPath), detail)
-    catch { case e: Throwable =>
-      System.err.println(s"BENCH_DETAIL write failed at $detailPath: ${e.getMessage}") }
+    // stay the single parseable JSON line). A SPARK_GRAFT_QUERIES
+    // subset run must NOT clobber the repo's full-run detail file with
+    // a partial total that reads like a full run — subset details only
+    // go where an explicit path sends them.
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
+      .orElse(if (only.isEmpty) Some("BENCH_DETAIL.json") else None)
+    val detailJson = if (only.isEmpty) detail
+      else detail.replaceFirst("\\{", s"""{"subset":${only.get.size},""")
+    detailPath.foreach { p =>
+      try Files.writeString(Paths.get(p), detailJson)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH_DETAIL write failed at $p: ${e.getMessage}") }
+    }
     val errFlag = if (errors.isEmpty) "" else s""","errors":${obj(errors.toMap)}"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${obj(mins)}$errFlag,"sf":"$sfDir"}""")
     spark.stop()

@@ -61,6 +61,12 @@ object Bm25 {
                  query: String = DefaultQuery, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val terms = tokenizeQuery(query)
+    // a stopword-only / too-short query has no searchable terms: the
+    // sparse branch degrades to empty (the pre-sketch formulation's
+    // isin() over zero terms did the same) instead of building an
+    // empty-reduce plan
+    if (terms.isEmpty)
+      return docs.select(col("doc_id"), lit(0L).as("score")).filter(lit(false))
     // tokenization is the scan-side cost shared by every sparse query
     // (bm25 + all five fusion strategies run it per branch); persist
     // lets Spark's cache manager serve all of them from one pass.
@@ -176,13 +182,19 @@ object Bm25 {
     */
   def addDocuments(spark: SparkSession, tableName: String,
                    docs: DataFrame, gen: Long, buckets: Int = 8): Unit = {
+    // tombstones FIRST: each append job is atomic but the pair is not,
+    // and a crash between them must leave a retry-safe state. Dels
+    // before postings → a retry re-appends dels (duplicate tombstone
+    // rows are a no-op for the livePostings anti-join) and then lands
+    // the postings once; postings-first would let a crash strand a
+    // generation whose superseded predecessors are never killed.
+    docs.select(col("doc_id"), lit(gen - 1L).as("del_gen"))
+      .write.mode("append").saveAsTable(deleteLogTable(tableName))
     postingRows(docs, gen)
       .write.mode("append")
       .bucketBy(buckets, "term")
       .sortBy("term")
       .saveAsTable(tableName)
-    docs.select(col("doc_id"), lit(gen - 1L).as("del_gen"))
-      .write.mode("append").saveAsTable(deleteLogTable(tableName))
   }
 
   /** remove_document (src/sparse.rs:110): append tombstones killing
@@ -220,14 +232,21 @@ object Bm25 {
   def compactPostingTable(spark: SparkSession, tableName: String,
                           buckets: Int = 8): Unit = {
     val tmp = tableName + "_compacting"
+    val retired = tableName + "_retired"
     livePostings(spark, tableName)
       .write.mode("overwrite")
       .bucketBy(buckets, "term")
       .sortBy("term")
       .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE $tableName")
+    // swap via renames, dropping data only at the very end: the old
+    // DROP-then-RENAME order deleted the live table's data first, so a
+    // crash in between lost the index outright. Here any crash leaves
+    // every row present under tableName, _compacting or _retired —
+    // recovery is a metadata rename, never a rebuild.
+    spark.sql(s"ALTER TABLE $tableName RENAME TO $retired")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $tableName")
     emptyDeleteLog(spark).write.mode("overwrite").saveAsTable(deleteLogTable(tableName))
+    spark.sql(s"DROP TABLE $retired")
   }
 
   /** BM25 over a pre-built bucketed posting table (same scores as

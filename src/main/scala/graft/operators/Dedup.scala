@@ -611,6 +611,14 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
+    // partially-propagated labels are silently WRONG (one component
+    // reported as several) — refuse to return them; maxIters bounds
+    // 2*maxIters propagation rounds = component diameter, so only a
+    // pathological chain-shaped graph can get here
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within ${2 * maxIters} rounds; " +
+          "raise maxIters for graphs with component diameter beyond that")
     edges.unpersist()
     labels
   }

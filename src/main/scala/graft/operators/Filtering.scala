@@ -168,6 +168,14 @@ object Filtering {
     * e.g. bind both a constructed JSON document and an extracted
     * sub-document, so arms probing the sub-document skip re-parsing
     * the full document per arm.
+    *
+    * PUSHDOWN CAVEAT: the whole compiled predicate rides one `With`
+    * whose defs are nondeterministic-marked (the NoInline barrier), so
+    * Catalyst will not split the conjunction or push ANY arm to the
+    * scan — including plain-column arms that would otherwise prune
+    * row groups. Compile scan-pushable arms separately with
+    * [[compile]] and AND the two Columns; reserve the shared path for
+    * the arms that actually probe the derived field.
     */
   def compileSharedFields(f: FilterExpr,
                           fields: Seq[(String, Column,

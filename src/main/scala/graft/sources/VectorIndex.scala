@@ -185,17 +185,44 @@ object VectorIndex {
   private def exists(spark: SparkSession, path: String): Boolean =
     new java.io.File(path, "_SUCCESS").exists()
 
+  /** Build-if-missing with concurrent-builder safety: build into a
+    * process-unique staging path, then atomically rename into place
+    * (same-filesystem /tmp rename). If another JVM won the race the
+    * rename target already exists — discard the staging copy and
+    * serve the winner's layout; a reader can never observe a
+    * half-written or mid-overwrite directory.
+    */
+  private def buildIfMissing(path: String, suffixes: Seq[String])
+                            (build: String => Unit): Unit = {
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val staging = path + ".stage-" + java.util.UUID.randomUUID.toString.take(8)
+      build(staging)
+      def rm(f: java.io.File): Unit = if (f.exists()) {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      // rename auxiliary dirs first, the probed main dir last: readers
+      // gate on the main _SUCCESS, so auxiliaries are already in place
+      // when the layout becomes visible
+      suffixes.foreach { s =>
+        val tgt = new java.io.File(path + s)
+        if (!new java.io.File(staging + s).renameTo(tgt))
+          rm(new java.io.File(staging + s)) // lost the race: discard
+      }
+    }
+  }
+
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annLshIndexed(spark: SparkSession, dir: String): DataFrame = {
     val path = indexPath(dir, "lsh")
-    if (!exists(spark, path)) buildLshIndex(spark, dir, path)
+    buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
     annLshFromIndex(spark, path)
   }
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
     val path = indexPath(dir, "ivf")
-    if (!exists(spark, path)) buildIvfIndex(spark, dir, path)
+    buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
     annIvfFromIndex(spark, path)
   }
 }

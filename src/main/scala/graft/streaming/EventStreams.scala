@@ -103,20 +103,28 @@ object EventStreams {
     * idiomatic sink here because a bucketed saveAsTable append is a
     * batch-transactional side effect Structured Streaming cannot
     * express as a direct streaming write; batchId-derived generations
-    * make the sink idempotent-per-batch (a replayed batch rewrites the
-    * same generation's supersede rule) and keep the single-writer
-    * monotonic-generation contract. Probe-side plans on the maintained
-    * table stay Exchange-free (see Bm25.livePostings) — the stream
-    * never forces an index rebuild.
+    * make the sink idempotent under foreachBatch's at-least-once
+    * replay: an append job either commits fully or not at all (the
+    * file-output commit protocol is job-atomic), so a replayed batch
+    * is detected by its generation already being present and skipped —
+    * effectively-once maintenance with the single-writer
+    * monotonic-generation contract intact. Probe-side plans on the
+    * maintained table stay Exchange-free (see Bm25.livePostings) — the
+    * stream never forces an index rebuild.
     */
   def indexStream(docs: DataFrame, tableName: String,
                   baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        graft.operators.Bm25.addDocuments(
-          batch.sparkSession, tableName,
-          batch.select(col("doc_id"), col("text")), gen = baseGen + batchId)
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        val replayed = !spark.table(tableName)
+          .filter(col("gen") === gen).isEmpty
+        if (!replayed)
+          graft.operators.Bm25.addDocuments(
+            spark, tableName,
+            batch.select(col("doc_id"), col("text")), gen = gen)
       }
       .start()
 }

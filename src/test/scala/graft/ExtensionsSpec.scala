@@ -75,24 +75,6 @@ class ExtensionsSpec extends GraftSuite {
     assert(plan.contains("GreaterThan(doc_id,199)"), s"seek not pushed:\n$plan")
   }
 
-  /** Drop tables from the catalog AND delete their warehouse
-    * locations — a killed previous JVM leaves orphan directories the
-    * in-memory catalog no longer knows, which fail the next CTAS with
-    * LOCATION_ALREADY_EXISTS.
-    */
-  private def dropHard(names: String*): Unit = names.foreach { n =>
-    spark.sql(s"DROP TABLE IF EXISTS $n")
-    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"), n)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(loc)
-    }
-  }
-
   test("bucketed posting table serves BM25 with no exchange on the term aggregate") {
     import graft.operators.Bm25
     dropHard("posting_bucketed", "posting_bucketed_dels")
@@ -139,7 +121,7 @@ class ExtensionsSpec extends GraftSuite {
   test("incremental posting maintenance: upsert/delete visible, probe shuffle-free, compaction folds the log") {
     import graft.operators.Bm25
     import spark.implicits._
-    dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting")
+    dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting", "posting_inc_retired")
     Bm25.buildPostingTable(spark, sf, "posting_inc")
     try {
       val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
@@ -181,7 +163,7 @@ class ExtensionsSpec extends GraftSuite {
         .queryExecution.executedPlan.toString
       assert(!compactPlan.contains("Exchange"),
         s"bucket spec lost in compaction:\n$compactPlan")
-    } finally dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting")
+    } finally dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting", "posting_inc_retired")
   }
 
   test("snapshot isolates a store state from later appends (backup/checkpoint)") {

@@ -9,6 +9,15 @@ class RetrievalSpec extends GraftSuite {
     assert(Bm25.tokenizeQuery("x y") == Seq())
   }
 
+  test("bm25 degrades to empty for a stopword-only query (no searchable terms)") {
+    val rows = Bm25.search(spark, sf, "a the of to", 10)
+    assert(rows.columns.toSeq == Seq("doc_id", "score"))
+    assert(rows.isEmpty)
+    // and the hybrid path survives a term-less sparse branch
+    val hy = HybridSearch.rrf(spark, sf, query = "a the of to").collect()
+    assert(hy.nonEmpty) // dense branch still contributes
+  }
+
   test("bm25 returns scored docs for corpus terms") {
     val rows = Bm25.search(spark, sf, "spark vector join", 15).collect()
     assert(rows.length == 15)

@@ -47,4 +47,22 @@ object TestSpark {
 abstract class GraftSuite extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   val sf: String = TestSpark.sf
+
+  /** Drop tables from the catalog AND delete their warehouse
+    * locations — a killed previous JVM leaves orphan directories the
+    * in-memory catalog no longer knows, which fail the next CTAS with
+    * LOCATION_ALREADY_EXISTS.
+    */
+  def dropHard(names: String*): Unit = names.foreach { n =>
+    spark.sql(s"DROP TABLE IF EXISTS $n")
+    val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), n)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+  }
 }

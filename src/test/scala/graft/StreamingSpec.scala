@@ -63,18 +63,7 @@ class StreamingSpec extends GraftSuite {
 
   test("streamed documents become searchable through incremental index maintenance") {
     import graft.operators.Bm25
-    // fresh maintained posting table (hard-drop orphan locations a
-    // killed JVM may have left)
-    Seq("posting_stream", "posting_stream_dels").foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
-    }
+    dropHard("posting_stream", "posting_stream_dels")
     Bm25.buildPostingTable(spark, sf, "posting_stream")
     try {
       val maxId = Tables.documents(spark, sf)
@@ -102,6 +91,20 @@ class StreamingSpec extends GraftSuite {
         .collect().map(_.getAs[Long]("doc_id")).toSeq
       assert(hits.headOption.contains(maxId + 1), s"streamed doc not indexed: $hits")
       assert(!hits.contains(maxId + 2))
+      // replay safety: a restarted stream re-delivers batch 0 with the
+      // same batchId (foreachBatch is at-least-once) — the generation
+      // check must skip it, leaving postings byte-identical
+      val postingRows = spark.table("posting_stream").count()
+      val q2 = EventStreams.indexStream(
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+          .parquet(stageDir.toString), "posting_stream")
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.table("posting_stream").count() == postingRows,
+        "replayed batch appended duplicate postings")
+      assert(Bm25.searchFromTable(spark, "posting_stream", query = "zanzibar quokka")
+        .collect().map(_.getAs[Long]("doc_id")).headOption.contains(maxId + 1))
+
       // and the maintained table still probes without a shuffle (the
       // tombstone broadcast is the only exchange kind allowed)
       val plan = Bm25.livePostings(spark, "posting_stream")
