@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators._
+import graft.sources.{Ingest, VectorIndex}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade mirroring the reference's `VectorDatabase`
+  * surface (grape-vector-db src/lib.rs:249 VectorDatabase,
+  * src/embedded.rs embedded mode): one handle over a corpus directory
+  * exposing the method names a reference user calls, each delegating
+  * to the corresponding Spark-first operator. The handle owns no
+  * state beyond the session and paths — every method returns a lazy
+  * DataFrame plan, so composing facade calls composes Catalyst plans,
+  * and "embedded mode" is simply a `local[*]` session.
+  *
+  * Method ↔ reference mapping (all lib.rs unless noted):
+  *  - getDocument/listDocuments/scrollDocuments — :359/:413
+  *  - deleteDocuments — :381 delete_document (batch tombstoning)
+  *  - textSearch — :393; bm25Search — sparse.rs search_bm25
+  *  - semanticSearch — :403; searchDocuments — :460 (filter + hybrid
+  *    fusion + snippets)
+  *  - hybridSearch — :584 hybrid_search_enhanced (strategy-keyed)
+  *  - getStats — :446 get_stats
+  *  - ingest — :317 batch_add_documents (content-hash dedup store)
+  *  - rebuildAnnIndex/annSearch* — query.rs:257 rebuild_index +
+  *    :282/:338 save/load_index via the partitioned layouts
+  */
+final class GraftDB(val spark: SparkSession, val dir: String) {
+
+  def getDocument(id: Long): DataFrame = DocOps.get(spark, dir, id)
+
+  def listDocuments(limit: Int = 50, offset: Int = 0): DataFrame =
+    DocOps.list(spark, dir, limit, offset)
+
+  def scrollDocuments(cursor: Long = -1L, pageSize: Int = 50): DataFrame =
+    DocOps.scroll(spark, dir, cursor, pageSize)
+
+  /** Surviving store after deleting `ids` — per-id tombstoning as a
+    * broadcast anti-join (lib.rs:381 delete_document, batched).
+    */
+  def deleteDocuments(ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    Tables.documents(spark, dir)
+      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
+  def getStats: DataFrame = DocOps.stats(spark, dir)
+
+  def textSearch(query: String, k: Int = 20): DataFrame =
+    Bm25.textSearch(spark, dir, query, k)
+
+  def bm25Search(query: String, k: Int = 20): DataFrame =
+    Bm25.search(spark, dir, query, k)
+
+  def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
+    VectorSearch.semanticTopK(spark, dir, queryVecId, k)
+
+  def semanticSearchFiltered(queryVecId: Long, labels: Seq[Int],
+                             k: Int = 20): DataFrame =
+    VectorSearch.semanticTopKFiltered(spark, dir, queryVecId, labels, k)
+
+  /** Fusion search by strategy name — the reference's
+    * FusionStrategy-keyed hybrid_search_enhanced.
+    */
+  def hybridSearch(query: String, queryVecId: Long = 0,
+                   strategy: String = "rrf", limit: Int = 20): DataFrame =
+    strategy match {
+      case "rrf"        => HybridSearch.rrf(spark, dir, queryVecId, query, limit)
+      case "linear"     => HybridSearch.linear(spark, dir, queryVecId, query, limit)
+      case "normalized" => HybridSearch.normalized(spark, dir, queryVecId, query, limit)
+      case "learned"    => HybridSearch.learned(spark, dir, queryVecId, query, limit)
+      case other => throw new IllegalArgumentException(
+        s"unknown fusion strategy '$other' (rrf|linear|normalized|learned; " +
+          "adaptive needs a history — use HybridSearch.adaptive)")
+    }
+
+  /** Full search-response assembly: fused hits joined back to the
+    * store with matched snippets (lib.rs:460 search_documents).
+    */
+  def searchDocuments(query: String, queryVecId: Long = 0,
+                      limit: Int = 10): DataFrame =
+    HybridSearch.searchSnippets(spark, dir, queryVecId, query, limit)
+
+  /** Batch ingest into a content-hash-deduped, lang-partitioned store
+    * (lib.rs:317 batch_add_documents).
+    */
+  def ingest(outPath: String): Unit = Ingest.ingestDocuments(spark, dir, outPath)
+
+  /** Build (or rebuild) the persisted ANN layouts. */
+  def rebuildAnnIndex(): Unit = {
+    VectorIndex.buildLshIndex(spark, dir, VectorIndex.indexPath(dir, "lsh"))
+    VectorIndex.buildIvfIndex(spark, dir, VectorIndex.indexPath(dir, "ivf"))
+  }
+
+  def annSearchLsh(nQueries: Int = 8, k: Int = 5): DataFrame =
+    VectorIndex.annLshIndexed(spark, dir)
+
+  def annSearchIvf(qid: Long = 0, k: Int = 20): DataFrame =
+    VectorIndex.annIvfIndexed(spark, dir)
+}
+
+object GraftDB {
+  /** Embedded-mode constructor (embedded.rs): a local session over a
+    * corpus directory.
+    */
+  def embedded(dir: String, cores: Int = 4): GraftDB = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    new GraftDB(spark, dir)
+  }
+
+  def apply(spark: SparkSession, dir: String): GraftDB = new GraftDB(spark, dir)
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.{Bm25, DocOps, HybridSearch, VectorSearch}
+
+/** The facade must be a pure delegation layer: every method's plan
+  * yields exactly the underlying operator's result, so a reference
+  * user can drive the whole surface through one handle.
+  */
+class GraftDBSpec extends GraftSuite {
+
+  private lazy val db = GraftDB(spark, sf)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+    df.collect().toSeq.map(_.toSeq)
+
+  test("document surface delegates: get, list, scroll, stats") {
+    assert(rows(db.getDocument(42)) == rows(DocOps.get(spark, sf, 42)))
+    assert(rows(db.listDocuments(10, 5)) == rows(DocOps.list(spark, sf, 10, 5)))
+    assert(rows(db.scrollDocuments(99, 20)) == rows(DocOps.scroll(spark, sf, 99, 20)))
+    assert(rows(db.getStats) == rows(DocOps.stats(spark, sf)))
+  }
+
+  test("deleteDocuments removes exactly the given ids") {
+    val total = Tables.documents(spark, sf).count()
+    val out = db.deleteDocuments(Seq(1L, 2L, 3L))
+    assert(out.count() == total - 3)
+    assert(out.filter(org.apache.spark.sql.functions.col("doc_id").isin(1L, 2L, 3L)).isEmpty)
+  }
+
+  test("search surface delegates: text, bm25, semantic, hybrid, snippets, ann") {
+    assert(rows(db.textSearch("spark vector", 10)) ==
+      rows(Bm25.textSearch(spark, sf, "spark vector", 10)))
+    assert(rows(db.bm25Search("spark vector join", 10)) ==
+      rows(Bm25.search(spark, sf, "spark vector join", 10)))
+    assert(rows(db.semanticSearch(0, 10)) ==
+      rows(VectorSearch.semanticTopK(spark, sf, 0, 10)))
+    assert(rows(db.hybridSearch(Bm25.DefaultQuery, 0, "normalized")) ==
+      rows(HybridSearch.normalized(spark, sf)))
+    assert(rows(db.searchDocuments(HybridSearch.SnippetQuery)) ==
+      rows(HybridSearch.searchSnippets(spark, sf)))
+    intercept[IllegalArgumentException](db.hybridSearch("q", 0, "bogus"))
+    assert(rows(db.annSearchLsh()) == rows(VectorSearch.annLsh(spark, sf)))
+  }
+}
