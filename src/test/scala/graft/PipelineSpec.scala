@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline: the operators must COMPOSE as
+  * lazy DataFrame stages — dedup feeds cluster resolution feeds
+  * curation feeds chunking feeds retrieval — because that composition
+  * is what a 100 TB data pipeline actually runs (each stage here is a
+  * plan transform, not a materialized handoff).
+  */
+class PipelineSpec extends GraftSuite {
+
+  test("dedup → cluster resolution → curation → chunking → search composes") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+
+    // 1. near-dup resolution: keep one representative per cluster
+    val dupIds = Dedup.clusters(spark, sf)
+      .filter(col("is_dup"))
+      .select(col("doc_id"))
+    val nDups = dupIds.count()
+    val kept = docs.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
+    assert(kept.count() == total - nDups)
+    // every cluster still has its representative in the kept set
+    val reps = Dedup.clusters(spark, sf).select(col("keep_id")).distinct()
+    assert(reps.join(kept, reps("keep_id") === kept("doc_id")).count() == reps.count())
+
+    // 2. deterministic stratified curation over the deduped corpus:
+    // the hash gate is content-derived, so it composes with any
+    // upstream filter without re-sampling drift
+    val curated = kept.filter(
+      (graft.functions.TextFunctions.hash60(col("text")) % 100) < 60)
+    val nCurated = curated.count()
+    assert(nCurated > 0 && nCurated < total)
+
+    // 3. chunking the curated set: every curated doc emits >= 1 chunk,
+    // chunk geometry matches the standalone operator on the same rows
+    val chunks = TextAnalysis.textChunk(spark, sf)
+      .join(broadcast(curated.select(col("doc_id"))), Seq("doc_id"))
+    assert(chunks.select(col("doc_id")).distinct().count() == nCurated)
+    val maxIx = chunks.agg(max(col("chunk_ix"))).head.getLong(0)
+    assert(maxIx >= 1, "expected at least one multi-chunk doc in the curated set")
+
+    // 4. retrieval over the curated corpus: BM25 built on the REDUCED
+    // doc set (searchDocs takes any corpus frame) returns only curated
+    // ids
+    val hits = Bm25.searchDocs(spark, curated, "spark vector join", 10)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(hits.nonEmpty)
+    val curatedIds = curated.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(hits.forall(curatedIds))
+    assert(hits.toSet.intersect(
+      dupIds.collect().map(_.getLong(0)).toSet).isEmpty)
+  }
+}
