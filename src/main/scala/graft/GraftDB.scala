@@ -35,15 +35,10 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   def scrollDocuments(cursor: Long = -1L, pageSize: Int = 50): DataFrame =
     DocOps.scroll(spark, dir, cursor, pageSize)
 
-  /** Surviving store after deleting `ids` — per-id tombstoning as a
-    * broadcast anti-join (lib.rs:381 delete_document, batched).
+  /** Surviving store after deleting `ids` (lib.rs:381
+    * delete_document, batched).
     */
-  def deleteDocuments(ids: Seq[Long]): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.functions.broadcast
-    Tables.documents(spark, dir)
-      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
-  }
+  def deleteDocuments(ids: Seq[Long]): DataFrame = DocOps.deleteIds(spark, dir, ids)
 
   def getStats: DataFrame = DocOps.stats(spark, dir)
 
@@ -87,22 +82,24 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
     */
   def ingest(outPath: String): Unit = Ingest.ingestDocuments(spark, dir, outPath)
 
-  /** Build (or rebuild) the persisted ANN layouts. */
-  def rebuildAnnIndex(): Unit = {
-    VectorIndex.buildLshIndex(spark, dir, VectorIndex.indexPath(dir, "lsh"))
-    VectorIndex.buildIvfIndex(spark, dir, VectorIndex.indexPath(dir, "ivf"))
-  }
+  /** Force-rebuild the persisted ANN layouts through the staged swap
+    * (a concurrent reader never sees a mid-overwrite directory).
+    */
+  def rebuildAnnIndex(): Unit = VectorIndex.rebuildIndexes(spark, dir)
 
   def annSearchLsh(nQueries: Int = 8, k: Int = 5): DataFrame =
-    VectorIndex.annLshIndexed(spark, dir)
+    VectorIndex.annLshIndexed(spark, dir, nQueries, k)
 
   def annSearchIvf(qid: Long = 0, k: Int = 20): DataFrame =
-    VectorIndex.annIvfIndexed(spark, dir)
+    VectorIndex.annIvfIndexed(spark, dir, qid, k = k)
 }
 
 object GraftDB {
   /** Embedded-mode constructor (embedded.rs): a local session over a
-    * corpus directory.
+    * corpus directory. NOTE: a JVM holds one SparkContext — if a
+    * session already exists, getOrCreate returns it and `cores` has
+    * no effect (Spark's own contract); pass an explicit session via
+    * `GraftDB(spark, dir)` to be unambiguous.
     */
   def embedded(dir: String, cores: Int = 4): GraftDB = {
     val spark = SparkSession.builder()

@@ -16,12 +16,14 @@ import org.apache.spark.sql.functions._
   * dl = token count — the semantics the reference's parameters are
   * designed for.
   *
-  * Scale design: the corpus pass computes (doc, dl) and filtered
-  * (doc, term, tf) postings; the term filter lands BEFORE the
-  * grouping so only query-term postings are aggregated. df/N/avgdl
-  * are tiny aggregates joined by broadcast. Top-k is
-  * TakeOrderedAndProject. At 100 TB the posting DF would be written
-  * once, bucketed by term, and reused across queries.
+  * Scale design: each doc maps to its [dl, tf_0..tf_k] query-term
+  * sketch in one pass over the cached token arrays; df/N/avgdl
+  * collapse into ONE shuffle-free scalar aggregate over the sketches
+  * and scoring is a broadcast map ranked by TakeOrderedAndProject —
+  * zero keyed shuffles per query. For repeated-query serving the
+  * posting table is materialized once, bucketed by term
+  * ([[buildPostingTable]]), maintained log-structured
+  * ([[addDocuments]]/[[removeDocuments]]/[[compactPostingTable]]).
   */
 object Bm25 {
   import OracleNum.{fx, fxSql}

@@ -58,6 +58,16 @@ object DocOps {
     * broadcast; here the output proves the deletion by per-lang
     * surviving counts. Deletion set: every doc_id divisible by 7.
     */
+  /** Surviving documents after deleting `ids` — the ids-parameterized
+    * form of [[delete]] (lib.rs:381 delete_document, batched): the
+    * deletion set broadcasts against the store scan as an anti-join.
+    */
+  def deleteIds(spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .join(broadcast(ids.toDF("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   def delete(spark: SparkSession, dir: String): DataFrame = {
     val deletions = Tables.documents(spark, dir)
       .filter(col("doc_id") % 7 === 0)

@@ -192,15 +192,27 @@ object VectorIndex {
     * serve the winner's layout; a reader can never observe a
     * half-written or mid-overwrite directory.
     */
+  private def rm(f: java.io.File): Unit = if (f.exists()) {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete()
+  }
+
   private def buildIfMissing(path: String, suffixes: Seq[String])
                             (build: String => Unit): Unit = {
     if (!new java.io.File(path, "_SUCCESS").exists()) {
+      // a directory present WITHOUT _SUCCESS is a crashed build: move
+      // it aside so the fresh rename can land (serving it forever was
+      // the alternative)
+      suffixes.foreach { s =>
+        val tgt = new java.io.File(path + s)
+        if (tgt.exists()) {
+          val broken = new java.io.File(path + s + ".broken-" +
+            java.util.UUID.randomUUID.toString.take(8))
+          if (tgt.renameTo(broken)) rm(broken)
+        }
+      }
       val staging = path + ".stage-" + java.util.UUID.randomUUID.toString.take(8)
       build(staging)
-      def rm(f: java.io.File): Unit = if (f.exists()) {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
       // rename auxiliary dirs first, the probed main dir last: readers
       // gate on the main _SUCCESS, so auxiliaries are already in place
       // when the layout becomes visible
@@ -212,17 +224,48 @@ object VectorIndex {
     }
   }
 
-  /** Driver entry: build-if-missing (rebuild_index), then serve. */
-  def annLshIndexed(spark: SparkSession, dir: String): DataFrame = {
-    val path = indexPath(dir, "lsh")
-    buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
-    annLshFromIndex(spark, path)
+  /** Rebuild in place through the same staged protocol: build into
+    * staging, swap the live directories aside, rename staging in, and
+    * delete the old layout last — a reader never observes a
+    * mid-overwrite directory and any crash leaves a complete layout
+    * under some name (rebuild_index's contract).
+    */
+  private def rebuildStaged(path: String, suffixes: Seq[String])
+                           (build: String => Unit): Unit = {
+    val staging = path + ".stage-" + java.util.UUID.randomUUID.toString.take(8)
+    build(staging)
+    suffixes.foreach { s =>
+      val tgt = new java.io.File(path + s)
+      val old = new java.io.File(path + s + ".old-" +
+        java.util.UUID.randomUUID.toString.take(8))
+      if (tgt.exists()) tgt.renameTo(old)
+      if (!new java.io.File(staging + s).renameTo(tgt))
+        rm(new java.io.File(staging + s))
+      rm(old)
+    }
+  }
+
+  /** Force-rebuild both persisted layouts (lib.rs:560 rebuild_index). */
+  def rebuildIndexes(spark: SparkSession, dir: String): Unit = {
+    rebuildStaged(indexPath(dir, "lsh"), Seq(""))(buildLshIndex(spark, dir, _))
+    rebuildStaged(indexPath(dir, "ivf"), Seq("_centroids", ""))(
+      buildIvfIndex(spark, dir, _))
   }
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
-  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+  def annLshIndexed(spark: SparkSession, dir: String,
+                    nQueries: Int = 8, k: Int = 5,
+                    radius: Int = VectorSearch.LshProbeRadius): DataFrame = {
+    val path = indexPath(dir, "lsh")
+    buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
+    annLshFromIndex(spark, path, nQueries, k, radius)
+  }
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annIvfIndexed(spark: SparkSession, dir: String, qid: Long = 0,
+                    nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
     val path = indexPath(dir, "ivf")
     buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
-    annIvfFromIndex(spark, path)
+    annIvfFromIndex(spark, path, qid, nprobe = nprobe, k = k)
   }
 }

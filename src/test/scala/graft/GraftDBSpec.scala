@@ -40,5 +40,10 @@ class GraftDBSpec extends GraftSuite {
       rows(HybridSearch.searchSnippets(spark, sf)))
     intercept[IllegalArgumentException](db.hybridSearch("q", 0, "bogus"))
     assert(rows(db.annSearchLsh()) == rows(VectorSearch.annLsh(spark, sf)))
+    // non-default parameters must actually thread through to the probe
+    assert(rows(db.annSearchLsh(nQueries = 4, k = 3)) ==
+      rows(VectorSearch.annLsh(spark, sf, nQueries = 4, k = 3)))
+    assert(rows(db.annSearchIvf(qid = 5, k = 7)) ==
+      rows(VectorSearch.annIvf(spark, sf, qid = 5, k = 7)))
   }
 }

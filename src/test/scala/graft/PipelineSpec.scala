@@ -15,15 +15,17 @@ class PipelineSpec extends GraftSuite {
     val docs = Tables.documents(spark, sf)
     val total = docs.count()
 
-    // 1. near-dup resolution: keep one representative per cluster
-    val dupIds = Dedup.clusters(spark, sf)
-      .filter(col("is_dup"))
-      .select(col("doc_id"))
+    // 1. near-dup resolution: keep one representative per cluster.
+    // clusters() is the pipeline's expensive iterative stage — persist
+    // it once; every later action reuses the materialized labels.
+    val clusters = Dedup.clusters(spark, sf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dupIds = clusters.filter(col("is_dup")).select(col("doc_id"))
     val nDups = dupIds.count()
     val kept = docs.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
     assert(kept.count() == total - nDups)
     // every cluster still has its representative in the kept set
-    val reps = Dedup.clusters(spark, sf).select(col("keep_id")).distinct()
+    val reps = clusters.select(col("keep_id")).distinct()
     assert(reps.join(kept, reps("keep_id") === kept("doc_id")).count() == reps.count())
 
     // 2. deterministic stratified curation over the deduped corpus:
@@ -52,5 +54,6 @@ class PipelineSpec extends GraftSuite {
     assert(hits.forall(curatedIds))
     assert(hits.toSet.intersect(
       dupIds.collect().map(_.getLong(0)).toSet).isEmpty)
+    clusters.unpersist()
   }
 }
