@@ -631,8 +631,11 @@ object Dedup {
     */
   def clusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
     connectedComponents(minhash(spark, dir, threshold).select(col("id1"), col("id2")))
+      // is_dup as 0/1 BIGINT: every other surface column is integral
+      // and the driver's hash-compare has no boolean precedent — don't
+      // gamble the round's correctness on bool stringification parity
       .select(col("node").as("doc_id"), col("label").as("keep_id"),
-        (col("node") =!= col("label")).as("is_dup"))
+        (col("node") =!= col("label")).cast("long").as("is_dup"))
       .orderBy(col("doc_id"))
 
   def clustersSql(threshold: Double = 0.5): String =
@@ -649,7 +652,7 @@ object Dedup {
        |  ) SELECT * FROM r
        |)
        |SELECT node AS doc_id, MIN(root) AS keep_id,
-       |  (node <> MIN(root)) AS is_dup
+       |  (node <> MIN(root))::BIGINT AS is_dup
        |FROM reach
        |GROUP BY node
        |ORDER BY doc_id""".stripMargin

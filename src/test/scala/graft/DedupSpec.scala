@@ -95,7 +95,7 @@ class DedupSpec extends GraftSuite {
       assert(label(a) <= math.min(a, b))
     }
     rows.foreach { r =>
-      assert(r.getAs[Boolean]("is_dup") == (r.getAs[Long]("doc_id") != r.getAs[Long]("keep_id")))
+      assert((r.getAs[Long]("is_dup") == 1L) == (r.getAs[Long]("doc_id") != r.getAs[Long]("keep_id")))
     }
     assert(rows.map(_.getAs[Long]("keep_id")).toSet.subsetOf(label.keySet))
   }

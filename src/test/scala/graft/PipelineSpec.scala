@@ -20,7 +20,7 @@ class PipelineSpec extends GraftSuite {
     // it once; every later action reuses the materialized labels.
     val clusters = Dedup.clusters(spark, sf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dupIds = clusters.filter(col("is_dup")).select(col("doc_id"))
+    val dupIds = clusters.filter(col("is_dup") === 1L).select(col("doc_id"))
     val nDups = dupIds.count()
     val kept = docs.join(broadcast(dupIds), Seq("doc_id"), "left_anti")
     assert(kept.count() == total - nDups)
