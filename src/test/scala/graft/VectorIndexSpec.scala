@@ -51,4 +51,19 @@ class VectorIndexSpec extends GraftSuite {
     VectorIndex.buildLshIndex(spark, sf, path) // rebuild over existing
     assert(rows(VectorIndex.annLshFromIndex(spark, path)) == first)
   }
+
+  test("staged rebuildIndexes swaps live layouts and leaves no stray directories") {
+    val lsh = VectorIndex.indexPath(sf, "lsh")
+    val before = rows(VectorIndex.annLshIndexed(spark, sf)) // build-if-missing
+    VectorIndex.rebuildIndexes(spark, sf)                   // forced staged swap
+    assert(rows(VectorIndex.annLshIndexed(spark, sf)) == before)
+    assert(rows(VectorIndex.annIvfIndexed(spark, sf)) ==
+      rows(graft.operators.VectorSearch.annIvf(spark, sf)))
+    // no staging/old/broken residue next to the live layouts
+    val parent = new java.io.File(lsh).getParentFile
+    val stray = parent.listFiles().map(_.getName)
+      .filter(n => n.startsWith(new java.io.File(lsh).getName + ".") ||
+        n.contains(".stage-") || n.contains(".old-") || n.contains(".broken-"))
+    assert(stray.isEmpty, s"stray index dirs left: ${stray.toSeq}")
+  }
 }
