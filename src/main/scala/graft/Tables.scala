@@ -25,8 +25,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // DIV (integer division) — `col / 1000L` is DOUBLE division, and
+    // epoch-nanos (~1.7e18) exceed a double's 2^53 exact range, so the
+    // rounded quotient lands ±1µs off DuckDB's truncating ns→µs
+    // conversion. Exposed by any operator emitting exact epoch micros.
     table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

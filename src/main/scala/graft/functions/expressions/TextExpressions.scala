@@ -487,3 +487,52 @@ object GramFingerprint {
     new GenericArrayData(Array(if (nGrams > 0) hashes(0) else 0L, distinct))
   }
 }
+
+/** One-pass repetition-statistics sketch for quality filtering
+  * (Gopher-style repetition signals over the reference tokenizer's
+  * normalized terms, grape-vector-db src/sparse.rs:288 tokenize):
+  * a single scan of the text yields
+  * [n_tokens, n_distinct_tokens, max_term_frequency, n_bigrams,
+  * n_distinct_bigrams] — the inputs of duplicate-token /
+  * most-common-token / duplicate-bigram ratio filters. A zero-shuffle
+  * map at any corpus size; the DuckDB oracle replays the identical
+  * counts with list functions over the same tokenizer.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = Tok.tokens(text.toString)
+    val n = toks.size
+    val tf = new java.util.HashMap[String, Int]()
+    var maxTf = 0L
+    var i = 0
+    while (i < n) {
+      val c = tf.merge(toks.get(i), 1, (a: Int, b: Int) => a + b)
+      if (c > maxTf) maxTf = c.toLong
+      i += 1
+    }
+    val nBi = math.max(n - 1, 0)
+    val bi = new java.util.HashSet[String]()
+    i = 0
+    while (i < nBi) {
+      bi.add(toks.get(i) + " " + toks.get(i + 1))
+      i += 1
+    }
+    new GenericArrayData(
+      Array(n.toLong, tf.size.toLong, maxTf, nBi.toLong, bi.size.toLong))
+  }
+}

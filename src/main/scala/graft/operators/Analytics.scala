@@ -146,6 +146,104 @@ object Analytics {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** As-of join: each purchase event is matched to the same user's
+    * most recent view at-or-before it — the temporal join Spark has no
+    * built-in operator for. Rather than a range join (which explodes
+    * to a near-cross-product per user before aggregation), both sides
+    * are UNIONed into one stream and a single per-user ordered window
+    * carries the last non-null view forward (`last(..., ignoreNulls)`)
+    * — one keyed shuffle on user_id, linear within partition, no join
+    * at all; at 100 TB this is the canonical scalable as-of shape.
+    * Ties: a view AT the purchase timestamp counts (kind orders views
+    * first), equal-ts views resolve to the largest event_id —
+    * deterministic on both engines.
+    */
+  def eventsAsof(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 0L).otherwise(1L).as("kind"),
+        when(col("event_type") === "view", col("event_id")).as("v_id"),
+        when(col("event_type") === "view", col("ts")).as("v_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_id", last(col("v_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts", last(col("v_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        coalesce(col("last_view_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("ts")) - unix_micros(col("last_view_ts")), lit(-1L)).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsAsofSql: String =
+    s"""WITH t AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind,
+       |    CASE WHEN event_type = 'view' THEN event_id END AS v_id,
+       |    CASE WHEN event_type = 'view' THEN ts END AS v_ts
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |), j AS (
+       |  SELECT event_id, user_id, ts, kind,
+       |    last_value(v_id IGNORE NULLS) OVER w AS last_view_id,
+       |    last_value(v_ts IGNORE NULLS) OVER w AS last_view_ts
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, kind, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT event_id, user_id, epoch_us(ts) AS purchase_us,
+       |  COALESCE(last_view_id, -1) AS view_id,
+       |  COALESCE(epoch_us(ts) - epoch_us(last_view_ts), -1) AS gap_us
+       |FROM j WHERE kind = 1
+       |ORDER BY event_id""".stripMargin
+
+  /** Ordered funnel by first occurrence: per user, the first timestamp
+    * of each step (signup → view → click → purchase); a step converts
+    * when its first occurrence is strictly after the previous step's.
+    * One conditional-min groupBy on user_id (map-side partials) + a
+    * scalar roll-up — two aggregations, no window, no join; the
+    * per-user state is four timestamps regardless of event volume.
+    */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val firsts = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t1"),
+        min(when(col("event_type") === "view", col("ts"))).as("t2"),
+        min(when(col("event_type") === "click", col("ts"))).as("t3"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t4"))
+    val s1 = col("t1").isNotNull
+    val s2 = s1 && col("t2") > col("t1")
+    val s3 = s2 && col("t3") > col("t2")
+    val s4 = s3 && col("t4") > col("t3")
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+      sum(when(s2, 1L).otherwise(0L)).as("n_signup_view"),
+      sum(when(s3, 1L).otherwise(0L)).as("n_signup_view_click"),
+      sum(when(s4, 1L).otherwise(0L)).as("n_full_funnel"))
+  }
+
+  val eventsFunnelSql: String =
+    s"""WITH firsts AS (
+       |  SELECT user_id,
+       |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1,
+       |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t2,
+       |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t3,
+       |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t4
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT COUNT(*) AS n_users,
+       |  SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+       |  SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 THEN 1 ELSE 0 END)::BIGINT AS n_signup_view,
+       |  SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 THEN 1 ELSE 0 END)::BIGINT AS n_signup_view_click,
+       |  SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+       |FROM firsts""".stripMargin
+
   val eventsSessionSql: String =
     s"""WITH marked AS (
        |  SELECT user_id, event_id, ts, value,

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.{OracleNum, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the reference's own
+  * surface: benchmark decontamination, sequence packing and
+  * repetition-quality filtering — the stages a 100 TB LLM data
+  * pipeline runs between dedup and tokenization. All three follow the
+  * engine's scale rules: eval-set state rides a broadcast, packing is
+  * one keyed window pass, repetition stats are a zero-shuffle native
+  * map ([[graft.functions.expressions.RepetitionStats]]).
+  */
+object Curation {
+  import OracleNum.{fx, fxSql}
+
+  /** Every `EvalMod`-th doc plays the held-out benchmark set the
+    * training corpus must be decontaminated against.
+    */
+  val EvalMod = 83
+
+  /** Shingle width for contamination matching: 4-token sequences
+    * shared with the eval set flag a document (13-gram character
+    * overlap is the common published choice; 4 normalized tokens is
+    * the same order of specificity on this corpus).
+    */
+  val DecontN = 4
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * [[DecontN]]-token shingle with the eval split, with the distinct
+    * collision count as evidence. The eval shingle set is DISTINCT and
+    * tiny relative to the corpus (benchmarks are thousands of rows, the
+    * corpus is billions) so it broadcasts; the training side is the
+    * one-pass [[graft.functions.expressions.ShingleHashes]] sketch map
+    * + a broadcast semi-style join + one groupBy(doc_id) — a single
+    * keyed shuffle of (hash, id) pairs at any scale, no self-join.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), DecontN, Dedup.P))
+    val docs = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), hashes.as("sh"))
+    val eval = docs.filter(col("doc_id") % EvalMod === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    train.join(broadcast(eval), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(${wordShinglesSql(tokensSql("text"), DecontN)}) AS shingles
+       |  FROM documents
+       |), posting AS (
+       |  SELECT doc_id, ${hash60Sql("sh")} % ${Dedup.P} AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
+       |), ev AS (
+       |  SELECT DISTINCT h FROM posting WHERE doc_id % $EvalMod = 0
+       |)
+       |SELECT p.doc_id, COUNT(*) AS n_hits
+       |FROM posting p JOIN ev USING (h)
+       |WHERE p.doc_id % $EvalMod <> 0
+       |GROUP BY p.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 256L
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated
+    * in (lang, doc_id) order and cut into [[PackBudget]]-token bins; a
+    * document belongs to the bin its first token lands in. One window
+    * cumsum per lang partition + one groupBy — a single keyed shuffle;
+    * at scale lang is replaced by any partition-sized stream key and
+    * bins stay deterministic because the order is a total order.
+    * Output is the packing manifest a downstream tokenizer consumes:
+    * docs and token mass per bin with the covered id range.
+    */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_toks")).cast("double") / PackBudget).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_toks")).as("n_tokens"),
+           min(col("doc_id")).as("first_doc"),
+           max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val docPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, len(string_split(text, ' '))::BIGINT AS n_toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang, n_toks,
+       |    SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT lang, CAST(FLOOR((cum - n_toks)::DOUBLE / $PackBudget) AS BIGINT) AS bin,
+       |  COUNT(*) AS n_docs, SUM(n_toks)::BIGINT AS n_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM c
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Repetition-ratio thresholds (Gopher-style): a doc is flagged when
+    * duplicate tokens exceed half the text or one term exceeds a
+    * fifth of it. Compared in fixed-point so both engines agree.
+    */
+  val DupTokenMax = 5000L  // fx4 of 0.5
+  val TopTfMax = 2000L     // fx4 of 0.2
+
+  /** Repetition-quality signals per document: duplicate-token ratio,
+    * most-common-term ratio and duplicate-bigram ratio, plus the
+    * keep/drop flag the curation pipeline filters on. The five raw
+    * counts come from the one-pass native
+    * [[graft.functions.expressions.RepetitionStats]] sketch — the
+    * whole operator is a zero-shuffle map (the trailing sort is
+    * oracle-only).
+    */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val st = column(graft.functions.expressions.RepetitionStats(expression(col("text"))))
+    val n = col("st").getItem(0).cast("double")
+    val nd = col("st").getItem(1).cast("double")
+    val mx = col("st").getItem(2).cast("double")
+    val nb = col("st").getItem(3).cast("double")
+    val nbd = col("st").getItem(4).cast("double")
+    val dupTok = when(n > 0.0, (n - nd) / n).otherwise(0.0)
+    val topTf  = when(n > 0.0, mx / n).otherwise(0.0)
+    val dupBi  = when(nb > 0.0, (nb - nbd) / nb).otherwise(0.0)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_tokens"),
+        fx(dupTok).as("dup_token_ratio"),
+        fx(topTf).as("top_tf_ratio"),
+        fx(dupBi).as("dup_bigram_ratio"))
+      .withColumn("is_repetitive",
+        (col("dup_token_ratio") > DupTokenMax || col("top_tf_ratio") > TopTfMax)
+          .cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textRepetitionSql: String = {
+    val toks = tokensSql("text")
+    val n = "len(toks)::DOUBLE"
+    val nd = "len(list_distinct(toks))::DOUBLE"
+    val mx = "COALESCE(list_max(list_transform(list_distinct(toks), x -> len(list_filter(toks, y -> y = x)))), 0)::DOUBLE"
+    val bi = wordShinglesSql("toks", 2)
+    val nb = s"len($bi)::DOUBLE"
+    val nbd = s"len(list_distinct($bi))::DOUBLE"
+    val dupTok = s"CASE WHEN $n > 0.0 THEN ($n - $nd) / $n ELSE 0.0 END"
+    val topTf = s"CASE WHEN $n > 0.0 THEN $mx / $n ELSE 0.0 END"
+    val dupBi = s"CASE WHEN $nb > 0.0 THEN ($nb - $nbd) / $nb ELSE 0.0 END"
+    s"""WITH t AS (
+       |  SELECT doc_id, $toks AS toks FROM documents
+       |), r AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |    ${fxSql(dupTok)} AS dup_token_ratio,
+       |    ${fxSql(topTf)} AS top_tf_ratio,
+       |    ${fxSql(dupBi)} AS dup_bigram_ratio
+       |  FROM t
+       |)
+       |SELECT *, (dup_token_ratio > $DupTokenMax OR top_tf_ratio > $TopTfMax)::BIGINT AS is_repetitive
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+}

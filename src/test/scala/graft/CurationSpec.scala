@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{Analytics, Curation}
+import graft.functions.expressions.Tok
+import org.apache.spark.sql.functions._
+
+/** Curation operators (decontaminate / doc_pack / text_repetition)
+  * and the temporal analytics additions (events_asof / events_funnel):
+  * each result is re-derived brute-force on the collected sf0.001
+  * corpus, so the distributed formulation is checked against the
+  * obvious sequential one.
+  */
+class CurationSpec extends GraftSuite {
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val toks = Tok.tokens(text)
+    (0 to toks.size - n).map(i =>
+      (i until i + n).map(toks.get).mkString(" ")).toSet
+  }
+
+  test("decontaminate flags exactly the docs sharing a 4-shingle with the eval split") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val evalShingles = docs.filter(_._1 % Curation.EvalMod == 0)
+      .values.flatMap(shingles(_, Curation.DecontN)).toSet
+    val expected = docs
+      .filter { case (id, text) =>
+        id % Curation.EvalMod != 0 && shingles(text, Curation.DecontN).exists(evalShingles) }
+      .keySet
+    val got = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(got.keySet == expected)
+    // hit counts are the per-doc count of distinct contaminated shingles
+    got.foreach { case (id, n) =>
+      val exp = shingles(docs(id), Curation.DecontN).count(evalShingles)
+      assert(n == exp, s"doc $id")
+    }
+  }
+
+  test("doc_pack bins are contiguous, ordered and token-complete per lang") {
+    val rows = Curation.docPack(spark, sf).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val corpus = Tables.documents(spark, sf)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sum).toMap
+    byLang.foreach { case (lang, bins) =>
+      val sorted = bins.sortBy(_.getAs[Long]("bin"))
+      // bins start at 0 with no gaps
+      assert(sorted.map(_.getAs[Long]("bin")).toSeq == (0L until bins.length).toSeq)
+      // doc id ranges ascend without overlap (packing preserves order)
+      val ranges = sorted.map(r => (r.getAs[Long]("first_doc"), r.getAs[Long]("last_doc")))
+      ranges.foreach { case (a, b) => assert(a <= b) }
+      ranges.sliding(2).foreach {
+        case Array((_, b1), (a2, _)) => assert(b1 < a2)
+        case _ => ()
+      }
+      // token mass is conserved
+      assert(sorted.map(_.getAs[Long]("n_tokens")).sum == corpus(lang))
+    }
+  }
+
+  test("text_repetition matches a hand-rolled per-doc computation") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.textRepetition(spark, sf).collect()
+    assert(rows.length == docs.size)
+    def fx(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    rows.take(50).foreach { r =>
+      val toks = Tok.tokens(docs(r.getAs[Long]("doc_id")))
+      import scala.jdk.CollectionConverters._
+      val ts = toks.asScala.toSeq
+      val n = ts.size.toDouble
+      val bi = ts.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(r.getAs[Long]("n_tokens") == ts.size)
+      if (ts.nonEmpty) {
+        assert(r.getAs[Long]("dup_token_ratio") == fx((n - ts.distinct.size) / n))
+        assert(r.getAs[Long]("top_tf_ratio") ==
+          fx(ts.groupBy(identity).values.map(_.size).max / n))
+      }
+      if (bi.nonEmpty)
+        assert(r.getAs[Long]("dup_bigram_ratio") ==
+          fx((bi.size - bi.distinct.size).toDouble / bi.size))
+      val repetitive = r.getAs[Long]("dup_token_ratio") > Curation.DupTokenMax ||
+        r.getAs[Long]("top_tf_ratio") > Curation.TopTfMax
+      assert(r.getAs[Long]("is_repetitive") == (if (repetitive) 1L else 0L))
+    }
+  }
+
+  test("events_asof matches brute-force last-view-at-or-before per purchase") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val views = ev.filter(_._3 == "view")
+    val got = Analytics.eventsAsof(spark, sf).collect()
+    val purchases = ev.filter(_._3 == "purchase")
+    assert(got.length == purchases.length)
+    val byId = got.map(r => r.getAs[Long]("event_id") -> r).toMap
+    purchases.foreach { case (pid, user, _, pus) =>
+      val r = byId(pid)
+      assert(r.getAs[Long]("purchase_us") == pus)
+      // best = max (ts, event_id) among same-user views at-or-before
+      val cand = views.filter(v => v._2 == user && v._4 <= pus)
+      if (cand.isEmpty) {
+        assert(r.getAs[Long]("view_id") == -1L && r.getAs[Long]("gap_us") == -1L)
+      } else {
+        val best = cand.maxBy(v => (v._4, v._1))
+        assert(r.getAs[Long]("view_id") == best._1, s"purchase $pid")
+        assert(r.getAs[Long]("gap_us") == pus - best._4)
+      }
+    }
+  }
+
+  test("events_funnel counts are monotone and match brute force") {
+    val row = Analytics.eventsFunnel(spark, sf).collect().head
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def first(es: Array[(Long, String, Long)], t: String): Option[Long] =
+      es.filter(_._2 == t).map(_._3).minOption
+    var (s1, s2, s3, s4) = (0L, 0L, 0L, 0L)
+    byUser.values.foreach { es =>
+      val (t1, t2, t3, t4) =
+        (first(es, "signup"), first(es, "view"), first(es, "click"), first(es, "purchase"))
+      val c1 = t1.isDefined
+      val c2 = c1 && t2.exists(_ > t1.get)
+      val c3 = c2 && t3.exists(_ > t2.get)
+      val c4 = c3 && t4.exists(_ > t3.get)
+      if (c1) s1 += 1; if (c2) s2 += 1; if (c3) s3 += 1; if (c4) s4 += 1
+    }
+    assert(row.getAs[Long]("n_users") == byUser.size)
+    assert(row.getAs[Long]("n_signup") == s1)
+    assert(row.getAs[Long]("n_signup_view") == s2)
+    assert(row.getAs[Long]("n_signup_view_click") == s3)
+    assert(row.getAs[Long]("n_full_funnel") == s4)
+    assert(s1 >= s2 && s2 >= s3 && s3 >= s4)
+  }
+}
