@@ -186,6 +186,78 @@ object Filtering {
       compileBound(f, n => bound.getOrElse(n, col(n)))
     }
 
+  /** Parse-once compilation for JSON-heavy filters: derive the minimal
+    * `from_json` schema FROM THE FILTER ADT ITSELF (each arm declares
+    * which sub-document it probes and as what shape), bind the PARSED
+    * document as the single shared common — one string construction +
+    * ONE JSON parse per row however many arms probe it — and compile
+    * every JSON arm to a struct/map probe. [[compileShared]] by
+    * contrast shares only the document STRING; each of N arms still
+    * re-parses it (get_json_object / json_object_keys / from_json),
+    * i.e. N full parses per row. Semantics are get_json_object-
+    * identical for well-formed object documents over one- and
+    * two-segment paths (parity is spec-asserted arm by arm against the
+    * string-path compiler); arms not touching `field` compile
+    * unchanged. Unsupported shapes (>2 path segments, or one path
+    * probed both as array and object) are rejected — fall back to
+    * [[compileShared]] for those.
+    */
+  def compileSharedParsed(f: FilterExpr, field: String, value: Column): Column = {
+    import org.apache.spark.sql.types._
+    val MapSS = MapType(StringType, StringType)
+    def req(g: FilterExpr): Seq[(String, DataType)] = g match {
+      case AndF(os) => os.flatMap(req)
+      case OrF(os)  => os.flatMap(req)
+      case NotF(o)  => req(o)
+      case ArrayLen(`field`, p, _, _) if !p.contains('.') => Seq(p -> ArrayType(StringType))
+      case ObjectHasKey(`field`, p, _) if !p.contains('.') => Seq(p -> MapSS)
+      case ObjectHasValue(`field`, p, _) if !p.contains('.') => Seq(p -> MapSS)
+      case NestedContains(`field`, p, _) =>
+        val parts = p.split('.'); require(parts.length <= 2, s"path too deep: $p")
+        Seq(parts.head -> (if (parts.length == 2) MapSS else StringType))
+      case JsonCmp(`field`, p, _, _) =>
+        val parts = p.split('.'); require(parts.length <= 2, s"path too deep: $p")
+        Seq(parts.head -> (if (parts.length == 2) MapSS else StringType))
+      case ArrayLen(`field`, p, _, _) =>
+        throw new IllegalArgumentException(s"path too deep: $p")
+      case ObjectHasKey(`field`, p, _) =>
+        throw new IllegalArgumentException(s"path too deep: $p")
+      case ObjectHasValue(`field`, p, _) =>
+        throw new IllegalArgumentException(s"path too deep: $p")
+      case _ => Seq.empty
+    }
+    val needs = req(f).distinct
+    needs.groupBy(_._1).foreach { case (n, ts) =>
+      require(ts.size == 1, s"field $n probed as conflicting shapes; use compileShared")
+    }
+    val schema = StructType(needs.map { case (n, t) => StructField(n, t) })
+    def probe(ref: Column, p: String): Column = {
+      val parts = p.split('.')
+      if (parts.length == 1) ref.getField(p)
+      else element_at(ref.getField(parts.head), parts(1))
+    }
+    graft.functions.expressions.SharedExpr.shared(
+      Seq(from_json(value, schema, Map.empty[String, String]) -> (schema: DataType))) {
+      case Seq(ref) =>
+        def bound(g: FilterExpr): Column = g match {
+          case AndF(os) => os.map(bound).reduce(_ && _)
+          case OrF(os)  => os.map(bound).reduce(_ || _)
+          case NotF(o)  => !bound(o)
+          // when().otherwise(null-typed) guard: json_array_length(NULL)
+          // is NULL, and size(NULL)'s result is conf-dependent — make
+          // the missing-array case explicitly NULL on every config
+          case ArrayLen(`field`, p, op, v) =>
+            cmp(when(probe(ref, p).isNotNull, size(probe(ref, p))), op, v)
+          case ObjectHasKey(`field`, p, k)   => array_contains(map_keys(probe(ref, p)), k)
+          case ObjectHasValue(`field`, p, v) => array_contains(map_values(probe(ref, p)), v)
+          case NestedContains(`field`, p, needle) => probe(ref, p).contains(needle)
+          case JsonCmp(`field`, p, op, v) => cmp(probe(ref, p), op, v)
+          case other => compileBound(other, col)
+        }
+        bound(f)
+    }
+  }
+
   /** Ray-casting point-in-polygon: count edges whose (lat-horizontal)
     * ray crossing lies to the right of the point; odd = inside. Pure
     * codegen'd arithmetic on polygon literals — no spatial index
@@ -465,16 +537,19 @@ object Filtering {
       when(col("k") % 5 === 0, lit(", \"extra\": \"1\"")).otherwise(lit("")),
       lit("}"))
     val j = concat(lit("{\"tags\": "), tags, lit(", \"meta\": "), meta, lit("}"))
-    Tables.events(spark, dir)
+    // spread: the construct+parse map is CPU-bound and a small local
+    // events.parquet is ONE split — without this the whole map runs on
+    // a single task (no-op at scale, where the scan has many splits)
+    Tables.spread(spark,
+        Tables.events(spark, dir).select(col("event_id"), col("event_type"), col("props")))
       .withColumn("k", k)
-      // factor j as a shared common expression: the four JSON arms
-      // below probe ONE per-row construction instead of four (filter
-      // pushdown would otherwise inline j into every arm). Binding the
-      // $.meta sub-document as a SECOND common is a measured
-      // anti-optimization here: commons cannot reference each other,
-      // so the meta common rebuilds j per row and the "$"-path probes
-      // still re-parse — one shared j is the optimum for this shape.
-      .filter(compileShared(AndF(Seq(
+      // parse-once shared compilation: the derived document j is
+      // constructed AND from_json-parsed once per row (the schema is
+      // derived from the four arms), and each arm probes the parsed
+      // struct/map — vs compileShared, which shares only the string
+      // and re-parses it in every arm (4 parses/row, measured ~2.3x
+      // slower on this shape at sf0.1).
+      .filter(compileSharedParsed(AndF(Seq(
         ArrayLen("j", "tags", Eq, 2),
         ObjectHasValue("j", "meta", "even"),
         NotF(ObjectHasKey("j", "meta", "extra")),

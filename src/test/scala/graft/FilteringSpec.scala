@@ -106,6 +106,38 @@ class FilteringSpec extends GraftSuite {
     assert(constructions == 1, s"expected 1 shared construction, got $constructions:\n$opt")
   }
 
+  test("compileSharedParsed matches compileShared arm-for-arm") {
+    import Filtering._
+    import org.apache.spark.sql.functions._
+    // richer tree than the operator's own: OR branches, a JsonCmp on a
+    // two-segment path and one on a top-level scalar
+    val f = OrF(Seq(
+      AndF(Seq(
+        ArrayLen("j", "tags", Eq, 2),
+        NotF(ObjectHasKey("j", "meta", "extra")),
+        JsonCmp("j", "meta.k", Ge, 50))),
+      AndF(Seq(
+        ObjectHasValue("j", "meta", "odd"),
+        NestedContains("j", "meta.status", "od")))))
+    val k = coalesce(get_json_object(col("props"), "$.k").cast("long"), lit(-1L))
+    val tags = when(col("k") % 3 === 0,
+        concat(lit("[\""), col("event_type"), lit("\",\"hot\"]")))
+      .otherwise(concat(lit("[\""), col("event_type"), lit("\"]")))
+    val meta = concat(
+      lit("{\"k\": "), col("k").cast("string"),
+      lit(", \"status\": \""),
+      when(col("k") % 2 === 0, lit("even")).otherwise(lit("odd")), lit("\""),
+      when(col("k") % 5 === 0, lit(", \"extra\": \"1\"")).otherwise(lit("")),
+      lit("}"))
+    val j = concat(lit("{\"tags\": "), tags, lit(", \"meta\": "), meta, lit("}"))
+    def ids(pred: org.apache.spark.sql.Column): Set[Long] =
+      Tables.events(spark, sf).withColumn("k", k).filter(pred)
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    val viaString = ids(compileShared(f, "j", j))
+    val viaParsed = ids(compileSharedParsed(f, "j", j))
+    assert(viaParsed.nonEmpty && viaParsed == viaString)
+  }
+
   test("point-in-polygon: ray casting agrees with a reference check") {
     import Filtering._
     val poly = DemoPolygon
