@@ -72,27 +72,45 @@ object VectorIndex {
     * prebuilt bucket directories (signature precomputed at build time)
     * and the bucket equi-join dynamic-partition-prunes the scan to the
     * probed buckets.
+    *
+    * `queries` is the caller's vector batch — (query_id, qv) rows, the
+    * serving-path analog of a SearchRequest; signatures are computed
+    * on the tiny query side here. The index layout is touched ONLY by
+    * the DPP-pruned probe join: bootstrapping queries from the layout
+    * itself (the previous shape) forced a full 2^planes-directory scan
+    * for a point lookup the partition column cannot prune.
     */
   def annLshFromIndex(spark: SparkSession, path: String,
-                      nQueries: Int = 8, k: Int = 5,
+                      queries: DataFrame, k: Int = 5,
                       radius: Int = VectorSearch.LshProbeRadius): DataFrame = {
     val masks = VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius)
       .map(_.toInt)
+    val planes = VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes)
     val corpus = spark.read.parquet(path)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("bucket"))
-    val queries = corpus
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
-        explode(lit(masks)).as("mask"), col("bucket"))
+    val probes = queries
       .select(col("query_id"), col("qv"),
-        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+        VectorSearch.lshBucket(col("qv"), planes).cast("int").as("qbucket"))
+      .select(col("query_id"), col("qv"),
+        explode(lit(masks)).as("mask"), col("qbucket"))
+      .select(col("query_id"), col("qv"),
+        col("qbucket").bitwiseXOR(col("mask")).as("bucket"))
     val scored = corpus
-      .join(broadcast(queries), Seq("bucket"))
+      .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
     VectorSearch.rankTopK(scored, k)
   }
+
+  /** The demo query batch: the first `nQueries` base-table vectors —
+    * a pushed-down point-range scan of the FLAT table (row-group
+    * pruned), never the partitioned layout.
+    */
+  def queryBatch(spark: SparkSession, dir: String, nQueries: Int): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), toDouble(col("embedding")).as("qv"))
 
   /** Build (or rebuild) the IVF cell-partitioned layout: corpus rows
     * routed to their fine cell (two-level strided centroids, identical
@@ -134,13 +152,17 @@ object VectorIndex {
     * equi-join dynamic-prunes the corpus scan to the nprobe cell
     * directories — no assignment recompute, no full scan.
     */
-  def annIvfFromIndex(spark: SparkSession, path: String, qid: Long = 0,
+  def annIvfFromIndex(spark: SparkSession, path: String, queries: DataFrame,
+                      qid: Long = 0,
                       stride: Int = VectorSearch.IvfStride,
                       nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
     val fine = spark.read.parquet(path + "_centroids")
     val corpus = spark.read.parquet(path)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("cell"))
-    val qv = corpus.filter(col("vec_id") === qid).select(col("emb").as("qv"))
+    // query vector from the caller's batch (flat-table point lookup),
+    // NOT from the cell-partitioned layout, which cannot prune a
+    // vec_id filter and would scan every cell directory
+    val qv = queries.filter(col("query_id") === qid).select(col("qv"))
     // IvfProbeCoarse nearest coarse cells, then the nprobe nearest
     // fine cells inside them — same selection as annIvf, driven from
     // the saved centroid relation instead of a rebuilt one (coarse
@@ -258,7 +280,7 @@ object VectorIndex {
                     radius: Int = VectorSearch.LshProbeRadius): DataFrame = {
     val path = indexPath(dir, "lsh")
     buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
-    annLshFromIndex(spark, path, nQueries, k, radius)
+    annLshFromIndex(spark, path, queryBatch(spark, dir, nQueries), k, radius)
   }
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
@@ -266,6 +288,7 @@ object VectorIndex {
                     nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
     val path = indexPath(dir, "ivf")
     buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
-    annIvfFromIndex(spark, path, qid, nprobe = nprobe, k = k)
+    annIvfFromIndex(spark, path, queryBatch(spark, dir, qid.toInt + 1), qid,
+      nprobe = nprobe, k = k)
   }
 }

@@ -23,7 +23,7 @@ class VectorIndexSpec extends GraftSuite {
   test("LSH index serves the exact annLsh results with a partition-pruned scan") {
     val path = tmpDir("graft_lsh_idx")
     VectorIndex.buildLshIndex(spark, sf, path)
-    val served = VectorIndex.annLshFromIndex(spark, path)
+    val served = VectorIndex.annLshFromIndex(spark, path, VectorIndex.queryBatch(spark, sf, 8))
     assert(rows(served) == rows(VectorSearch.annLsh(spark, sf)))
     // the bucket equi-join must reach the scan as a dynamic partition
     // pruning filter (file-level prune to the probed buckets)
@@ -38,7 +38,7 @@ class VectorIndexSpec extends GraftSuite {
   test("IVF index serves the exact annIvf results with a partition-pruned scan") {
     val path = tmpDir("graft_ivf_idx")
     VectorIndex.buildIvfIndex(spark, sf, path)
-    val served = VectorIndex.annIvfFromIndex(spark, path)
+    val served = VectorIndex.annIvfFromIndex(spark, path, VectorIndex.queryBatch(spark, sf, 1))
     assert(rows(served) == rows(VectorSearch.annIvf(spark, sf)))
     val plan = served.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), s"no DPP on cell join:\n$plan")
@@ -47,9 +47,9 @@ class VectorIndexSpec extends GraftSuite {
   test("rebuild overwrites the layout in place (rebuild_index contract)") {
     val path = tmpDir("graft_lsh_rebuild")
     VectorIndex.buildLshIndex(spark, sf, path)
-    val first = rows(VectorIndex.annLshFromIndex(spark, path))
+    val first = rows(VectorIndex.annLshFromIndex(spark, path, VectorIndex.queryBatch(spark, sf, 8)))
     VectorIndex.buildLshIndex(spark, sf, path) // rebuild over existing
-    assert(rows(VectorIndex.annLshFromIndex(spark, path)) == first)
+    assert(rows(VectorIndex.annLshFromIndex(spark, path, VectorIndex.queryBatch(spark, sf, 8))) == first)
   }
 
   test("staged rebuildIndexes swaps live layouts and leaves no stray directories") {
