@@ -42,6 +42,41 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
 
   def getStats: DataFrame = DocOps.stats(spark, dir)
 
+  /** storage.rs:100 document_exists — a pushed-down point-lookup
+    * count, the one facade method that is eager by contract.
+    */
+  def documentExists(id: Long): Boolean =
+    DocOps.get(spark, dir, id).limit(1).count() == 1L
+
+  /** storage.rs:103 get_document_metadata — the metadata projection
+    * of a point lookup (the scan reads ONLY the metadata columns).
+    */
+  def getDocumentMetadata(id: Long): DataFrame =
+    DocOps.get(spark, dir, id).select("doc_id", "lang", "source", "n_chars")
+
+  /** storage.rs:116 search_by_metadata — equality filters ANDed over
+    * metadata columns + limit, compiled through the filter ADT so
+    * every predicate reaches the parquet scan.
+    */
+  def searchByMetadata(filters: Map[String, String], limit: Int = 50): DataFrame = {
+    import Filtering._
+    val pred = AndF(filters.toSeq.sortBy(_._1)
+      .map { case (k, v) => Cmp(k, Eq, v): FilterExpr })
+    Tables.documents(spark, dir)
+      .filter(compile(pred))
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .limit(limit)
+  }
+
+  /** storage.rs:109 update_document_metadata, batched: a store
+    * DataFrame with the metadata columns of matching ids replaced
+    * (content untouched, missing ids pass through — the reference's
+    * Ok(false) arm). Point updates broadcast; see
+    * [[graft.sources.Ingest.updateMetadata]].
+    */
+  def updateDocumentMetadata(store: DataFrame, updates: DataFrame): DataFrame =
+    Ingest.updateMetadata(store, updates)
+
   def textSearch(query: String, k: Int = 20): DataFrame =
     Bm25.textSearch(spark, dir, query, k)
 

@@ -64,6 +64,24 @@ object Ingest {
       .drop("rn", "is_new")
   }
 
+  /** Metadata-only update (reference storage.rs:109
+    * update_document_metadata, batched): replace the metadata columns
+    * of matching doc_ids, leaving content and every other row
+    * untouched. The update batch is a point-update set — orders of
+    * magnitude smaller than the store — so it rides a broadcast left
+    * join; the store side stays a single pass with no shuffle.
+    */
+  def updateMetadata(store: DataFrame, updates: DataFrame,
+                     metaCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    val u = updates.select(
+      col("doc_id") +: metaCols.map(c => col(c).as(s"_u_$c")): _*)
+    store.join(broadcast(u), Seq("doc_id"), "left")
+      .select(store.columns.map {
+        case c if metaCols.contains(c) => coalesce(col(s"_u_$c"), col(c)).as(c)
+        case c => col(c)
+      }: _*)
+  }
+
   /** Zero-copy snapshot (reference advanced_storage.rs:266
     * create_backup / :307 create_checkpoint): record the store's
     * exact current FILE SET in a manifest instead of copying data —

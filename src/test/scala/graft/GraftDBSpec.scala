@@ -46,4 +46,38 @@ class GraftDBSpec extends GraftSuite {
     assert(rows(db.annSearchIvf(qid = 5, k = 7)) ==
       rows(VectorSearch.annIvf(spark, sf, qid = 5, k = 7)))
   }
+
+  test("metadata surface: exists, get, search-by, update") {
+    import org.apache.spark.sql.functions._
+    assert(db.documentExists(42) && !db.documentExists(-7))
+    val meta = db.getDocumentMetadata(42).collect()
+    assert(meta.length == 1 && meta.head.schema.fieldNames.toSeq ==
+      Seq("doc_id", "lang", "source", "n_chars"))
+    // search_by_metadata = equality-AND + limit, pushed to the scan
+    val firstLangSource = Tables.documents(spark, sf)
+      .select("lang", "source").first()
+    val (l, s) = (firstLangSource.getString(0), firstLangSource.getString(1))
+    val hits = db.searchByMetadata(Map("lang" -> l, "source" -> s), 10).collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    assert(hits.forall(r => r.getAs[String]("lang") == l && r.getAs[String]("source") == s))
+    val plan = db.searchByMetadata(Map("lang" -> l), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,"))
+    // metadata-only update: target rows get new metadata, content and
+    // other rows pass through untouched
+    val store = Tables.documents(spark, sf)
+    val updates = spark.createDataFrame(Seq((42L, "xx", "patched")))
+      .toDF("doc_id", "lang", "source")
+    val updated = db.updateDocumentMetadata(store, updates)
+    assert(updated.count() == store.count())
+    val r42 = updated.filter(col("doc_id") === 42L).collect().head
+    assert(r42.getAs[String]("lang") == "xx" && r42.getAs[String]("source") == "patched")
+    assert(r42.getAs[String]("text") ==
+      store.filter(col("doc_id") === 42L).collect().head.getAs[String]("text"))
+    val untouched = updated.filter(col("doc_id") =!= 42L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val orig = store.filter(col("doc_id") =!= 42L)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(untouched.sameElements(orig))
+  }
 }
