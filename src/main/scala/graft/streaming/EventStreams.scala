@@ -73,7 +73,8 @@ object EventStreams {
     spark.readStream
       .schema(schema)
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV: see Tables.events — double division drifts ±1µs
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 
   /** Streaming dedup-on-ingest: keep the FIRST document per content
@@ -93,6 +94,44 @@ object EventStreams {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Decontaminate-on-ingest: drop arriving documents that share any
+    * [[graft.operators.Curation.DecontN]]-token shingle with the
+    * held-out eval set — the streaming twin of
+    * [[graft.operators.Curation.decontaminate]]. Benchmark eval sets
+    * are small and static by nature, so the gate is a pure MAP:
+    * one-pass [[graft.functions.expressions.ShingleHashes]] signature
+    * extraction + `arrays_overlap` against the eval hash set riding
+    * the plan as a broadcast literal. No join, no streaming state, no
+    * watermark — the filter scales with batch size only. (At an eval
+    * set too big for a literal, the same stateless shape holds with a
+    * Bloom-filter broadcast: membership turns probabilistic, which
+    * for decontamination only ever over-removes.)
+    */
+  def decontaminateStream(docs: DataFrame, evalShingles: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), graft.operators.Curation.DecontN,
+      graft.operators.Dedup.P))
+    docs
+      .withColumn("sh", hashes)
+      .filter(!arrays_overlap(col("sh"), lit(evalShingles)))
+      .drop("sh")
+  }
+
+  /** The eval-set shingle hashes for [[decontaminateStream]], from the
+    * same split + sketch the batch operator uses.
+    */
+  def evalShingleHashes(spark: SparkSession, dir: String): Array[Long] = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), graft.operators.Curation.DecontN,
+      graft.operators.Dedup.P))
+    graft.Tables.documents(spark, dir)
+      .filter(col("doc_id") % graft.operators.Curation.EvalMod === 0)
+      .select(explode(hashes).as("h")).distinct()
+      .collect().map(_.getLong(0)).sorted
+  }
 
   /** Streaming ingest → incremental BM25 index maintenance: each
     * micro-batch of (doc_id, text) rows appends its postings to the

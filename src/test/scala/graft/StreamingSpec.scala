@@ -118,6 +118,38 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("streaming decontamination drops exactly the contaminated docs, statelessly") {
+    import graft.operators.Curation
+    val stageDir = java.nio.file.Files.createTempDirectory("docs_decont_stream")
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+    val evalHashes = EventStreams.evalShingleHashes(spark, sf)
+    assert(evalHashes.nonEmpty)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING")
+      .parquet(stageDir.toString)
+    val q = EventStreams.decontaminateStream(stream, evalHashes)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decont_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("decont_out").collect().map(_.getAs[Long]("doc_id")).toSet
+    // expected: everything except (a) train docs the batch operator
+    // flags and (b) eval-split docs that share a shingle with the eval
+    // set (trivially, themselves — the stream gates on content alone)
+    val flagged = Curation.decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val evalWithShingles = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Curation.EvalMod === 0)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= Curation.DecontN)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val all = Tables.documents(spark, sf).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == all -- flagged -- evalWithShingles)
+    // stateless contract: the sink query holds no state rows
+    assert(q.lastProgress.stateOperators.isEmpty ||
+      q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     val events = Tables.events(spark, sf).as[EventStreams.Event]
