@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bucketed store layout: the §4 claim that fact-fact joins are
+  * co-located by pre-partitioning, proven on the executed plan — a
+  * bucketed lineitem ⋈ orders join must plan ZERO exchanges below the
+  * join, while the identical join over the raw parquet shuffles both
+  * sides. Broadcast and AQE are disabled inside the test so the
+  * shuffle structure is what's compared (at 100 TB neither side of a
+  * fact-fact join broadcasts anyway).
+  */
+class StoreLayoutSpec extends GraftSuite {
+
+  test("bucketed fact tables join co-located, raw parquet shuffles both sides") {
+    dropHard("li_bucketed", "ord_bucketed")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val buckets = 8
+      Tables.lineitem(spark, sf).write
+        .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("li_bucketed")
+      Tables.orders(spark, sf).write
+        .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("ord_bucketed")
+
+      def revenueByPriority(li: org.apache.spark.sql.DataFrame,
+                            o: org.apache.spark.sql.DataFrame) =
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+               OracleNum.fx(sum(col("l_quantity"))).as("qty"))
+
+      val bucketed = revenueByPriority(
+        spark.table("li_bucketed"), spark.table("ord_bucketed"))
+      val raw = revenueByPriority(
+        Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+
+      // identical results either way (sorted here, not in the plan —
+      // a global orderBy would add a range Exchange to both counts)
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(sorted(bucketed).toSeq == sorted(raw).toSeq)
+
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+
+      // bucketed: the ONLY exchange is the tiny post-join aggregate;
+      // the join reads co-located buckets directly
+      assert(exchanges(bucketed) == 1,
+        s"bucketed join should not shuffle:\n${bucketed.queryExecution.executedPlan}")
+      // raw parquet: both join sides shuffle + the aggregate
+      assert(exchanges(raw) == 3,
+        s"raw join should shuffle both sides:\n${raw.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      dropHard("li_bucketed", "ord_bucketed")
+    }
+  }
+}
