@@ -84,11 +84,18 @@ object Curation {
     * Output is the packing manifest a downstream tokenizer consumes:
     * docs and token mass per bin with the covered id range.
     */
-  def docPack(spark: SparkSession, dir: String): DataFrame = {
+  def docPack(spark: SparkSession, dir: String): DataFrame =
+    packDocs(Tables.documents(spark, dir))
+
+  /** [[docPack]] over any (doc_id, lang, text) corpus frame — packing
+    * composes downstream of dedup/decontamination/quality gates as a
+    * plan transform (see PipelineSpec).
+    */
+  def packDocs(docs: DataFrame): DataFrame = {
     val nToks = size(split(col("text"), " ")).cast("long")
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("lang"), nToks.as("n_toks"))
       .withColumn("cum", sum(col("n_toks")).over(w))
       .withColumn("bin", floor((col("cum") - col("n_toks")).cast("double") / PackBudget).cast("long"))

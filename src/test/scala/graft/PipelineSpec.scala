@@ -36,6 +36,27 @@ class PipelineSpec extends GraftSuite {
     val nCurated = curated.count()
     assert(nCurated > 0 && nCurated < total)
 
+    // 2b. decontamination + repetition-quality gates compose the same
+    // way: tiny flagged-id sets ride broadcast anti-joins, the corpus
+    // side stays one pass
+    val contaminated = Curation.decontaminate(spark, sf).select(col("doc_id"))
+    val repetitive = Curation.textRepetition(spark, sf)
+      .filter(col("is_repetitive") === 1L).select(col("doc_id"))
+    val gated = curated
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .join(broadcast(repetitive), Seq("doc_id"), "left_anti")
+    val nGated = gated.count()
+    assert(nGated > 0 && nGated <= nCurated)
+
+    // 2c. sequence packing over the gated corpus: token mass conserved
+    // on exactly the surviving rows, bins contiguous per lang
+    val packed = Curation.packDocs(gated)
+    val packedTokens = packed.agg(sum(col("n_tokens"))).head.getLong(0)
+    val gatedTokens = gated
+      .agg(sum(size(split(col("text"), " ")).cast("long"))).head.getLong(0)
+    assert(packedTokens == gatedTokens)
+    assert(packed.agg(sum(col("n_docs"))).head.getLong(0) == nGated)
+
     // 3. chunking the curated set: every curated doc emits >= 1 chunk,
     // chunk geometry matches the standalone operator on the same rows
     val chunks = TextAnalysis.textChunk(spark, sf)
