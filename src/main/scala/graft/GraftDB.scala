@@ -127,6 +127,9 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
 
   def annSearchIvf(qid: Long = 0, k: Int = 20): DataFrame =
     VectorIndex.annIvfIndexed(spark, dir, qid, k = k)
+
+  def annSearchPq(qid: Long = 0, k: Int = 20): DataFrame =
+    VectorSearch.annPq(spark, dir, qid, k)
 }
 
 object GraftDB {

@@ -244,6 +244,73 @@ object Analytics {
        |  SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
        |FROM firsts""".stripMargin
 
+  /** Cohort-retention matrix: users are cohorted by the week of their
+    * first event (integer weeks since the corpus epoch — engine-
+    * agnostic integer arithmetic, no calendar-week convention to
+    * disagree on) and counted per (cohort_week, week_offset). Two
+    * keyed aggregations on user_id + one broadcast join of the tiny
+    * (user → cohort) relation; at scale the cohort relation is
+    * users-not-events sized and the join stays broadcast or
+    * co-partitioned on user_id with the first aggregate.
+    */
+  def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
+    val week = floor(
+      datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7).cast("long")
+    val ev = Tables.events(spark, dir).select(col("user_id"), week.as("week"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    ev.join(broadcast(cohorts), Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val eventsRetentionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id,
+       |    (date_diff('day', DATE '2024-01-01', ts::DATE) // 7)::BIGINT AS week
+       |  FROM events
+       |), cohorts AS (
+       |  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+       |)
+       |SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+       |  COUNT(DISTINCT e.user_id) AS n_active,
+       |  COUNT(*) AS n_events
+       |FROM ev e JOIN cohorts c USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Exact interpolated percentiles of event value per event type
+    * (p50/p90/p99) — the latency/engagement distribution summary of an
+    * OLAP engine. Exact `percentile` holds per-group sorted state and
+    * is the ORACLE-COMPARABLE form (DuckDB quantile_cont has identical
+    * interpolation semantics); the 100 TB path swaps in
+    * approx_percentile (t-digest sketch, map-side mergeable,
+    * bounded memory) behind the same column shape — exact-vs-sketch is
+    * a per-call choice, not a plan change.
+    */
+  def eventsQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val qs = percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           fx(avg(col("value"))).as("avg_value"),
+           fx(element_at(qs, 1)).as("p50"),
+           fx(element_at(qs, 2)).as("p90"),
+           fx(element_at(qs, 3)).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsQuantilesSql: String =
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  ${fxSql("AVG(value)")} AS avg_value,
+       |  ${fxSql("quantile_cont(value, 0.5)")} AS p50,
+       |  ${fxSql("quantile_cont(value, 0.9)")} AS p90,
+       |  ${fxSql("quantile_cont(value, 0.99)")} AS p99
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val eventsSessionSql: String =
     s"""WITH marked AS (
        |  SELECT user_id, event_id, ts, value,

@@ -163,6 +163,76 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** PII patterns (Java and RE2 compatible: char classes + bounded
+    * repetition only, no lookarounds — DuckDB's regex engine is RE2).
+    * Scala strings; render with doubled backslashes nowhere — the
+    * patterns avoid escapes except `\.` and `\b`.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "555-[0-9]{4}"
+  val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrubbing: redact emails / phone numbers / IPv4 addresses and
+    * count each category — the privacy pass every published web-scale
+    * training pipeline runs before tokenization. The synthetic corpus
+    * contains no natural PII, so the operator first derives a `dirty`
+    * column by deterministically injecting PII fragments keyed on
+    * doc_id (identically in the DuckDB oracle), then scrubs THAT —
+    * the regex surface is exercised on known-positive and
+    * known-negative rows alike. Zero-shuffle map over the corpus
+    * (counts + three chained regexp_replace passes, all codegen'd);
+    * the trailing sort is oracle-only.
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-"), (col("doc_id") % 9000 + 1000).cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10."), (col("doc_id") % 200 + 1).cast("string"),
+               lit("."), (col("doc_id") % 250).cast("string"),
+               lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("dirty"), lit(IpRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>").as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String = {
+    // RE2 in SQL string literals: DuckDB standard strings keep
+    // backslashes literal, so `\.`/`\b` pass through unescaped
+    val email = EmailRe
+    val phone = PhoneRe
+    val ip = IpRe
+    s"""WITH dirty AS (
+       |  SELECT doc_id, text
+       |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+       |    || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || (doc_id % 9000 + 1000) ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' from 10.' || (doc_id % 200 + 1) || '.' || (doc_id % 250) || '.' || (doc_id % 100) ELSE '' END
+       |    AS dirty
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(dirty, '$email'))::BIGINT AS n_emails,
+       |  len(regexp_extract_all(dirty, '$phone'))::BIGINT AS n_phones,
+       |  len(regexp_extract_all(dirty, '$ip'))::BIGINT AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace(dirty,
+       |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS scrubbed
+       |FROM dirty
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val textRepetitionSql: String = {
     val toks = tokensSql("text")
     val n = "len(toks)::DOUBLE"

@@ -257,4 +257,95 @@ object TextAnalysis {
        |FROM g
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Keywords per document to keep for [[tfidfKeywords]]. */
+  val TfidfK = 3
+
+  /** Per-document top-[[TfidfK]] TF-IDF keywords (tf * ln(N/df), the
+    * classic smooth-free form; the reference's BM25 machinery is the
+    * retrieval twin — this is its corpus-analysis counterpart used for
+    * tagging/clustering training data). Plan: one (doc_id, term)
+    * aggregation for tf; df is a term-keyed aggregate of that SAME
+    * relation broadcast back onto it (vocab ≪ corpus, so df always
+    * broadcasts); ranking is a window on doc_id — per-partition state
+    * bounded by one document's vocabulary at any corpus size. Ranking
+    * compares the fx'd BIGINT score, so rank order is identical in
+    * both engines regardless of last-ulp double jitter.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score = fx(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TfidfK)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val tfidfKeywordsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), df AS (
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+       |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf,
+       |    ${fxSql("tf::DOUBLE * ln(n_docs::DOUBLE / df)")} AS score
+       |  FROM tf JOIN df USING (term), n
+       |)
+       |SELECT doc_id, term, tf, score,
+       |  rank
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+       |  FROM scored
+       |)
+       |WHERE rank <= $TfidfK
+       |ORDER BY doc_id, rank""".stripMargin
+
+  /** Corpus n-gram rows to report for [[corpusNgrams]]. */
+  val NgramTopK = 25
+
+  /** Corpus-level bigram frequency top-k — the corpus-statistics scan
+    * behind contamination analysis, boilerplate detection and
+    * tokenizer vocabulary studies. Explode bigrams → count → top-k:
+    * the count aggregation takes map-side partials (vocabulary, not
+    * corpus, sized on the wire) and the top-k is
+    * TakeOrderedAndProject — per-partition heaps, O(k) on the driver,
+    * no global sort at any scale.
+    */
+  def corpusNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(explode(wordShingles(tokens(col("text")), 2)).as("ngram"),
+        col("doc_id"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("ngram"))
+      .limit(NgramTopK)
+
+  val corpusNgramsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, unnest(${wordShinglesSql("toks", 2)}) AS ngram FROM t
+       |)
+       |SELECT ngram, COUNT(*) AS n_occurrences,
+       |  COUNT(DISTINCT doc_id) AS n_docs
+       |FROM g
+       |GROUP BY ngram
+       |ORDER BY n_occurrences DESC, ngram
+       |LIMIT $NgramTopK""".stripMargin
 }

@@ -40,4 +40,30 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sum == 1000)
     assert(rows.forall(_.getAs[Long]("session_seq") >= 1))
   }
+
+  test("events_retention cohorts account for every event; offset 0 is each cohort's peak") {
+    val rows = Analytics.eventsRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 1000)
+    assert(rows.forall(_.getAs[Long]("week_offset") >= 0))
+    // a user is by definition active in their cohort week, so each
+    // cohort has an offset-0 row and no later offset exceeds it
+    rows.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, cohort) =>
+      val byOffset = cohort.map(r => r.getAs[Long]("week_offset") -> r.getAs[Long]("n_active")).toMap
+      assert(byOffset.contains(0L))
+      assert(byOffset.values.max == byOffset(0L))
+    }
+  }
+
+  test("events_quantiles percentiles are ordered and bracket the data") {
+    val rows = Analytics.eventsQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 1000)
+    rows.foreach { r =>
+      val (p50, p90, p99) =
+        (r.getAs[Long]("p50"), r.getAs[Long]("p90"), r.getAs[Long]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(p50 >= 0)
+    }
+  }
 }

@@ -137,4 +137,25 @@ class CurationSpec extends GraftSuite {
     assert(row.getAs[Long]("n_full_funnel") == s4)
     assert(s1 >= s2 && s2 >= s3 && s3 >= s4)
   }
+
+  test("pii_scrub redacts exactly the injected PII and nothing survives") {
+    val rows = Curation.piiScrub(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val scrubbed = r.getAs[String]("scrubbed")
+      // counts match the deterministic injection exactly
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L), s"doc $id phones")
+      assert(r.getAs[Long]("n_ips") == (if (id % 7 == 0) 1L else 0L), s"doc $id ips")
+      // redaction is total: no pattern matches the scrubbed text
+      assert(!Curation.EmailRe.r.findFirstIn(scrubbed).isDefined, s"doc $id email survived")
+      assert(!Curation.PhoneRe.r.findFirstIn(scrubbed).isDefined, s"doc $id phone survived")
+      assert(!Curation.IpRe.r.findFirstIn(scrubbed).isDefined, s"doc $id ip survived")
+      // and each injected category left its placeholder behind
+      assert(scrubbed.contains("<EMAIL>") == (id % 3 == 0), s"doc $id")
+      assert(scrubbed.contains("<PHONE>") == (id % 5 == 0), s"doc $id")
+      assert(scrubbed.contains("<IP>") == (id % 7 == 0), s"doc $id")
+    }
+  }
 }

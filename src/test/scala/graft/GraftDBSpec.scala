@@ -45,6 +45,8 @@ class GraftDBSpec extends GraftSuite {
       rows(VectorSearch.annLsh(spark, sf, nQueries = 4, k = 3)))
     assert(rows(db.annSearchIvf(qid = 5, k = 7)) ==
       rows(VectorSearch.annIvf(spark, sf, qid = 5, k = 7)))
+    assert(rows(db.annSearchPq(qid = 3, k = 9)) ==
+      rows(VectorSearch.annPq(spark, sf, qid = 3, k = 9)))
   }
 
   test("metadata surface: exists, get, search-by, update") {

@@ -127,4 +127,50 @@ class TextAnalysisSpec extends GraftSuite {
       assert(P.compute(junk).getLong(P.Kind) == -1)
     }
   }
+
+  /** Reference tokenizer in Scala for oracle-free spot checks. */
+  private def toks(text: String): Seq[String] =
+    text.toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").toSeq
+      .filter(t => t.length > 1 && !graft.functions.TextFunctions.StopWords.contains(t))
+
+  test("tfidf_keywords ranks per-doc terms by tf*ln(N/df), ranks dense from 1") {
+    val rows = TextAnalysis.tfidfKeywords(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val ranks = rs.map(_.getAs[Long]("rank")).toSeq.sorted
+      assert(ranks == (1L to ranks.length), s"doc $id ranks $ranks")
+      assert(ranks.length <= TextAnalysis.TfidfK)
+      val scores = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("score")).toSeq
+      assert(scores == scores.sortBy(-_), s"doc $id scores not descending")
+    }
+    // keywords are really the document's own tokens
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.take(20).foreach { case (id, rs) =>
+      val vocab = toks(docs(id)).toSet
+      rs.foreach(r => assert(vocab(r.getAs[String]("term")), s"doc $id term ${r.get(1)}"))
+    }
+  }
+
+  test("corpus_ngrams matches an exact in-memory bigram count, tie-broken by ngram") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val counts = scala.collection.mutable.Map[String, (Long, Set[Long])]()
+    docs.foreach { case (id, text) =>
+      val t = toks(text)
+      t.sliding(2).filter(_.size == 2).map(_.mkString(" ")).foreach { g =>
+        val (n, ids) = counts.getOrElse(g, (0L, Set.empty[Long]))
+        counts(g) = (n + 1, ids + id)
+      }
+    }
+    val expected = counts.toSeq
+      .map { case (g, (n, ids)) => (g, n, ids.size.toLong) }
+      .sortBy { case (g, n, _) => (-n, g) }
+      .take(TextAnalysis.NgramTopK)
+    val got = TextAnalysis.corpusNgrams(spark, sf).collect()
+      .map(r => (r.getAs[String]("ngram"), r.getAs[Long]("n_occurrences"), r.getAs[Long]("n_docs")))
+      .toSeq
+    assert(got == expected)
+  }
 }

@@ -145,4 +145,36 @@ class VectorSearchSpec extends GraftSuite {
     // bucketed probe recovers a nonzero share of true top-5
     assert((brute intersect lsh).nonEmpty)
   }
+
+  test("ann_pq ADC+rescore recovers exact-L2 neighbors, distances ascending") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.l2DistanceSq
+    val rows = VectorSearch.annPq(spark, sf, qid = 0, k = 20).collect()
+    assert(rows.length == 20)
+    assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+    val dists = rows.map(_.getAs[Long]("dist")).toSeq
+    assert(dists == dists.sorted)
+    // recall vs the exact-L2 brute-force twin (PQ approximates L2, so
+    // that — not cosine — is the right oracle)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    val brute = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2DistanceSq(col("emb"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val got = rows.map(_.getAs[Long]("vec_id")).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    println(f"[ann-recall] pq=$recall%.3f (floor 0.7)")
+    // measured 0.90 on this near-random corpus (ADC-only was 0.50:
+    // the rescore pass is what buys the headroom)
+    assert(recall >= 0.7, f"pq recall $recall%.3f under floor")
+  }
+
+  test("ann_pq plans broadcasts only: the corpus never shuffles") {
+    val plan = VectorSearch.annPq(spark, sf).queryExecution.executedPlan.toString
+    val shuffles = "(?m)^.*ShuffleExchange.*$".r.findAllIn(plan).toList
+    assert(shuffles.isEmpty, s"unexpected corpus shuffle:\n${shuffles.mkString("\n")}")
+  }
 }
