@@ -536,3 +536,51 @@ object RepetitionStats {
       Array(n.toLong, tf.size.toLong, maxTf, nBi.toLong, bi.size.toLong))
   }
 }
+
+/** All word n-gram shingles of a text as STRINGS, duplicates kept in
+  * order — the corpus-frequency counterpart of [[ShingleHashes]]
+  * (which dedupes per doc for set-overlap semantics). One tokenizer
+  * pass + one StringBuilder per shingle; replaces the interpreted
+  * transform/slice/array_join HOF chain whose per-row re-evaluation
+  * under Generate made the exploded form quadratic per document.
+  * Identical output to TextFunctions.wordShingles(tokens(text), n)
+  * (spec-enforced).
+  */
+case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleStrings.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.ShingleStrings.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def compute(text: UTF8String, n: Int): GenericArrayData = {
+    val toks = Tok.tokens(text.toString)
+    val nSh = toks.size - (n - 1)
+    if (nSh <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nSh)
+    var i = 0
+    while (i < nSh) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -40,6 +40,20 @@ class NativeExpressionPropertySpec extends GraftSuite {
     assert(viaColumn.toSeq == viaJvm)
   }
 
+  test("ShingleStrings matches the relational wordShingles(tokens) form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val viaRelational = samples.toDF("text")
+      .select(graft.functions.TextFunctions.wordShingles(
+        graft.functions.TextFunctions.tokens(col("text")), 2).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    val viaNative = samples.toDF("text")
+      .select(column(graft.functions.expressions.ShingleStrings(
+        expression(col("text")), 2)).as("g"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(viaNative.toSeq == viaRelational.toSeq)
+  }
+
   test("GramFingerprint matches a naive polynomial reference") {
     samples.filter(_.nonEmpty).foreach { s =>
       val got = GramFingerprint.compute(UTF8String.fromString(s)).toLongArray()
