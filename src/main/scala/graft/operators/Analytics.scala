@@ -311,6 +311,46 @@ object Analytics {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Daily time-series rollup with a trailing 7-row moving average
+    * and day-over-day delta per event type — the windowed-frame OLAP
+    * shape (moving aggregates over an ordered series) the rest of the
+    * surface doesn't exercise. One groupBy to daily grain, then one
+    * window pass per type partition (both windows share the same
+    * partitioning+ordering, so Spark plans ONE sort/exchange); at
+    * scale the daily relation is days x types sized — trivially
+    * partitioned by type. The frame is row-based over the daily
+    * series (equal to calendar days on gapless data; a RANGE frame is
+    * the gap-robust swap-in).
+    */
+  def eventsRolling(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"), fx(sum(col("value")), 2).as("sum_value"))
+    val ordered = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val trailing7 = ordered.rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", fx(avg(col("n_events")).over(trailing7)))
+      .withColumn("delta",
+        col("n_events") - coalesce(lag(col("n_events"), 1).over(ordered), col("n_events")))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsRollingSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+       |    COUNT(*) AS n_events, ${fxSql("SUM(value)", 2)} AS sum_value
+       |  FROM events GROUP BY 1, 2
+       |)
+       |SELECT event_type, day, n_events, sum_value,
+       |  ${fxSql("AVG(n_events) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")} AS ma7,
+       |  (n_events - COALESCE(lag(n_events) OVER (PARTITION BY event_type ORDER BY day), n_events))::BIGINT AS delta
+       |FROM daily
+       |ORDER BY event_type, day""".stripMargin
+
   val eventsSessionSql: String =
     s"""WITH marked AS (
        |  SELECT user_id, event_id, ts, value,

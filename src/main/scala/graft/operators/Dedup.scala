@@ -657,6 +657,39 @@ object Dedup {
        |GROUP BY node
        |ORDER BY doc_id""".stripMargin
 
+  /** Connected components over the EMBEDDING near-dup pairs — the
+    * semantic twin of [[clusters]]: the same min-label propagation
+    * resolves hyperplane-bucketed cosine pairs into keep/drop groups
+    * (the cluster step of embedding-based corpus dedup, SemDeDup-style,
+    * over the reference's dense-vector identity surface). Shares every
+    * scale property of the lexical path: bucketed pair generation, one
+    * keyed join + aggregate per round, rounds = component diameter.
+    */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(embeddingPairs(spark, dir).select(col("id1"), col("id2")))
+      .select(col("node").as("vec_id"), col("label").as("keep_id"),
+        (col("node") =!= col("label")).cast("long").as("is_dup"))
+      .orderBy(col("vec_id"))
+
+  def semanticClustersSql(): String =
+    s"""WITH pairs0 AS (
+       |  ${embeddingPairsSql().replace("\n", "\n  ")}
+       |), edges AS (
+       |  SELECT id1 AS a, id2 AS b FROM pairs0
+       |  UNION SELECT id2, id1 FROM pairs0
+       |), reach AS (
+       |  WITH RECURSIVE r(node, root) AS (
+       |    SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |    UNION
+       |    SELECT e.b, r.root FROM r JOIN edges e ON e.a = r.node
+       |  ) SELECT * FROM r
+       |)
+       |SELECT node AS vec_id, MIN(root) AS keep_id,
+       |  (node <> MIN(root))::BIGINT AS is_dup
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY vec_id""".stripMargin
+
   // ---- embedding cosine near-dup ----
 
   /** Number of extra hyperplanes salting over-cap embedding buckets:

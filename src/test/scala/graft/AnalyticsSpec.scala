@@ -55,6 +55,24 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("events_rolling daily series: totals conserved, ma7 tracks the trailing window") {
+    val rows = Analytics.eventsRolling(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 1000)
+    // recompute ma7/delta from the daily series per type
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getAs[Long]("day"))
+      series.zipWithIndex.foreach { case (r, i) =>
+        val window = series.slice(math.max(0, i - 6), i + 1).map(_.getAs[Long]("n_events"))
+        val expMa = math.floor(window.sum.toDouble / window.length * 10000 + 0.5).toLong
+        assert(r.getAs[Long]("ma7") == expMa, s"ma7 at index $i")
+        val expDelta = if (i == 0) 0L
+          else r.getAs[Long]("n_events") - series(i - 1).getAs[Long]("n_events")
+        assert(r.getAs[Long]("delta") == expDelta, s"delta at index $i")
+      }
+    }
+  }
+
   test("events_quantiles percentiles are ordered and bracket the data") {
     val rows = Analytics.eventsQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -99,4 +99,21 @@ class DedupSpec extends GraftSuite {
     }
     assert(rows.map(_.getAs[Long]("keep_id")).toSet.subsetOf(label.keySet))
   }
+
+  test("semantic clusters resolve embedding pairs into keep/drop components") {
+    val pairs = Dedup.embeddingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+    val rows = Dedup.semanticClusters(spark, sf).collect()
+    val label = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("keep_id")).toMap
+    // every paired vector is labeled, endpoints share a component, and
+    // the label is the component minimum (never above either endpoint)
+    pairs.foreach { case (a, b) =>
+      assert(label.contains(a) && label.contains(b), s"pair ($a,$b) unlabeled")
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      assert(label(a) <= math.min(a, b))
+    }
+    rows.foreach { r =>
+      assert((r.getAs[Long]("is_dup") == 1L) == (r.getAs[Long]("vec_id") != r.getAs[Long]("keep_id")))
+    }
+  }
 }
