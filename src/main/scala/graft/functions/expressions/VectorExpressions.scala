@@ -156,3 +156,54 @@ case class DotProd(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Fused random-hyperplane LSH signature: bit j of the result is the
+  * sign of the projection of the vector onto plane j. The relational
+  * form (one aggregate/zip_with HOF chain PER PLANE) crosses an
+  * interpreted lambda per element per plane — 16 planes x 64 dims
+  * made cold LSH banding the slowest map on the corpus (12.8s cold
+  * at sf0.1); this is one generated nested loop inside whole-stage
+  * codegen. Accumulation is d=0..dim-1 sequential with the +-1 plane
+  * entry applied as a double multiply — bit-identical to the HOF
+  * formulation and the DuckDB oracle's list_dot_product.
+  *
+  * Planes ride the expression node itself (driver-built literal
+  * matrix, see VectorSearch.lshPlanes) and reach generated code via
+  * addReferenceObj.
+  */
+case class HyperplaneSig(child: Expression, planes: Seq[Seq[Int]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  private lazy val planeArr: Array[Array[Int]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.compute(input.asInstanceOf[ArrayData], planeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "int[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.HyperplaneSig.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  def compute(v: ArrayData, planes: Array[Array[Int]]): Long = {
+    var sig = 0L
+    var j = 0
+    while (j < planes.length) {
+      val plane = planes(j)
+      val n = math.min(v.numElements(), plane.length)
+      var dot = 0.0
+      var d = 0
+      while (d < n) { dot += v.getDouble(d) * plane(d).toDouble; d += 1 }
+      if (dot > 0.0) sig |= 1L << j
+      j += 1
+    }
+    sig
+  }
+}

@@ -574,7 +574,27 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val fwd = pairs.select(col("id1").as("a"), col("id2").as("b"))
+    // AQE OFF for the propagation loop: adaptive re-planning defeats
+    // cached-iterate reuse in iterative plans (each check re-executed
+    // the whole lineage instead of reading the persisted previous
+    // round — measured 4-5s per check vs 0.6-0.8s without AQE on the
+    // same tiny graph), and its per-job replanning adds nothing to
+    // fixed 32-partition rounds over node-count-sized relations. The
+    // session value is restored before returning; the emitted plan is
+    // a cache read and executes fine either way.
+    val session = pairs.sparkSession
+    val AqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = session.conf.get(AqeKey, "true")
+    session.conf.set(AqeKey, "false")
+    try {
+    // persist AND eagerly materialize the input: edges unions the pair
+    // relation with its own reversal, and a lazily-cached expensive
+    // subtree (LSH banding + salted self-join for the embedding path)
+    // is computed CONCURRENTLY by both union branches before the cache
+    // lands — the count pins it once, everything downstream reads cache
+    val p = pairs.persist(lvl)
+    p.count()
+    val fwd = p.select(col("id1").as("a"), col("id2").as("b"))
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist(lvl)
@@ -620,7 +640,9 @@ object Dedup {
         s"connectedComponents did not converge within ${2 * maxIters} rounds; " +
           "raise maxIters for graphs with component diameter beyond that")
     edges.unpersist()
+    p.unpersist()
     labels
+    } finally session.conf.set(AqeKey, prevAqe)
   }
 
   /** Near-duplicate clusters from the verified minhash pairs: each

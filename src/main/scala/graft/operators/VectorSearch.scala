@@ -251,6 +251,19 @@ object VectorSearch {
     * signature = sign of the projection onto hyperplane j.
     */
   def lshBucket(emb: Column, planes: Array[Array[Int]]): Column = {
+    // native fused expression: the relational HOF form below crossed
+    // an interpreted lambda per element PER PLANE (16 planes x 64 dims
+    // made cold LSH banding a 12.8s map at sf0.1); parity with it is
+    // spec-enforced bit-for-bit
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.expressions.HyperplaneSig(
+      expression(emb), planes.map(_.toSeq).toSeq))
+  }
+
+  /** The relational HOF twin of [[lshBucket]], kept as the parity
+    * oracle for the native expression (NativeExpressionPropertySpec).
+    */
+  private[graft] def lshBucketRelational(emb: Column, planes: Array[Array[Int]]): Column = {
     val bits = planes.zipWithIndex.map { case (plane, j) =>
       val proj = aggregate(
         zip_with(emb, lit(plane), (x, s) => x * s.cast("double")),

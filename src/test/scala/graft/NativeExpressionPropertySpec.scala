@@ -40,6 +40,21 @@ class NativeExpressionPropertySpec extends GraftSuite {
     assert(viaColumn.toSeq == viaJvm)
   }
 
+  test("HyperplaneSig matches the relational per-plane HOF signature") {
+    import graft.operators.VectorSearch
+    val planes = VectorSearch.lshPlanes(64, 16)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val native = vecs.select(col("vec_id"),
+        VectorSearch.lshBucket(col("emb"), planes).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val relational = vecs.select(col("vec_id"),
+        VectorSearch.lshBucketRelational(col("emb"), planes).cast("long").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == relational)
+    assert(native.values.toSet.size > 1) // signatures actually spread
+  }
+
   test("ShingleStrings matches the relational wordShingles(tokens) form") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
