@@ -186,6 +186,78 @@ object VectorIndex {
       .limit(k)
   }
 
+  /** Build (or rebuild) the PQ codes layout: the corpus encoded to
+    * [[VectorSearch.PqM]] sub-centroid codes per vector — the
+    * persisted form of [[VectorSearch.annPq]]'s encode pass. The codes
+    * table (vec_id + 16 byte-ish code columns, ~10 bytes/vector — the
+    * ~25x compression that makes a 100 TB embedding corpus servable)
+    * is the layout; the one-row codebook is saved alongside as
+    * `<path>_books`. Full vectors are NOT in the layout: only the
+    * rescore pass touches them, [[VectorSearch.PqCoarseK]] rows per
+    * query read back from the flat table.
+    */
+  def buildPqIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import VectorSearch.{PqM, PqSubDim, PqK, PqStride}
+    def nearestCentroid(emb: org.apache.spark.sql.Column,
+                        cents: org.apache.spark.sql.Column) =
+      column(graft.functions.expressions.NearestCentroid(
+        expression(emb), expression(cents)))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    def sub(m: Int, e: org.apache.spark.sql.Column) =
+      slice(e, m * PqSubDim + 1, PqSubDim)
+    val bookCols = (0 until PqM).map { m =>
+      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
+        sub(m, col("emb")).as("cemb"))).as(s"book$m")
+    }
+    val books = corpus
+      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
+      .agg(bookCols.head, bookCols.tail: _*)
+    books.coalesce(1).write.mode("overwrite").parquet(path + "_books")
+    corpus.crossJoin(broadcast(books))
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        nearestCentroid(sub(m, col("emb")), col(s"book$m")).cast("int").as(s"code$m")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** PQ-ADC ANN served from the persisted codes layout: identical
+    * results to [[VectorSearch.annPq]] (same codebook, same ADC
+    * arithmetic — the inline twin's oracle is shared). The coarse pass
+    * reads ONLY the codes table; the exact-L2 rescore joins the
+    * [[VectorSearch.PqCoarseK]] surviving ids back against the flat
+    * vector table (row-group-prunable point reads at scale).
+    */
+  def annPqFromIndex(spark: SparkSession, dir: String, path: String,
+                     queries: DataFrame, qid: Long = 0, k: Int = 20,
+                     coarseK: Int = VectorSearch.PqCoarseK): DataFrame = {
+    import VectorSearch.{PqM, PqSubDim}
+    val books = spark.read.parquet(path + "_books")
+    val codes = spark.read.parquet(path)
+    val qv = queries.filter(col("query_id") === qid).select(col("qv"))
+    def sub(m: Int, e: org.apache.spark.sql.Column) =
+      slice(e, m * PqSubDim + 1, PqSubDim)
+    val adcCols = (0 until PqM).map { m =>
+      transform(array_sort(col(s"book$m")),
+        c => l2DistanceSq(sub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
+    }
+    val adc = qv.crossJoin(broadcast(books)).select(adcCols: _*)
+    val adcDist = (0 until PqM).map(m =>
+      element_at(col(s"adc$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val coarse = codes.crossJoin(broadcast(adc))
+      .filter(col("vec_id") =!= qid)
+      .select(col("vec_id"), fx(adcDist).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(coarseK)
+    val full = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    full.join(broadcast(coarse), Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), fx(l2DistanceSq(col("emb"), col("qv"))).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Deterministic per-SF index location (content is a pure function
     * of the table directory, so a prebuilt layout is reusable across
     * sessions — the load_index path). The path embeds a stamp of the
@@ -267,11 +339,21 @@ object VectorIndex {
     }
   }
 
-  /** Force-rebuild both persisted layouts (lib.rs:560 rebuild_index). */
+  /** Force-rebuild all persisted layouts (lib.rs:560 rebuild_index). */
   def rebuildIndexes(spark: SparkSession, dir: String): Unit = {
     rebuildStaged(indexPath(dir, "lsh"), Seq(""))(buildLshIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "ivf"), Seq("_centroids", ""))(
       buildIvfIndex(spark, dir, _))
+    rebuildStaged(indexPath(dir, "pq"), Seq("_books", ""))(
+      buildPqIndex(spark, dir, _))
+  }
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
+                   k: Int = 20): DataFrame = {
+    val path = indexPath(dir, "pq")
+    buildIfMissing(path, Seq("_books", ""))(buildPqIndex(spark, dir, _))
+    annPqFromIndex(spark, dir, path, queryBatch(spark, dir, qid.toInt + 1), qid, k)
   }
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */

@@ -44,6 +44,19 @@ class VectorIndexSpec extends GraftSuite {
     assert(plan.contains("dynamicpruning"), s"no DPP on cell join:\n$plan")
   }
 
+  test("PQ codes layout serves the exact annPq results without storing vectors") {
+    val path = tmpDir("graft_pq_idx")
+    VectorIndex.buildPqIndex(spark, sf, path)
+    val served = VectorIndex.annPqFromIndex(spark, sf, path,
+      VectorIndex.queryBatch(spark, sf, 1))
+    assert(rows(served) == rows(VectorSearch.annPq(spark, sf)))
+    // the layout holds vec_id + one code column per subspace and NO
+    // embeddings — the ~25x compression is the point of the index
+    val schema = spark.read.parquet(path).schema.fieldNames.toSet
+    assert(schema == (Set("vec_id") ++ (0 until VectorSearch.PqM).map(m => s"code$m")),
+      s"unexpected layout schema: $schema")
+  }
+
   test("rebuild overwrites the layout in place (rebuild_index contract)") {
     val path = tmpDir("graft_lsh_rebuild")
     VectorIndex.buildLshIndex(spark, sf, path)
