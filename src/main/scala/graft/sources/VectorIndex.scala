@@ -53,10 +53,15 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
-  /** Build (or rebuild, mode=overwrite) the LSH-partitioned layout. */
+  /** Build (or rebuild, mode=overwrite) the LSH-partitioned layout.
+    * `gen` 0 marks base-build rows; streaming maintenance
+    * ([[graft.streaming.EventStreams.vectorIndexStream]]) appends
+    * later generations into the same bucket directories.
+    */
   def buildLshIndex(spark: SparkSession, dir: String, path: String): Unit = {
     val planes = VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes)
     Tables.embeddings(spark, dir)
+      .withColumn("gen", lit(0L))
       .withColumn("bucket",
         VectorSearch.lshBucket(toDouble(col("embedding")), planes).cast("int"))
       // co-locate each bucket before the partitioned write: one file

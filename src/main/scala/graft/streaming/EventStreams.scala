@@ -166,4 +166,36 @@ object EventStreams {
             batch.select(col("doc_id"), col("text")), gen = gen)
       }
       .start()
+
+  /** Streaming maintenance of the persisted LSH vector index
+    * (query.rs:282 save_index + lib.rs add_document, incremental
+    * form): each micro-batch of (vec_id, embedding) rows is signed
+    * with the SAME hyperplane family as the base build and appended
+    * into the bucket-partitioned layout — new vectors land in the
+    * directories probes already dynamic-prune to, so serving needs no
+    * rebuild and no reader coordination (parquet appends are
+    * job-atomic new files). Same effectively-once contract as
+    * [[indexStream]]: batchId-derived generations, replays detected
+    * by generation presence and skipped.
+    */
+  def vectorIndexStream(vecs: DataFrame, path: String,
+                        baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        val planes = graft.operators.VectorSearch.lshPlanes(
+          64, graft.operators.VectorSearch.AnnLshPlanes)
+        val replayed = !spark.read.parquet(path)
+          .filter(col("gen") === gen).isEmpty
+        if (!replayed)
+          batch
+            .select(col("vec_id"), col("embedding"), lit(gen).as("gen"))
+            .withColumn("bucket", graft.operators.VectorSearch.lshBucket(
+              col("embedding").cast("array<double>"), planes).cast("int"))
+            .repartition(col("bucket"))
+            .write.mode("append").partitionBy("bucket").parquet(path)
+      }
+      .start()
 }

@@ -161,4 +161,35 @@ class StreamingSpec extends GraftSuite {
     assert(sessions.length <= batchSessions.length)
     assert(sessions.forall(_.n_events > 0))
   }
+
+  test("streamed vectors become searchable through incremental LSH index maintenance") {
+    import graft.sources.VectorIndex
+    val idxPath = java.nio.file.Files.createTempDirectory("vidx_stream").toString + "/lsh"
+    VectorIndex.buildLshIndex(spark, sf, idxPath)
+    val maxId = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head.getLong(0)
+    // a new vector IDENTICAL to vec 0's embedding: it signs into the
+    // same bucket (radius-0 probe) and scores cosine 1.0 for query 0,
+    // so it MUST surface as the top hit once its append lands
+    val stageDir = java.nio.file.Files.createTempDirectory("vecs_stream")
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.vectorIndexStream(newStream(), idxPath)
+    q.processAllAvailable(); q.stop()
+    val served = VectorIndex.annLshFromIndex(spark, idxPath,
+        VectorIndex.queryBatch(spark, sf, 1)).collect()
+    val top = served.filter(_.getAs[Long]("rank") == 1L).map(_.getAs[Long]("vec_id"))
+    assert(top.headOption.contains(maxId + 1),
+      s"streamed vector not served: ${served.map(_.getAs[Long]("vec_id")).toSeq}")
+    // replay safety: a restarted stream re-delivers batch 0; the
+    // generation check must skip it, leaving the layout file-identical
+    val nRows = spark.read.parquet(idxPath).count()
+    val q2 = EventStreams.vectorIndexStream(newStream(), idxPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(idxPath).count() == nRows,
+      "replayed batch appended duplicate vectors")
+  }
 }
