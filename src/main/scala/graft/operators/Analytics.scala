@@ -244,6 +244,69 @@ object Analytics {
        |  SUM(CASE WHEN t1 IS NOT NULL AND t2 > t1 AND t3 > t2 AND t4 > t3 THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
        |FROM firsts""".stripMargin
 
+  /** Pricing summary with ROLLUP subtotals (grouping-sets execution —
+    * the OLAP cube/subtotal shape): per (flag, status), per flag, and
+    * grand total in ONE aggregation pass (Spark plans Expand + a
+    * single hash aggregate, not three scans). Rollup null keys are
+    * coalesced to 'ALL' — group keys are never null in the data, so
+    * the marker is unambiguous and both engines agree.
+    */
+  def q1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("count_order"),
+           fx(sum(col("l_quantity"))).as("sum_qty"),
+           fx(avg(col("l_discount"))).as("avg_disc"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("count_order"), col("sum_qty"), col("avg_disc"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  val q1RollupSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+       |  COUNT(*) AS count_order,
+       |  ${fxSql("SUM(l_quantity)")} AS sum_qty,
+       |  ${fxSql("AVG(l_discount)")} AS avg_disc
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Customers with no URGENT-priority order, summarized by market
+    * segment (TPC-H Q22 shape): the ANTI-JOIN anchor of the
+    * relational core. The priority filter pushes into the orders scan
+    * BEFORE the key-distinct, the surviving key relation broadcasts
+    * (customer-count sized, not order-count sized); at fact-vs-fact
+    * scale the anti-join shuffles on the key like any equi-join —
+    * never a NOT IN subquery rewrite into a nested loop. (Plain
+    * "no orders at all" is empty in this generator — every customer
+    * orders — so the filtered form keeps the oracle discriminating.)
+    */
+  def custWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    cust.join(broadcast(urgent), cust("c_custkey") === urgent("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           fx(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val custWithoutOrdersSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${fxSql("AVG(c_acctbal)", 2)} AS avg_acctbal
+       |FROM customer c
+       |WHERE NOT EXISTS (SELECT 1 FROM orders o
+       |                  WHERE o.o_custkey = c.c_custkey
+       |                    AND o.o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   /** Cohort-retention matrix: users are cohorted by the week of their
     * first event (integer weeks since the corpus epoch — engine-
     * agnostic integer arithmetic, no calendar-week convention to

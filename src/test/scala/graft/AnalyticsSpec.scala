@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Analytics
+import org.apache.spark.sql.functions.col
 
 class AnalyticsSpec extends GraftSuite {
 
@@ -39,6 +40,33 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.nonEmpty)
     assert(rows.map(_.getAs[Long]("n_events")).sum == 1000)
     assert(rows.forall(_.getAs[Long]("session_seq") >= 1))
+  }
+
+  test("q1_rollup subtotals are consistent at every grouping level") {
+    val rows = Analytics.q1Rollup(spark, sf).collect()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getString(1))
+    val leaf = rows.filter(r => key(r)._1 != "ALL" && key(r)._2 != "ALL")
+    val flagTotals = rows.filter(r => key(r)._1 != "ALL" && key(r)._2 == "ALL")
+    val grand = rows.filter(r => key(r) == ("ALL", "ALL"))
+    assert(grand.length == 1 && leaf.nonEmpty && flagTotals.nonEmpty)
+    val leafSum = leaf.map(_.getAs[Long]("count_order")).sum
+    assert(grand.head.getAs[Long]("count_order") == leafSum)
+    flagTotals.foreach { ft =>
+      val expect = leaf.filter(r => key(r)._1 == key(ft)._1)
+        .map(_.getAs[Long]("count_order")).sum
+      assert(ft.getAs[Long]("count_order") == expect, s"subtotal for ${key(ft)._1}")
+    }
+  }
+
+  test("q_antijoin keeps exactly the customers with no urgent order") {
+    val urgentCust = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val nCust = Tables.customer(spark, sf).count()
+    val expected = nCust - Tables.customer(spark, sf)
+      .filter(col("c_custkey").isin(urgentCust.toSeq: _*)).count()
+    val rows = Analytics.custWithoutOrders(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == expected)
   }
 
   test("events_retention cohorts account for every event; offset 0 is each cohort's peak") {
