@@ -233,6 +233,91 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** The end-to-end curation decision — every gate of the corpus
+    * pipeline composed into ONE plan, emitting the keep/drop verdict
+    * and the first matching drop reason per document:
+    * eval split (held out of training) → exact duplicate (not its
+    * content-hash group's minimum) → near duplicate (not its minhash
+    * cluster's keep) → contaminated (shares a 4-shingle with the eval
+    * split) → repetitive (Gopher gates) → kept. This is the query a
+    * 100 TB curation run actually materializes; every flag relation
+    * is docs-with-that-defect sized and rides a broadcast left join
+    * onto the one corpus pass (the label-propagation rounds inside
+    * the near-dup arm are the only iterative piece).
+    */
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hash60(col("text")).as("h"))
+    val keepPerHash = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exactDup = docs.join(keepPerHash, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(1L).as("f_exact"))
+    val nearDup = Dedup.clusters(spark, dir)
+      .filter(col("is_dup") === 1L)
+      .select(col("doc_id"), lit(1L).as("f_near"))
+    val contaminated = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("f_cont"))
+    val repetitive = textRepetition(spark, dir)
+      .filter(col("is_repetitive") === 1L)
+      .select(col("doc_id"), lit(1L).as("f_rep"))
+    val reason = when(col("doc_id") % EvalMod === 0, "eval")
+      .when(col("f_exact").isNotNull, "exact_dup")
+      .when(col("f_near").isNotNull, "near_dup")
+      .when(col("f_cont").isNotNull, "contaminated")
+      .when(col("f_rep").isNotNull, "repetitive")
+      .otherwise("kept")
+    docs.select(col("doc_id"))
+      .join(broadcast(exactDup), Seq("doc_id"), "left")
+      .join(broadcast(nearDup), Seq("doc_id"), "left")
+      .join(broadcast(contaminated), Seq("doc_id"), "left")
+      .join(broadcast(repetitive), Seq("doc_id"), "left")
+      .select(col("doc_id"), reason.as("reason"))
+      .withColumn("kept", (col("reason") === "kept").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  // lazy: composes textRepetitionSql, declared later in this object —
+  // a strict val would capture it before initialization (null)
+  lazy val curateCorpusSql: String = {
+    val h = hash60Sql("text")
+    s"""WITH hashed AS (
+       |  SELECT doc_id, $h AS h FROM documents
+       |), e AS (
+       |  SELECT d.doc_id FROM hashed d
+       |  JOIN (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h) m USING (h)
+       |  WHERE d.doc_id <> m.keep_id
+       |), nd AS (
+       |  SELECT doc_id FROM (
+       |  ${Dedup.clustersSql().replace("\n", "\n  ")}
+       |  ) WHERE is_dup = 1
+       |), cont AS (
+       |  SELECT doc_id FROM (
+       |  ${decontaminateSql.replace("\n", "\n  ")}
+       |  )
+       |), rep AS (
+       |  SELECT doc_id FROM (
+       |  ${textRepetitionSql.replace("\n", "\n  ")}
+       |  ) WHERE is_repetitive = 1
+       |), verdict AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % $EvalMod = 0 THEN 'eval'
+       |         WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+       |         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+       |         WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+       |         WHEN rep.doc_id IS NOT NULL THEN 'repetitive'
+       |         ELSE 'kept' END AS reason
+       |  FROM documents d
+       |  LEFT JOIN e ON e.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id
+       |)
+       |SELECT doc_id, reason, (reason = 'kept')::BIGINT AS kept
+       |FROM verdict
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val textRepetitionSql: String = {
     val toks = tokensSql("text")
     val n = "len(toks)::DOUBLE"

@@ -138,6 +138,34 @@ class CurationSpec extends GraftSuite {
     assert(s1 >= s2 && s2 >= s3 && s3 >= s4)
   }
 
+  test("corpus_curate verdicts match the independently-computed gate sets with precedence") {
+    import graft.operators.Dedup
+    val nearDup = Dedup.clusters(spark, sf).filter(col("is_dup") === 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = Curation.decontaminate(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val repetitive = Curation.textRepetition(spark, sf)
+      .filter(col("is_repetitive") === 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val rows = Curation.curateCorpus(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected =
+        if (id % Curation.EvalMod == 0) "eval"
+        // no exact dups exist in this corpus (spec'd by dedup_exact
+        // n_copies == 1 everywhere), so the arm can't fire here
+        else if (nearDup(id)) "near_dup"
+        else if (contaminated(id)) "contaminated"
+        else if (repetitive(id)) "repetitive"
+        else "kept"
+      assert(r.getAs[String]("reason") == expected, s"doc $id")
+      assert((r.getAs[Long]("kept") == 1L) == (expected == "kept"))
+    }
+    val kept = rows.count(_.getAs[Long]("kept") == 1L)
+    assert(kept > 0 && kept < 500)
+  }
+
   test("pii_scrub redacts exactly the injected PII and nothing survives") {
     val rows = Curation.piiScrub(spark, sf).collect()
     assert(rows.length == 500)
