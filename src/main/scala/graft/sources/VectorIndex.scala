@@ -220,8 +220,9 @@ object VectorIndex {
       .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
       .agg(bookCols.head, bookCols.tail: _*)
     books.coalesce(1).write.mode("overwrite").parquet(path + "_books")
+    // gen 0 = base build; pqIndexStream appends later generations
     corpus.crossJoin(broadcast(books))
-      .select(col("vec_id") +: (0 until PqM).map(m =>
+      .select(col("vec_id") +: lit(0L).as("gen") +: (0 until PqM).map(m =>
         nearestCentroid(sub(m, col("emb")), col(s"book$m")).cast("int").as(s"code$m")): _*)
       .write.mode("overwrite").parquet(path)
   }

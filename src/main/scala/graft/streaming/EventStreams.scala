@@ -178,6 +178,40 @@ object EventStreams {
     * [[indexStream]]: batchId-derived generations, replays detected
     * by generation presence and skipped.
     */
+  /** Streaming maintenance of the persisted PQ codes layout: each
+    * micro-batch is encoded against the SAVED codebook (read back per
+    * batch — one row, KB-scale) and its codes appended; the serving
+    * path's coarse ADC pass picks new vectors up with no rebuild.
+    * Codebook drift is the operator's call (reference rebuild_index
+    * contract): codes are exact for whatever codebook is live, and a
+    * periodic rebuildIndexes refreshes both together.
+    */
+  def pqIndexStream(vecs: DataFrame, path: String,
+                    baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        import graft.operators.VectorSearch.{PqM, PqSubDim}
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        val replayed = !spark.read.parquet(path)
+          .filter(col("gen") === gen).isEmpty
+        if (!replayed) {
+          val books = spark.read.parquet(path + "_books")
+          batch
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+            .crossJoin(broadcast(books))
+            .select(col("vec_id") +: lit(gen).as("gen") +: (0 until PqM).map { m =>
+              column(graft.functions.expressions.NearestCentroid(
+                expression(slice(col("emb"), m * PqSubDim + 1, PqSubDim)),
+                expression(col(s"book$m")))).cast("int").as(s"code$m")
+            }: _*)
+            .write.mode("append").parquet(path)
+        }
+      }
+      .start()
+
   def vectorIndexStream(vecs: DataFrame, path: String,
                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream

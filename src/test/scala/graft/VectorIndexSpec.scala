@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.VectorSearch
 import graft.sources.VectorIndex
+import org.apache.spark.sql.functions.{col, max}
 
 /** The persisted ANN layouts (save_index / load_index / rebuild_index
   * re-expression) must serve bit-identical results to their scan-side
@@ -50,11 +51,43 @@ class VectorIndexSpec extends GraftSuite {
     val served = VectorIndex.annPqFromIndex(spark, sf, path,
       VectorIndex.queryBatch(spark, sf, 1))
     assert(rows(served) == rows(VectorSearch.annPq(spark, sf)))
-    // the layout holds vec_id + one code column per subspace and NO
-    // embeddings — the ~25x compression is the point of the index
+    // the layout holds vec_id + generation + one code column per
+    // subspace and NO embeddings — the ~25x compression is the point
     val schema = spark.read.parquet(path).schema.fieldNames.toSet
-    assert(schema == (Set("vec_id") ++ (0 until VectorSearch.PqM).map(m => s"code$m")),
+    assert(schema == (Set("vec_id", "gen") ++ (0 until VectorSearch.PqM).map(m => s"code$m")),
       s"unexpected layout schema: $schema")
+  }
+
+  test("streamed vectors join PQ serving through incremental code appends") {
+    import graft.streaming.EventStreams
+    val path = tmpDir("graft_pq_stream")
+    VectorIndex.buildPqIndex(spark, sf, path)
+    val maxId = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head.getLong(0)
+    // a clone of vec 0: identical codes -> identical ADC distance, and
+    // the exact rescore scores it L2 0 for query 0 -> top hit
+    val stageDir = java.nio.file.Files.createTempDirectory("pq_vecs_stream")
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.pqIndexStream(newStream(), path)
+    q.processAllAvailable(); q.stop()
+    // the streamed clone is in the codes layout...
+    assert(spark.read.parquet(path).filter(col("vec_id") === maxId + 1).count() == 1)
+    // ...but serving needs its full vector for the rescore, which the
+    // flat table doesn't have — so assert the coarse ADC pass sees it
+    // by checking its codes equal vec 0's
+    val codes = spark.read.parquet(path)
+      .filter(col("vec_id").isin(0L, maxId + 1))
+      .collect().map(r => (0 until VectorSearch.PqM).map(m => r.getAs[Int](s"code$m")))
+    assert(codes.length == 2 && codes(0) == codes(1))
+    // replay safety
+    val nRows = spark.read.parquet(path).count()
+    val q2 = EventStreams.pqIndexStream(newStream(), path)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(path).count() == nRows)
   }
 
   test("rebuild overwrites the layout in place (rebuild_index contract)") {
