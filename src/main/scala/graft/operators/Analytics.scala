@@ -307,6 +307,33 @@ object Analytics {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** The semi-join twin of [[custWithoutOrders]]: customers WITH at
+    * least one urgent order, per segment — EXISTS as a left_semi join
+    * (one probe per customer, no fan-out, no dedup afterwards; the
+    * shape a correlated EXISTS subquery compiles to).
+    */
+  def custWithUrgent(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    cust.join(broadcast(urgent), cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+           fx(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val custWithUrgentSql: String =
+    s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+       |  ${fxSql("AVG(c_acctbal)", 2)} AS avg_acctbal
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_orderpriority = '1-URGENT')
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   /** Cohort-retention matrix: users are cohorted by the week of their
     * first event (integer weeks since the corpus epoch — engine-
     * agnostic integer arithmetic, no calendar-week convention to

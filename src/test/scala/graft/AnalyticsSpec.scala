@@ -69,6 +69,15 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_customers")).sum == expected)
   }
 
+  test("q_semijoin and q_antijoin partition the customer base") {
+    val withU = Analytics.custWithUrgent(spark, sf).collect()
+      .map(_.getAs[Long]("n_customers")).sum
+    val withoutU = Analytics.custWithoutOrders(spark, sf).collect()
+      .map(_.getAs[Long]("n_customers")).sum
+    assert(withU + withoutU == Tables.customer(spark, sf).count())
+    assert(withU > 0)
+  }
+
   test("events_retention cohorts account for every event; offset 0 is each cohort's peak") {
     val rows = Analytics.eventsRetention(spark, sf).collect()
     assert(rows.nonEmpty)
