@@ -338,17 +338,20 @@ object Analytics {
     * first event (integer weeks since the corpus epoch — engine-
     * agnostic integer arithmetic, no calendar-week convention to
     * disagree on) and counted per (cohort_week, week_offset). Two
-    * keyed aggregations on user_id + one broadcast join of the tiny
-    * (user → cohort) relation; at scale the cohort relation is
-    * users-not-events sized and the join stays broadcast or
-    * co-partitioned on user_id with the first aggregate.
+    * keyed aggregations on user_id + one user_id-keyed hash join of
+    * the (user → cohort) relation. The cohort side is one row per
+    * USER — billions of rows at 100 TB, never broadcastable — so the
+    * join is a shuffle_hash on user_id: the cohort aggregate already
+    * hash-partitioned both sides on user_id, so the join rides that
+    * same partitioning (and a sort adds nothing to an equi-probe,
+    * keeping the no-SortMergeJoin invariant).
     */
   def eventsRetention(spark: SparkSession, dir: String): DataFrame = {
     val week = floor(
       datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7).cast("long")
     val ev = Tables.events(spark, dir).select(col("user_id"), week.as("week"))
     val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
-    ev.join(broadcast(cohorts), Seq("user_id"))
+    ev.join(cohorts.hint("shuffle_hash"), Seq("user_id"))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_active"),
            count(lit(1)).as("n_events"))

@@ -240,10 +240,15 @@ object Curation {
     * content-hash group's minimum) → near duplicate (not its minhash
     * cluster's keep) → contaminated (shares a 4-shingle with the eval
     * split) → repetitive (Gopher gates) → kept. This is the query a
-    * 100 TB curation run actually materializes; every flag relation
-    * is docs-with-that-defect sized and rides a broadcast left join
-    * onto the one corpus pass (the label-propagation rounds inside
-    * the near-dup arm are the only iterative piece).
+    * 100 TB curation run actually materializes. The flag relations
+    * are docs-with-that-defect sized — on a real web corpus exact +
+    * near dups alone are 30-50% of documents, a corpus FRACTION, not
+    * a broadcastable side — so all four ride doc_id-keyed
+    * shuffle_hash left joins: the first join hash-partitions the
+    * corpus pass on doc_id and the remaining three reuse that exact
+    * partitioning (one corpus shuffle total, no sort, no driver
+    * materialization; the label-propagation rounds inside the
+    * near-dup arm are the only iterative piece).
     */
   def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.hash60
@@ -268,10 +273,10 @@ object Curation {
       .when(col("f_rep").isNotNull, "repetitive")
       .otherwise("kept")
     docs.select(col("doc_id"))
-      .join(broadcast(exactDup), Seq("doc_id"), "left")
-      .join(broadcast(nearDup), Seq("doc_id"), "left")
-      .join(broadcast(contaminated), Seq("doc_id"), "left")
-      .join(broadcast(repetitive), Seq("doc_id"), "left")
+      .join(exactDup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nearDup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(repetitive.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), reason.as("reason"))
       .withColumn("kept", (col("reason") === "kept").cast("long"))
       .orderBy(col("doc_id"))

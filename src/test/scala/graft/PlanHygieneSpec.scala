@@ -16,4 +16,43 @@ class PlanHygieneSpec extends GraftSuite {
     }
     assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
   }
+
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.catalyst.plans.logical.{JoinStrategyHint, ResolvedHint, BROADCAST, SHUFFLE_HASH}
+
+  private def hintCount(df: DataFrame, s: JoinStrategyHint): Int =
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(s) => h
+    }.size
+
+  // Forced broadcast()s are driver OOMs at 100 TB when the hinted side
+  // is data-sized; auto-broadcast by size ESTIMATE is fine (the planner
+  // won't pick it for a corpus-sized side at scale). So the invariant
+  // is on logical-plan hints, not physical BroadcastExchanges.
+  test("events_retention forces no broadcast: its users-sized cohort join is shuffle_hash") {
+    val df = operators.Analytics.eventsRetention(spark, sf)
+    assert(hintCount(df, BROADCAST) == 0,
+      "cohorts is one row per USER — never a broadcastable side")
+    assert(hintCount(df, SHUFFLE_HASH) == 1)
+  }
+
+  test("corpus_curate's four corpus-fraction flag joins add shuffle_hash hints, zero broadcast hints") {
+    // expected = broadcasts already inside the composed sub-operators
+    // (decontaminate's DISTINCT eval-shingle set — constant-bounded —
+    // and whatever the near-dup arm uses internally); composing the
+    // four flag joins on top must add NONE.
+    val subBroadcast =
+      hintCount(operators.Curation.decontaminate(spark, sf), BROADCAST) +
+      hintCount(operators.Dedup.clusters(spark, sf), BROADCAST) +
+      hintCount(operators.Curation.textRepetition(spark, sf), BROADCAST)
+    val subShuffleHash =
+      hintCount(operators.Curation.decontaminate(spark, sf), SHUFFLE_HASH) +
+      hintCount(operators.Dedup.clusters(spark, sf), SHUFFLE_HASH) +
+      hintCount(operators.Curation.textRepetition(spark, sf), SHUFFLE_HASH)
+    val curate = operators.Curation.curateCorpus(spark, sf)
+    assert(hintCount(curate, BROADCAST) == subBroadcast,
+      "a flag relation (exact/near dup, contaminated, repetitive) is a corpus " +
+        "FRACTION — forcing it through the driver is an OOM at scale")
+    assert(hintCount(curate, SHUFFLE_HASH) == subShuffleHash + 4)
+  }
 }
