@@ -394,6 +394,26 @@ object Analytics {
       .orderBy(col("event_type"))
   }
 
+  /** The 100 TB percentile path, runnable: [[eventsQuantiles]] with
+    * `approx_percentile` (Greenwald-Khanna sketch — bounded memory per
+    * group, map-side mergeable partials) swapped in behind the same
+    * column shape. No cross-engine sketch agreement exists, so the
+    * driver records a rows-only check; AnalyticsSpec pins p50/p90/p99
+    * within tolerance of the exact form, which is the real contract.
+    */
+  def eventsQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    val qs = approx_percentile(
+      col("value"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           fx(avg(col("value"))).as("avg_value"),
+           fx(element_at(qs, 1)).as("p50"),
+           fx(element_at(qs, 2)).as("p90"),
+           fx(element_at(qs, 3)).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val eventsQuantilesSql: String =
     s"""SELECT event_type, COUNT(*) AS n_events,
        |  ${fxSql("AVG(value)")} AS avg_value,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OracleNum, Tables}
 import graft.functions.TextFunctions._
+import graft.plans.ScoreTag
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,7 +69,7 @@ object Bm25 {
     // isin() over zero terms did the same) instead of building an
     // empty-reduce plan
     if (terms.isEmpty)
-      return docs.select(col("doc_id"), lit(0L).as("score")).filter(lit(false))
+      return docs.select(col("doc_id"), lit(0L).as("score", ScoreTag.metadata)).filter(lit(false))
     // tokenization is the scan-side cost shared by every sparse query
     // (bm25 + all five fusion strategies run it per branch); persist
     // lets Spark's cache manager serve all of them from one pass.
@@ -94,7 +95,7 @@ object Bm25 {
     counts
       .filter(terms.indices.map(j => col("c").getItem(j + 1)).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), fx(termScores.reduce(_ + _), 6).as("score"))
+      .select(col("doc_id"), fx(termScores.reduce(_ + _), 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -275,7 +276,7 @@ object Bm25 {
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), score.as("term_score"))
       .groupBy(col("doc_id"))
-      .agg(OracleNum.fx(sum(col("term_score")), 6).as("score"))
+      .agg(OracleNum.fx(sum(col("term_score")), 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
@@ -293,7 +294,7 @@ object Bm25 {
     val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
       .reduce(_ + _)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), score.as("score"))
+      .select(col("doc_id"), score.as("score", ScoreTag.metadata))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.OracleNum
+import graft.plans.ScoreTag
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -154,7 +155,7 @@ object HybridSearch {
     outerFused(dense, sparse, txt)
       .select(col("doc_id"),
         fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
-           col("text_s") * TextWeight, 6).as("score"))
+           col("text_s") * TextWeight, 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -199,7 +200,7 @@ object HybridSearch {
     outerFused(dense, sparse, txt)
       .select(col("doc_id"),
         fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
-           col("text_s") * TextWeight, 6).as("score"))
+           col("text_s") * TextWeight, 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -230,7 +231,7 @@ object HybridSearch {
     val sparse = Bm25.search(spark, dir, query, n)
       .select(lit("s").as("b"), col("doc_id"), col("score"))
     val txt = Bm25.textSearch(spark, dir, query, n)
-      .select(lit("t").as("b"), col("doc_id"), col("score").cast("long").as("score"))
+      .select(lit("t").as("b"), col("doc_id"), col("score").cast("long").as("score", ScoreTag.metadata))
     val wb = Window.partitionBy(col("b"))
     val wg = Window.partitionBy()
 
@@ -281,7 +282,7 @@ object HybridSearch {
         max(col("wd")).as("wd"), max(col("ws")).as("ws"), max(col("wt")).as("wt"))
       .select(col("doc_id"),
         fx(col("dense_s") * col("wd") + col("sparse_s") * col("ws") +
-           col("text_s") * col("wt"), 6).as("score"))
+           col("text_s") * col("wt"), 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -366,7 +367,7 @@ object HybridSearch {
       .crossJoin(broadcast(weights))
       .select(col("doc_id"),
         fx(col("dense_s") * col("wd") + col("sparse_s") * col("ws") +
-           col("text_s") * col("wt"), 6).as("score"))
+           col("text_s") * col("wt"), 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }

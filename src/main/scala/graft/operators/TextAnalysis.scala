@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OracleNum, Tables}
 import graft.functions.TextFunctions._
+import graft.plans.ScoreTag
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -290,7 +291,7 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("term"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("term"), col("tf"), score.as("score"))
+      .select(col("doc_id"), col("term"), col("tf"), score.as("score", ScoreTag.metadata))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TfidfK)
       .orderBy(col("doc_id"), col("rank"))

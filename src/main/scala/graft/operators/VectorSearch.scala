@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{OracleNum, Tables}
 import graft.functions.VectorFunctions._
+import graft.plans.ScoreTag
 import graft.functions.TextFunctions.hash60Sql
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,7 +41,7 @@ object VectorSearch {
     embCorpus(spark, dir)
       .filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(queryVec(spark, dir, qid)))
-      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
@@ -69,7 +70,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= qid)
       .crossJoin(broadcast(queryVec(spark, dir, qid)))
       .select(col("vec_id"), col("label"),
-        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
@@ -151,7 +152,7 @@ object VectorSearch {
       .orderBy(col("hamming"), col("vec_id"))
       .limit(coarseK)
     coarse
-      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -188,7 +189,7 @@ object VectorSearch {
       .agg(topK(col("score").cast("double"), col("vec_id"), k).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as("vec_id"), col("e.score").cast("long").as("score"))
+        col("e.id").as("vec_id"), col("e.score").cast("long").as("score", ScoreTag.metadata))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -206,7 +207,7 @@ object VectorSearch {
       .crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
     rankTopK(scored, k)
   }
 
@@ -319,7 +320,7 @@ object VectorSearch {
       .join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
     rankTopK(scored, k)
   }
 
@@ -396,7 +397,7 @@ object VectorSearch {
       .withColumn("acid", nearestCentroid(col("emb"), col("fcents")))
       .crossJoin(broadcast(probed))
       .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
-      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

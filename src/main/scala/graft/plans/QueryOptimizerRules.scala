@@ -45,10 +45,24 @@ object CapResultLimit extends Rule[LogicalPlan] {
   }
 }
 
+/** Column-metadata tag marking graft similarity-score columns. Every
+  * operator aliases its final score as `.as("score", ScoreTag.metadata)`,
+  * and [[MinSimilarityThreshold]] keys on the tag — not the column
+  * name — so a user query ordering by its OWN column that happens to
+  * be called "score" is never rewritten. Metadata rides the Alias into
+  * its AttributeReference and survives projection/sort resolution, so
+  * the tag is visible wherever the attribute is referenced.
+  */
+object ScoreTag {
+  val Key = "graft.score"
+  val metadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder().putBoolean(Key, true).build()
+}
+
 /** The reference's MinSimilarityThreshold optimization rule
   * (query_engine.rs:321-336: threshold = max(requested, configured),
   * injected when absent) as a Catalyst rewrite: under any global
-  * descending sort whose leading key is a numeric `score` attribute —
+  * descending sort whose leading key is a numeric graft score column —
   * the shape every graft search/top-k query plans — insert
   * `Filter(score >= threshold)` so sub-threshold rows are discarded at
   * the scan side of the sort instead of riding through the shuffle
@@ -61,13 +75,12 @@ object CapResultLimit extends Rule[LogicalPlan] {
   * fixed-point long the operators emit (< 2^53) and keeps the rule
   * type-agnostic across long/double score columns.
   *
-  * SCOPE: the rule matches on the column NAME `score`, so while the
-  * conf is set it applies session-wide to ANY descending sort whose
-  * leading key is named `score` — broader than the reference, which
-  * applies min_score only inside its search path. That is the
-  * deliberate contract of this conf-gated opt-in: set it for graft
-  * search sessions (every graft search query sorts on `score`), leave
-  * it unset for mixed workloads where the name could collide.
+  * SCOPE: the rule matches the [[ScoreTag]] column-metadata tag graft
+  * operators stamp on their score outputs — the reference applies
+  * min_score only inside its search path, and the tag is the
+  * plan-level equivalent of "inside the search path". A non-graft
+  * query ordering by its own column named "score" carries no tag and
+  * is untouched even while the conf is set.
   */
 object MinSimilarityThreshold extends Rule[LogicalPlan] {
 
@@ -84,7 +97,8 @@ object MinSimilarityThreshold extends Rule[LogicalPlan] {
   private def scoreKey(order: Seq[SortOrder]): Option[AttributeReference] =
     order.headOption.collect {
       case SortOrder(a: AttributeReference, Descending, _, _)
-        if a.name == "score" && a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => a
+        if a.metadata.contains(ScoreTag.Key) &&
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] => a
     }
 
   /** Already guarded by this rule? (idempotence under the optimizer's

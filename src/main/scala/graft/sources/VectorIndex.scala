@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.Tables
 import graft.OracleNum.fx
+import graft.plans.ScoreTag
 import graft.functions.VectorFunctions.{cosineSimilarity, l2DistanceSq, toDouble}
 import graft.operators.VectorSearch
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -104,7 +105,7 @@ object VectorIndex {
       .join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
     VectorSearch.rankTopK(scored, k)
   }
 
@@ -186,7 +187,7 @@ object VectorIndex {
       .select(col("cid").cast("int").as("cell"), col("qv"))
     corpus.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= qid)
-      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score"))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

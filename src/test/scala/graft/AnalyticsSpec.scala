@@ -121,4 +121,36 @@ class AnalyticsSpec extends GraftSuite {
       assert(p50 >= 0)
     }
   }
+
+  test("events_quantiles_sketch percentiles land in the exact rank bracket") {
+    def byType(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getAs[String]("event_type") -> r).toMap
+    val exact = byType(Analytics.eventsQuantiles(spark, sf).collect())
+    val sketch = byType(Analytics.eventsQuantilesSketch(spark, sf).collect())
+    assert(sketch.keySet == exact.keySet)
+    // raw per-type values, to bound the sketch by order statistics
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def fx(v: Double) = math.floor(v * 10000 + 0.5).toLong
+    exact.foreach { case (tpe, e) =>
+      val s = sketch(tpe)
+      // group keys, counts and means are exact in both forms
+      assert(s.getAs[Long]("n_events") == e.getAs[Long]("n_events"))
+      assert(s.getAs[Long]("avg_value") == e.getAs[Long]("avg_value"))
+      // GK at accuracy 10000 has zero rank error at this group size but
+      // returns an actual DATA value where quantile_cont interpolates:
+      // the sketch must land inside the ±1-rank order-statistic bracket
+      // around the target rank p*(n-1).
+      val v = vals(tpe)
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach { case (name, p) =>
+        val rank = p * (v.length - 1)
+        val lo = fx(v(math.max(0, math.floor(rank).toInt - 1)))
+        val hi = fx(v(math.min(v.length - 1, math.ceil(rank).toInt + 1)))
+        val sv = s.getAs[Long](name)
+        assert(sv >= lo && sv <= hi, s"$tpe.$name: sketch $sv outside [$lo,$hi]")
+      }
+    }
+  }
 }

@@ -30,24 +30,39 @@ class ExtensionsSpec extends GraftSuite {
     }
   }
 
-  test("MinSimilarityThreshold rule filters sub-threshold scores under top-k sorts") {
+  test("MinSimilarityThreshold rule filters sub-threshold scores under tagged top-k sorts") {
     TestSpark.withExtensionsSession { s2 =>
       import org.apache.spark.sql.functions.when
       // range-backed (not a LocalRelation) so ConvertToLocalRelation
       // cannot fold the inserted Filter away before we inspect the plan
-      val df = s2.range(1, 5).select(col("id").as("doc_id"),
+      val base = s2.range(1, 5).select(col("id").as("doc_id"),
         when(col("id") === 1, 500L).when(col("id") === 2, 1500L)
-          .when(col("id") === 3, 2500L).otherwise(900L).as("score"))
-      val topk = df.orderBy(col("score").desc).limit(10)
+          .when(col("id") === 3, 2500L).otherwise(900L).as("v"))
+      val tagged = base.select(col("doc_id"),
+        col("v").as("score", graft.plans.ScoreTag.metadata))
+      val topk = tagged.orderBy(col("score").desc).limit(10)
       assert(topk.count() == 4)                      // rule inert w/o conf
       s2.conf.set(graft.plans.MinSimilarityThreshold.ConfKey, "1000")
       try {
-        val guarded = df.orderBy(col("score").desc).limit(10)
+        val guarded = tagged.orderBy(col("score").desc).limit(10)
         assert(guarded.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L))
         val optimized = guarded.queryExecution.optimizedPlan.toString
         assert(optimized.contains(">= 1000.0"), s"no threshold filter in:\n$optimized")
         // non-score sorts are untouched
-        assert(df.orderBy(col("doc_id").desc).limit(10).count() == 4)
+        assert(tagged.orderBy(col("doc_id").desc).limit(10).count() == 4)
+        // a NON-graft query ordering by its own column that merely
+        // happens to be named "score" carries no tag — untouched
+        val foreign = base.select(col("doc_id"), col("v").as("score"))
+        assert(foreign.orderBy(col("score").desc).limit(10).count() == 4)
+        // the real operator surface IS tagged: a graft search sorts on
+        // a tagged score, so the rule fires on it
+        val opPlan = graft.operators.Bm25.search(s2, sf)
+          .queryExecution.optimizedPlan.toString
+        assert(opPlan.contains(">= 1000.0"), s"operator sort untagged:\n$opPlan")
+        // malformed conf value degrades to rule-inert, never throws out
+        // of the optimizer
+        s2.conf.set(graft.plans.MinSimilarityThreshold.ConfKey, "not-a-number")
+        assert(tagged.orderBy(col("score").desc).limit(10).count() == 4)
       } finally s2.conf.unset(graft.plans.MinSimilarityThreshold.ConfKey)
     }
   }
