@@ -252,6 +252,48 @@ object Bm25 {
     spark.sql(s"DROP TABLE $retired")
   }
 
+  /** Index observability over a maintained posting table (reference
+    * src/sparse.rs:225 get_stats, :244 get_memory_usage_mb): document
+    * and distinct-term counts, average document length, live posting
+    * rows, and an estimated in-memory byte footprint (term bytes +
+    * ~20 bytes of numeric columns per row — the columnar analogue of
+    * the reference's HashMap accounting). One row; the per-doc branch
+    * and the term-distinct branch are both single aggregates over the
+    * live view joined by a constant — no corpus shuffle beyond the
+    * doc_id/term hash aggregates themselves.
+    */
+  def postingStats(spark: SparkSession, tableName: String): DataFrame = {
+    val live = livePostings(spark, tableName)
+    val byDoc = live.groupBy(col("doc_id")).agg(
+      first(col("dl")).as("dl"),
+      count(lit(1)).as("n_rows"),
+      sum(length(col("term"))).cast("long").as("term_bytes"))
+    val docAgg = byDoc.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(avg(col("dl")), lit(0.0)).as("avgdl"),
+      coalesce(sum(col("n_rows")), lit(0L)).as("n_posting_rows"),
+      coalesce(sum(col("term_bytes")), lit(0L)).as("term_bytes"))
+    val termAgg = live.agg(countDistinct(col("term")).as("n_terms"))
+    docAgg.crossJoin(broadcast(termAgg))
+      .select(col("n_docs"), col("n_terms"), col("avgdl"),
+        col("n_posting_rows"),
+        (col("term_bytes") + lit(20L) * col("n_posting_rows")).as("est_bytes"))
+  }
+
+  /** clear (src/sparse.rs:230): truncate the posting table and its
+    * delete log, preserving the bucketed layout so maintenance can
+    * resume with the same spec. */
+  def clearPostingTable(spark: SparkSession, tableName: String,
+                        buckets: Int = 8): Unit = {
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("dl"),
+        lit("").as("term"), col("id").as("gen"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "term")
+      .sortBy("term")
+      .saveAsTable(tableName)
+    emptyDeleteLog(spark).write.mode("overwrite").saveAsTable(deleteLogTable(tableName))
+  }
+
   /** BM25 over a pre-built bucketed posting table (same scores as
     * [[search]]; the scan side is the materialized index, read through
     * the [[livePostings]] view so incremental adds/removes are visible

@@ -181,6 +181,43 @@ class ExtensionsSpec extends GraftSuite {
     } finally dropHard("posting_inc", "posting_inc_dels", "posting_inc_compacting", "posting_inc_retired")
   }
 
+  test("posting stats surface tracks add/remove/compaction and clear empties the index") {
+    import graft.operators.Bm25
+    import spark.implicits._
+    dropHard("posting_stats", "posting_stats_dels", "posting_stats_compacting", "posting_stats_retired")
+    Bm25.buildPostingTable(spark, sf, "posting_stats")
+    try {
+      def stats() = Bm25.postingStats(spark, "posting_stats").head
+      val s0 = stats()
+      assert(s0.getAs[Long]("n_docs") == Tables.documents(spark, sf).count())
+      assert(s0.getAs[Long]("n_terms") > 0 && s0.getAs[Long]("n_posting_rows") > 0)
+      assert(s0.getAs[Double]("avgdl") > 0.0)
+      assert(s0.getAs[Long]("est_bytes") > s0.getAs[Long]("n_posting_rows") * 20L)
+
+      val newId = s0.getAs[Long]("n_docs") + 1000L
+      Bm25.addDocuments(spark, "posting_stats",
+        Seq((newId, "posting stats surface doc")).toDF("doc_id", "text"), gen = 1L)
+      val s1 = stats()
+      assert(s1.getAs[Long]("n_docs") == s0.getAs[Long]("n_docs") + 1)
+      assert(s1.getAs[Long]("n_posting_rows") == s0.getAs[Long]("n_posting_rows") + 4)
+
+      // kills doc 1 (gen 0) and the gen-1 addition alike
+      Bm25.removeDocuments(spark, "posting_stats", Seq(1L, newId), gen = 1L)
+      val s2 = stats()
+      assert(s2.getAs[Long]("n_docs") == s0.getAs[Long]("n_docs") - 1)
+
+      // compaction rewrites files, never the stats
+      Bm25.compactPostingTable(spark, "posting_stats")
+      assert(stats().toSeq == s2.toSeq)
+
+      Bm25.clearPostingTable(spark, "posting_stats")
+      val s4 = stats()
+      assert(Seq("n_docs", "n_terms", "n_posting_rows", "est_bytes")
+        .forall(s4.getAs[Long](_) == 0L))
+      assert(s4.getAs[Double]("avgdl") == 0.0)
+    } finally dropHard("posting_stats", "posting_stats_dels", "posting_stats_compacting", "posting_stats_retired")
+  }
+
   test("snapshot isolates a store state from later appends (backup/checkpoint)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.lit
