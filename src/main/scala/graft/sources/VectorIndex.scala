@@ -355,6 +355,57 @@ object VectorIndex {
       buildPqIndex(spark, dir, _))
   }
 
+  /** Auto-optimize heuristic (reference
+    * src/performance/index_optimizer.rs:51 should_optimize): a layout
+    * wants a rebuild once streaming maintenance
+    * ([[graft.streaming.EventStreams.vectorIndexStream]] /
+    * `pqIndexStream`) has appended enough that folding the debt into a
+    * fresh base pays for itself — when appended-generation rows exceed
+    * `maxAppendedFraction` of the base build (each append fragments
+    * bucket directories into per-batch files, and PQ appends are coded
+    * against an aging codebook), or when distinct appended generations
+    * exceed `maxGenerations` (file count grows per generation
+    * regardless of row mass). The decision is one aggregate over the
+    * pruned `gen` column only — footer min/max stats skip base-build
+    * row groups (constant 0) — a maintenance-scheduler job, never a
+    * query-path cost. A layout with no `gen` column predates
+    * maintenance entirely: all base, nothing to fold.
+    */
+  def shouldRebuild(spark: SparkSession, path: String,
+                    maxAppendedFraction: Double = 0.2,
+                    maxGenerations: Int = 64): Boolean = {
+    val layout = spark.read.parquet(path)
+    layout.columns.contains("gen") && {
+      val r = layout.agg(
+        count(when(col("gen") === 0L, 1)).as("base"),
+        count(when(col("gen") > 0L, 1)).as("appended"),
+        countDistinct(when(col("gen") > 0L, col("gen"))).as("gens")).head
+      r.getLong(1) > maxAppendedFraction * math.max(r.getLong(0), 1L) ||
+        r.getLong(2) > maxGenerations
+    }
+  }
+
+  /** Conditional rebuild (index_optimizer.rs should_optimize →
+    * optimize_index): staged-rebuild exactly the existing layouts
+    * whose maintenance debt trips [[shouldRebuild]]; returns the kinds
+    * rebuilt. The periodic-maintenance entry point: cheap to call
+    * often, rebuilds only when the heuristic says the debt is worth
+    * folding.
+    */
+  def rebuildIfNeeded(spark: SparkSession, dir: String): Seq[String] = {
+    val kinds: Seq[(String, Seq[String], String => Unit)] = Seq(
+      ("lsh", Seq(""), buildLshIndex(spark, dir, _)),
+      ("ivf", Seq("_centroids", ""), buildIvfIndex(spark, dir, _)),
+      ("pq", Seq("_books", ""), buildPqIndex(spark, dir, _)))
+    kinds.collect {
+      case (kind, sfx, build)
+        if exists(spark, indexPath(dir, kind)) &&
+          shouldRebuild(spark, indexPath(dir, kind)) =>
+        rebuildStaged(indexPath(dir, kind), sfx)(build)
+        kind
+    }
+  }
+
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
                    k: Int = 20): DataFrame = {

@@ -133,6 +133,20 @@ object EventStreams {
       .collect().map(_.getLong(0)).sorted
   }
 
+  /** Replay probe shared by the index-maintenance sinks: has
+    * generation `gen` already landed in the layout at `path`? Reads a
+    * gen-only projection with the equality pushed to the scan — footer
+    * min/max stats prune the base build (gen is constant 0 there) and
+    * every earlier generation's files, so the per-batch probe costs
+    * file listing + a handful of row groups, not a full-table read. A
+    * layout built before the `gen` column existed is all base rows:
+    * treated as gen-0, so no appended generation can be present
+    * (instead of an AnalysisException on the missing column).
+    */
+  private def generationPresent(layout: DataFrame, gen: Long): Boolean =
+    layout.columns.contains("gen") &&
+      !layout.select(col("gen")).filter(col("gen") === gen).isEmpty
+
   /** Streaming ingest → incremental BM25 index maintenance: each
     * micro-batch of (doc_id, text) rows appends its postings to the
     * bucketed posting table at generation baseGen + batchId via
@@ -158,9 +172,7 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val gen = baseGen + batchId
-        val replayed = !spark.table(tableName)
-          .filter(col("gen") === gen).isEmpty
-        if (!replayed)
+        if (!generationPresent(spark.table(tableName), gen))
           graft.operators.Bm25.addDocuments(
             spark, tableName,
             batch.select(col("doc_id"), col("text")), gen = gen)
@@ -195,9 +207,7 @@ object EventStreams {
         val gen = baseGen + batchId
         import graft.operators.VectorSearch.{PqM, PqSubDim}
         import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-        val replayed = !spark.read.parquet(path)
-          .filter(col("gen") === gen).isEmpty
-        if (!replayed) {
+        if (!generationPresent(spark.read.parquet(path), gen)) {
           val books = spark.read.parquet(path + "_books")
           batch
             .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
@@ -221,9 +231,7 @@ object EventStreams {
         val gen = baseGen + batchId
         val planes = graft.operators.VectorSearch.lshPlanes(
           64, graft.operators.VectorSearch.AnnLshPlanes)
-        val replayed = !spark.read.parquet(path)
-          .filter(col("gen") === gen).isEmpty
-        if (!replayed)
+        if (!generationPresent(spark.read.parquet(path), gen))
           batch
             .select(col("vec_id"), col("embedding"), lit(gen).as("gen"))
             .withColumn("bucket", graft.operators.VectorSearch.lshBucket(

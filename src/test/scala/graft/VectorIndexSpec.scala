@@ -98,6 +98,33 @@ class VectorIndexSpec extends GraftSuite {
     assert(rows(VectorIndex.annLshFromIndex(spark, path, VectorIndex.queryBatch(spark, sf, 8))) == first)
   }
 
+  test("shouldRebuild trips on heavy streaming appends and a rebuild resets it") {
+    val path = tmpDir("graft_lsh_opt")
+    VectorIndex.buildLshIndex(spark, sf, path)
+    assert(!VectorIndex.shouldRebuild(spark, path), "fresh base build needs no rebuild")
+    // simulate streaming maintenance: three generations totalling >20%
+    // of the base build, landed the way vectorIndexStream lands them
+    val planes = VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes)
+    val nBase = spark.read.parquet(path).count()
+    (1 to 3).foreach { g =>
+      Tables.embeddings(spark, sf).limit((nBase / 10).toInt)
+        .select((col("vec_id") + g * 100000L).as("vec_id"), col("embedding"),
+          org.apache.spark.sql.functions.lit(g.toLong).as("gen"))
+        .withColumn("bucket", VectorSearch.lshBucket(
+          graft.functions.VectorFunctions.toDouble(col("embedding")), planes).cast("int"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+    }
+    assert(VectorIndex.shouldRebuild(spark, path), "30% appended rows must trip the heuristic")
+    // generation-count arm trips independently of row mass
+    assert(VectorIndex.shouldRebuild(spark, path, maxAppendedFraction = 10.0, maxGenerations = 2))
+    assert(!VectorIndex.shouldRebuild(spark, path, maxAppendedFraction = 10.0))
+    // a rebuild folds the debt into a fresh base and resets the decision
+    VectorIndex.buildLshIndex(spark, sf, path)
+    assert(!VectorIndex.shouldRebuild(spark, path))
+    // rebuildIfNeeded leaves untripped layouts alone
+    assert(!VectorIndex.rebuildIfNeeded(spark, sf).contains("ivf"))
+  }
+
   test("staged rebuildIndexes swaps live layouts and leaves no stray directories") {
     val lsh = VectorIndex.indexPath(sf, "lsh")
     val before = rows(VectorIndex.annLshIndexed(spark, sf)) // build-if-missing
