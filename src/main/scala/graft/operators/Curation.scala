@@ -42,12 +42,16 @@ object Curation {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val hashes = column(graft.functions.expressions.ShingleHashes(
       expression(col("text")), DecontN, Dedup.P))
-    val docs = Tables.spread(spark,
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), hashes.as("sh"))
-    val eval = docs.filter(col("doc_id") % EvalMod === 0)
+    // split FIRST, sketch second: each branch's doc_id filter sits on
+    // its own scan, so the tokenize+shingle-hash map runs exactly once
+    // per document (eval docs in the eval branch, train docs in the
+    // train branch) — nothing recomputed, nothing persisted
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def sketched(side: DataFrame) =
+      Tables.spread(spark, side).select(col("doc_id"), hashes.as("sh"))
+    val eval = sketched(base.filter(col("doc_id") % EvalMod === 0))
       .select(explode(col("sh")).as("h")).distinct()
-    val train = docs.filter(col("doc_id") % EvalMod =!= 0)
+    val train = sketched(base.filter(col("doc_id") % EvalMod =!= 0))
       .select(col("doc_id"), explode(col("sh")).as("h"))
     train.join(broadcast(eval), Seq("h"))
       .groupBy(col("doc_id"))

@@ -116,6 +116,11 @@ object Filtering {
     */
   def compileBound(f: FilterExpr, bind: String => Column): Column = f match {
     case Cmp(field, op, v) => cmp(bind(field), op, v)
+    // empty conjunction/disjunction: identity elements (AND{} = true,
+    // OR{} = false) — the reference's search_by_metadata accepts an
+    // empty filter map and returns everything up to the limit
+    case AndF(os) if os.isEmpty => lit(true)
+    case OrF(os) if os.isEmpty  => lit(false)
     case AndF(os)          => os.map(compileBound(_, bind)).reduce(_ && _)
     case OrF(os)           => os.map(compileBound(_, bind)).reduce(_ || _)
     case NotF(o)           => !compileBound(o, bind)
@@ -240,6 +245,8 @@ object Filtering {
       Seq(from_json(value, schema, Map.empty[String, String]) -> (schema: DataType))) {
       case Seq(ref) =>
         def bound(g: FilterExpr): Column = g match {
+          case AndF(os) if os.isEmpty => lit(true)
+          case OrF(os) if os.isEmpty  => lit(false)
           case AndF(os) => os.map(bound).reduce(_ && _)
           case OrF(os)  => os.map(bound).reduce(_ || _)
           case NotF(o)  => !bound(o)

@@ -266,30 +266,28 @@ object TextAnalysis {
     * classic smooth-free form; the reference's BM25 machinery is the
     * retrieval twin — this is its corpus-analysis counterpart used for
     * tagging/clustering training data). Plan: one (doc_id, term)
-    * aggregation for tf; df is a term-keyed aggregate of that SAME
-    * relation broadcast back onto it (vocab ≪ corpus, so df always
-    * broadcasts); ranking is a window on doc_id — per-partition state
-    * bounded by one document's vocabulary at any corpus size. Ranking
-    * compares the fx'd BIGINT score, so rank order is identical in
-    * both engines regardless of last-ulp double jitter.
+    * aggregation for tf; df is a count window over the SAME relation
+    * partitioned by term — one linear lineage, so the tokenize subtree
+    * runs once with nothing persisted (the previous persist+broadcast
+    * shape leaked a corpus-vocab-sized cache entry per invocation and
+    * shipped the whole vocabulary through the driver, a real ceiling
+    * on a web-scale term space). Ranking is a window on doc_id —
+    * per-partition state bounded by one document's vocabulary at any
+    * corpus size — comparing the fx'd BIGINT score, so rank order is
+    * identical in both engines regardless of last-ulp double jitter.
     */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // persist: the tf relation feeds both the df aggregate and the
-    // scoring join — without it the tokenize+explode+agg subtree runs
-    // twice (no cross-branch subtree reuse in Spark)
     val tf = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val score = fx(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(broadcast(df), Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), score.as("score", ScoreTag.metadata))
       .withColumn("rank", row_number().over(w).cast("long"))

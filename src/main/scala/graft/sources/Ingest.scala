@@ -73,8 +73,16 @@ object Ingest {
     */
   def updateMetadata(store: DataFrame, updates: DataFrame,
                      metaCols: Seq[String] = Seq("lang", "source")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one row per doc_id: a duplicated id in the update batch must not
+    // fan the left join out and grow the store (the reference's keyed
+    // point update cannot). Survivor chosen deterministically by
+    // meta-column value order, mirroring upsert's row_number shape.
     val u = updates.select(
-      col("doc_id") +: metaCols.map(c => col(c).as(s"_u_$c")): _*)
+        col("doc_id") +: metaCols.map(c => col(c).as(s"_u_$c")): _*)
+      .withColumn("_rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(metaCols.map(c => col(s"_u_$c").desc_nulls_last): _*)))
+      .filter(col("_rn") === 1).drop("_rn")
     store.join(broadcast(u), Seq("doc_id"), "left")
       .select(store.columns.map {
         case c if metaCols.contains(c) => coalesce(col(s"_u_$c"), col(c)).as(c)

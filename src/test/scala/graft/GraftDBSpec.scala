@@ -81,5 +81,15 @@ class GraftDBSpec extends GraftSuite {
     val orig = store.filter(col("doc_id") =!= 42L)
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(untouched.sameElements(orig))
+    // the reference accepts an empty filter map: everything, up to limit
+    assert(db.searchByMetadata(Map.empty, 10).count() == 10)
+    // a duplicated doc_id in the update batch must not fan out store
+    // rows; the survivor is deterministic (meta-value order)
+    val dup = spark.createDataFrame(Seq(
+      (42L, "aa", "first"), (42L, "zz", "last"))).toDF("doc_id", "lang", "source")
+    val dedupUpdated = db.updateDocumentMetadata(store, dup)
+    assert(dedupUpdated.count() == store.count())
+    assert(dedupUpdated.filter(col("doc_id") === 42L).collect()
+      .head.getAs[String]("lang") == "zz")
   }
 }
