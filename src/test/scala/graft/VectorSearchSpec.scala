@@ -172,6 +172,43 @@ class VectorSearchSpec extends GraftSuite {
     assert(recall >= 0.7, f"pq recall $recall%.3f under floor")
   }
 
+  /** VERDICT r4 #6: the floors must not decay with data volume — the
+    * same three recall computations at sf0.1 (10x the suite's default
+    * SF), so bucket occupancy, cell sizes and codebook coverage are
+    * exercised at a different corpus scale than the one the
+    * parameters were tuned on.
+    */
+  test("ANN recall floors hold at sf0.1: lsh/ivf >= 0.6, pq >= 0.7") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.l2DistanceSq
+    val big = "/root/testdata/sf0.1"
+    val bruteIvf = VectorSearch.semanticTopK(spark, big, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivf = VectorSearch.annIvf(spark, big, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ivfRecall = (bruteIvf intersect ivf).size.toDouble / bruteIvf.size
+    val bruteBatch = VectorSearch.annTopKBatch(spark, big).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = VectorSearch.annLsh(spark, big).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lshRecall = (bruteBatch intersect lsh).size.toDouble / bruteBatch.size
+    val emb = Tables.embeddings(spark, big)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = emb.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+    val bruteL2 = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2DistanceSq(col("emb"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(20).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pq = VectorSearch.annPq(spark, big, qid = 0, k = 20).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val pqRecall = (bruteL2 intersect pq).size.toDouble / bruteL2.size
+    println(f"[ann-recall sf0.1] ivf=$ivfRecall%.3f lsh=$lshRecall%.3f pq=$pqRecall%.3f")
+    assert(ivfRecall >= 0.6, f"ivf recall $ivfRecall%.3f under floor at sf0.1")
+    assert(lshRecall >= 0.6, f"lsh recall $lshRecall%.3f under floor at sf0.1")
+    assert(pqRecall >= 0.7, f"pq recall $pqRecall%.3f under floor at sf0.1")
+  }
+
   test("ann_pq plans broadcasts only: the corpus never shuffles") {
     val plan = VectorSearch.annPq(spark, sf).queryExecution.executedPlan.toString
     val shuffles = "(?m)^.*ShuffleExchange.*$".r.findAllIn(plan).toList
