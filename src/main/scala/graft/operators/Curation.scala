@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{OracleNum, Tables}
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -325,6 +325,91 @@ object Curation {
        |SELECT doc_id, reason, (reason = 'kept')::BIGINT AS kept
        |FROM verdict
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Target mixture weights in basis points per source domain — the
+    * declared recipe a pretraining run mixes its corpus to (Pile/Dolma
+    * style domain weighting). Three upweighted domains exercise the
+    * keep-all cap (their targets exceed their share of the corpus);
+    * the long tail downsamples toward its 294 bp targets.
+    */
+  val MixWeights: Seq[(String, Int)] =
+    Seq("src0" -> 2500, "src1" -> 1500, "src2" -> 1000) ++
+      (3 to 19).map(i => s"src$i" -> 294)
+
+  /** Domain-mixture sampling: downsample each source toward its
+    * [[MixWeights]] share of the corpus token budget. Rates are
+    * DATA-DERIVED (unlike [[TextAnalysis.sampleStratified]]'s declared
+    * per-stratum rates): pass 1 aggregates per-source token mass, the
+    * target token count for source s is `w_bp(s) * T div 10000` of the
+    * corpus total T, and the acceptance rate caps at keep-all when the
+    * target exceeds what the source has — the no-upsampling half of
+    * water-filling, all in integer basis points (`div`, not `/`:
+    * w_bp*T overflows a double's 2^53 exact range at 100 TB corpus
+    * token counts). Pass 2 keeps a document iff its content hash
+    * clears the source's rate gate — reproducible on any cluster,
+    * stable under repartitioning. Both passes are map + tiny
+    * aggregate; per-source state is bounded by the domain count, so
+    * every join rides a broadcast of a constant-bounded relation.
+    */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+    val stats = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    val total = stats.agg(sum(col("n_tokens")).as("total_tok"))
+    val wBp = MixWeights.foldLeft(Option.empty[Column]) {
+      case (None, (s, w))    => Some(when(col("source") === s, w.toLong))
+      case (Some(c), (s, w)) => Some(c.when(col("source") === s, w.toLong))
+    }.get.otherwise(0L)
+    val rates = stats.crossJoin(broadcast(total))
+      .withColumn("w_bp", wBp)
+      .withColumn("rate_bp",
+        least(lit(10000L),
+          expr("(10000L * ((w_bp * total_tok) div 10000L)) div n_tokens")))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"))
+    val kept = docs
+      .join(broadcast(rates.select(col("source"), col("rate_bp"))), Seq("source"))
+      .filter((hash60(col("text")) % 10000L) < col("rate_bp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+    rates.join(broadcast(kept), Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixSql: String = {
+    val wBp = MixWeights.map { case (s, w) => s"WHEN '$s' THEN $w" }
+      .mkString("CASE source ", " ", " ELSE 0 END")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text, ' '))::BIGINT AS toks
+       |  FROM documents
+       |), stats AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM d GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tok FROM stats
+       |), rates AS (
+       |  SELECT source, n_docs, n_tokens,
+       |    least(10000, (10000 * (($wBp * total_tok) // 10000)) // n_tokens)::BIGINT AS rate_bp
+       |  FROM stats, tot
+       |), kept AS (
+       |  SELECT d.source, COUNT(*)::BIGINT AS kept_docs,
+       |    CAST(SUM(d.toks) AS BIGINT) AS kept_tokens
+       |  FROM d JOIN rates r USING (source)
+       |  WHERE (${hash60Sql("text")} % 10000) < r.rate_bp
+       |  GROUP BY d.source
+       |)
+       |SELECT r.source, r.n_docs, r.n_tokens, r.rate_bp,
+       |  COALESCE(k.kept_docs, 0) AS kept_docs,
+       |  COALESCE(k.kept_tokens, 0) AS kept_tokens
+       |FROM rates r LEFT JOIN kept k USING (source)
+       |ORDER BY source""".stripMargin
   }
 
   val textRepetitionSql: String = {

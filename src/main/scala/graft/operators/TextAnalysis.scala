@@ -350,6 +350,92 @@ object TextAnalysis {
       .limit(NgramTopK)
   }
 
+  /** Bigram-LM surprise scoring — the CCNet/Gopher-style "perplexity
+    * under a corpus LM" quality signal: train add-one-smoothed bigram
+    * statistics on the corpus itself, then charge each document the
+    * summed surprise -ln p(w2|w1) = ln((c(w1,*)+V) / (c(w1 w2)+1)) of
+    * its bigrams. Anomalously high mean surprise = text unlike the
+    * corpus (noise, boilerplate-free gibberish); anomalously low =
+    * heavily templated text. Per-bigram surprise is fx-quantized to
+    * BIGINT BEFORE the per-document sum, so the aggregate is an
+    * integer sum — order-independent and bit-identical cross-engine
+    * (a raw double sum never hash-matches; see [[graft.OracleNum]]).
+    *
+    * The conditional's denominator is the PREFIX count c(w1,*) — how
+    * often w1 opens a bigram — which is what a bigram LM actually
+    * normalizes by, and it falls out of the same (doc_id, bigram)
+    * relation as c(w1 w2): both are count windows over one linear
+    * lineage (the [[tfidfKeywords]] shape — nothing persisted, no
+    * multi-consumer cache to leak, tokenize runs once in the main
+    * lineage). The smoothing vocabulary V rides a one-row broadcast
+    * from its own tokenize pass (one extra corpus map — the price of
+    * a scalar no window can produce without a single-partition sort).
+    * Count state per window partition is one bigram's (or prefix's)
+    * occurrence list; a pathologically hot bigram concentrates its
+    * rows in one task — at that scale swap the windows for
+    * groupBy-count + shuffle_hash joins (AQE can split skewed join
+    * partitions; it cannot split a window partition). Final roll-up
+    * and the no-bigram-docs left join are keyed equi-shuffles on
+    * doc_id, zero sorts, no broadcast of unbounded relations.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val vocab = base.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val surprise = fx(log((col("c1") + col("v")).cast("double") /
+      (col("c12") + lit(1L)).cast("double")))
+    val scored = base
+      .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("b"))
+      .withColumn("w", substring_index(col("b"), " ", 1))
+      .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("b"))))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), surprise.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_fx"))
+    base.select(col("doc_id"))
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprise_fx"), lit(0L)).as("surprise_fx"))
+      .withColumn("mean_surprise_fx",
+        when(col("n_bigrams") > 0L, expr("surprise_fx div n_bigrams"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmScoreSql: String = {
+    val surprise = fxSql("ln((c1 + v)::DOUBLE / (c12 + 1)::DOUBLE)")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), voc AS (
+       |  SELECT COUNT(DISTINCT w)::BIGINT AS v
+       |  FROM (SELECT unnest(toks) AS w FROM t)
+       |), db AS (
+       |  SELECT doc_id, unnest(${wordShinglesSql("toks", 2)}) AS b FROM t
+       |), counted AS (
+       |  SELECT doc_id,
+       |    COUNT(*) OVER (PARTITION BY b)::BIGINT AS c12,
+       |    COUNT(*) OVER (PARTITION BY split_part(b, ' ', 1))::BIGINT AS c1
+       |  FROM db
+       |), scored AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       |    CAST(SUM($surprise) AS BIGINT) AS surprise_fx
+       |  FROM counted, voc
+       |  GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |  COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(s.surprise_fx, 0) AS surprise_fx,
+       |  CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+       |    THEN COALESCE(s.surprise_fx, 0) // s.n_bigrams ELSE 0 END AS mean_surprise_fx
+       |FROM t LEFT JOIN scored s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val corpusNgramsSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents

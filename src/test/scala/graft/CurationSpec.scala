@@ -186,4 +186,35 @@ class CurationSpec extends GraftSuite {
       assert(scrubbed.contains("<IP>") == (id % 7 == 0), s"doc $id")
     }
   }
+
+  test("corpus_mix caps upweighted domains at keep-all and moves the tail toward its targets") {
+    val rows = Curation.corpusMix(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+         r.getAs[Long]("rate_bp"), r.getAs[Long]("kept_docs"),
+         r.getAs[Long]("kept_tokens"))).toMap
+    assert(rows.keySet == Curation.MixWeights.map(_._1).toSet)
+    val totalTok = rows.values.map(_._2).sum
+    rows.foreach { case (s, (nDocs, nTok, rate, kDocs, kTok)) =>
+      assert(rate >= 0 && rate <= 10000, s"$s rate")
+      assert(kDocs <= nDocs && kTok <= nTok, s"$s kept within input")
+      assert((kDocs == 0) == (kTok == 0), s"$s kept consistency")
+      // the gate is per-document: rate 10000 keeps everything, 0 nothing
+      if (rate == 10000L) assert(kDocs == nDocs && kTok == nTok, s"$s keep-all")
+      if (rate == 0L) assert(kDocs == 0, s"$s drop-all")
+      // rate matches the integer water-filling formula exactly
+      val w = Curation.MixWeights.toMap.apply(s).toLong
+      val expRate = math.min(10000L, 10000L * (w * totalTok / 10000L) / nTok)
+      assert(rate == expRate, s"$s rate formula")
+    }
+    // src0 wants 25% of the corpus but holds ~5%: target exceeds supply,
+    // so the cap must engage — while the uniform tail downsamples
+    assert(rows("src0")._3 == 10000L, "upweighted domain must keep all")
+    assert(rows("src19")._3 < 10000L, "tail domain must downsample")
+    // the mix moved composition toward the target: src0's post-mix token
+    // share strictly exceeds its pre-mix share
+    val keptTotal = rows.values.map(_._5).sum
+    assert(rows("src0")._5.toDouble / keptTotal > rows("src0")._2.toDouble / totalTok,
+      "src0 share must rise")
+  }
 }

@@ -173,4 +173,34 @@ class TextAnalysisSpec extends GraftSuite {
       .toSeq
     assert(got == expected)
   }
+
+  test("lm_score matches the brute-force bigram-LM surprise per document") {
+    import graft.functions.expressions.Tok
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Tok.tokens(r.getString(1)).asScala.toSeq).toMap
+    def bigrams(toks: Seq[String]): Seq[String] =
+      if (toks.size < 2) Seq.empty else toks.sliding(2).map(_.mkString(" ")).toSeq
+    val allBi = docs.values.flatMap(bigrams).toSeq
+    val c12 = allBi.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBi.groupBy(_.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val v = docs.values.flatten.toSet.size.toLong
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    val got = TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprise_fx"),
+         r.getAs[Long]("mean_surprise_fx"))).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val bs = bigrams(toks)
+      val exp = bs.map(b =>
+        fx4(math.log((c1(b.split(" ")(0)) + v).toDouble / (c12(b) + 1L).toDouble))).sum
+      val (nb, sfx, mfx) = got(id)
+      assert(nb == bs.size, s"doc $id n_bigrams")
+      assert(sfx == exp, s"doc $id surprise")
+      assert(mfx == (if (bs.nonEmpty) exp / bs.size else 0L), s"doc $id mean")
+      // smoothing keeps every bigram's surprise strictly positive
+      if (nb > 0) assert(sfx > 0, s"doc $id positivity")
+    }
+  }
 }
