@@ -130,6 +130,22 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
 
   def annSearchPq(qid: Long = 0, k: Int = 20): DataFrame =
     VectorSearch.annPq(spark, dir, qid, k)
+
+  /** Open the in-JVM point-serving tier over a persisted layout
+    * (index.rs:95-260 — the reference's sub-ms in-memory serving,
+    * fed here by the same layouts the batch tier builds): load once
+    * (one Spark job), then `query(...)` answers with zero Spark jobs
+    * in JVM microseconds, bit-identical to the batch twins
+    * (PointServeSpec).
+    */
+  def pointServeLsh(): graft.sources.PointServe.Lsh =
+    graft.sources.PointServe.loadLsh(spark, dir)
+
+  def pointServeIvf(): graft.sources.PointServe.Ivf =
+    graft.sources.PointServe.loadIvf(spark, dir)
+
+  def pointServePq(): graft.sources.PointServe.Pq =
+    graft.sources.PointServe.loadPq(spark, dir)
 }
 
 object GraftDB {

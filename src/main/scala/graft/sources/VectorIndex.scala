@@ -406,29 +406,44 @@ object VectorIndex {
     }
   }
 
-  /** Driver entry: build-if-missing (rebuild_index), then serve. */
-  def annPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
-                   k: Int = 20): DataFrame = {
+  /** Build-if-missing, returning the ready layout path — the shared
+    * entry for the batch driver queries below and [[PointServe]]'s
+    * load-time reads.
+    */
+  def lshIndexReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "lsh")
+    buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
+    path
+  }
+
+  def ivfIndexReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "ivf")
+    buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
+    path
+  }
+
+  def pqIndexReady(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir, "pq")
     buildIfMissing(path, Seq("_books", ""))(buildPqIndex(spark, dir, _))
-    annPqFromIndex(spark, dir, path, queryBatch(spark, dir, qid.toInt + 1), qid, k)
+    path
   }
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
+                   k: Int = 20): DataFrame =
+    annPqFromIndex(spark, dir, pqIndexReady(spark, dir),
+      queryBatch(spark, dir, qid.toInt + 1), qid, k)
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annLshIndexed(spark: SparkSession, dir: String,
                     nQueries: Int = 8, k: Int = 5,
-                    radius: Int = VectorSearch.LshProbeRadius): DataFrame = {
-    val path = indexPath(dir, "lsh")
-    buildIfMissing(path, Seq(""))(buildLshIndex(spark, dir, _))
-    annLshFromIndex(spark, path, queryBatch(spark, dir, nQueries), k, radius)
-  }
+                    radius: Int = VectorSearch.LshProbeRadius): DataFrame =
+    annLshFromIndex(spark, lshIndexReady(spark, dir),
+      queryBatch(spark, dir, nQueries), k, radius)
 
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annIvfIndexed(spark: SparkSession, dir: String, qid: Long = 0,
-                    nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
-    val path = indexPath(dir, "ivf")
-    buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
-    annIvfFromIndex(spark, path, queryBatch(spark, dir, qid.toInt + 1), qid,
-      nprobe = nprobe, k = k)
-  }
+                    nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame =
+    annIvfFromIndex(spark, ivfIndexReady(spark, dir),
+      queryBatch(spark, dir, qid.toInt + 1), qid, nprobe = nprobe, k = k)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.{PointServe, VectorIndex}
+import graft.functions.VectorFunctions.toDouble
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.functions._
+
+/** The serving tier: in-JVM point queries over the persisted layouts
+  * must (a) return BIT-IDENTICAL rows to the batch twins they mirror,
+  * (b) launch ZERO Spark jobs per query, and (c) answer far below the
+  * batch tier's job-scheduling floor.
+  */
+class PointServeSpec extends GraftSuite {
+
+  private lazy val queryVecs: Map[Long, Array[Double]] =
+    Tables.embeddings(spark, sf)
+      .select(col("vec_id"), toDouble(col("embedding")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+
+  test("LSH point serve matches the batch layout query bit-for-bit") {
+    val idx = PointServe.loadLsh(spark, sf)
+    val batch = VectorIndex.annLshIndexed(spark, sf, nQueries = 8, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("score")))
+      .groupBy(_._1)
+    (0L until 8L).foreach { qid =>
+      val served = idx.query(queryVecs(qid), k = 5, excludeId = qid)
+        .map(h => (qid, h.rank.toLong, h.vecId, h.score))
+      assert(served == batch.getOrElse(qid, Array.empty).toSeq, s"query $qid")
+    }
+  }
+
+  test("IVF point serve matches the batch layout query bit-for-bit") {
+    val idx = PointServe.loadIvf(spark, sf)
+    val batch = VectorIndex.annIvfIndexed(spark, sf, qid = 0, k = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq
+    val served = idx.query(queryVecs(0L), k = 20, excludeId = 0L)
+      .map(h => (h.vecId, h.score))
+    assert(served == batch)
+  }
+
+  test("PQ point serve with a vector-lookup rescore matches the batch twin; without one it serves the ADC ranking") {
+    val idx = PointServe.loadPq(spark, sf)
+    val batch = VectorIndex.annPqIndexed(spark, sf, qid = 0, k = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist"))).toSeq
+    val served = idx.query(queryVecs(0L), k = 20, excludeId = 0L,
+      vectorLookup = id => queryVecs.get(id))
+    assert(served.map(h => (h.vecId, h.score)) == batch)
+    // no lookup: approximate tier — k ADC-ranked hits, ascending dist
+    val approx = idx.query(queryVecs(0L), k = 20, excludeId = 0L)
+    assert(approx.size == 20 && approx.map(_.rank) == (1 to 20))
+    assert(approx.map(_.score) == approx.map(_.score).sorted)
+  }
+
+  test("point queries launch zero Spark jobs and beat the batch scheduling floor") {
+    val lsh = PointServe.loadLsh(spark, sf)   // load cost: Spark jobs OK here
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      lsh.query(queryVecs(0L), k = 5, excludeId = 0L) // warm JIT
+      val t0 = System.nanoTime()
+      val n = 200
+      (0 until n).foreach(i => lsh.query(queryVecs((i % 8).toLong), k = 5))
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / n
+      // listener events are posted async; allow the bus to drain
+      Thread.sleep(1000)
+      assert(jobs.get() == 0, "a point query must not launch Spark jobs")
+      // generous bound (real cost is microseconds): the claim is only
+      // that serving sits far below the ~150ms+ batch job floor
+      assert(perQueryMs < 50.0, f"per-query $perQueryMs%.2f ms")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+}
