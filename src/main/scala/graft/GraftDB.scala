@@ -146,6 +146,13 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
 
   def pointServePq(): graft.sources.PointServe.Pq =
     graft.sources.PointServe.loadPq(spark, dir)
+
+  /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
+    * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries
+    * from RAM, zero Spark jobs each, bit-identical to the batch twins.
+    */
+  def pointServeRetrieval(): graft.sources.PointServe.Embedded =
+    graft.sources.PointServe.loadEmbedded(spark, dir)
 }
 
 object GraftDB {

@@ -237,6 +237,132 @@ object PointServe {
     }
   }
 
+  /** Embedded retrieval serving: the reference engine's in-memory
+    * query surface (sparse.rs SparseIndex + hybrid.rs fusion served
+    * from RAM) over a collected corpus — BM25, token-containment text
+    * search, brute-force dense cosine, and RRF hybrid fusion, each
+    * bit-identical to its batch twin ([[graft.operators.Bm25.search]] /
+    * `textSearch`, [[graft.operators.VectorSearch.semanticTopK]],
+    * [[graft.operators.HybridSearch.rrf]]) and answered with zero
+    * Spark jobs. Resident state is the inverted tf index + lowercased
+    * texts + the flat vector array — the reference's own single-node
+    * memory shape; BM25 doubles stay bit-stable in any accumulation
+    * order because every df/dl/tf partial is an integer-valued double,
+    * and per-doc term sums run in fixed query-term order exactly like
+    * the batch sketch reduce.
+    */
+  final class Embedded private[PointServe] (
+      docIds: Array[Long], lowerTexts: Array[String], dls: Array[Long],
+      tfs: Array[java.util.HashMap[String, Int]],
+      inverted: java.util.HashMap[String, Array[Int]], // term -> doc positions
+      denseIds: Array[Long], denseVecs: Array[Array[Double]]) {
+
+    import graft.operators.Bm25.{B, K1, tokenizeQuery}
+
+    private val nDocs = docIds.length
+    private val avgdl = dls.sum.toDouble / nDocs
+
+    /** Okapi BM25 — [[graft.operators.Bm25.search]] semantics. */
+    def bm25(query: String, k: Int = 20): Seq[Hit] = {
+      val terms = tokenizeQuery(query).toArray
+      if (terms.isEmpty) return Seq.empty
+      val postings = terms.map(t => inverted.getOrDefault(t, Array.empty))
+      val idfs = postings.map { p =>
+        val df = p.length.toDouble
+        math.log((nDocs - df + 0.5) / (df + 0.5))
+      }
+      val cands = postings.flatten.distinct
+      topK(cands.iterator.map { i =>
+        var score = 0.0
+        var j = 0
+        while (j < terms.length) {
+          val tf = tfs(i).getOrDefault(terms(j), 0).toDouble
+          // absent term: tf 0 contributes idf*0/(denominator) exactly
+          // like the batch sketch's zero slot
+          score += idfs(j) * (tf * (K1 + 1.0)) /
+            (tf + K1 * ((1.0 - B) + B * (dls(i) / avgdl)))
+          j += 1
+        }
+        (docIds(i), fx6(score))
+      }, k)
+    }
+
+    /** Token-containment text search — `Bm25.textSearch` semantics. */
+    def textSearch(query: String, k: Int = 20): Seq[Hit] = {
+      val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
+      topK((0 until nDocs).iterator.map { i =>
+        (docIds(i), terms.count(lowerTexts(i).contains).toLong)
+      }.filter(_._2 > 0), k)
+    }
+
+    /** Brute-force dense cosine — `VectorSearch.semanticTopK` semantics. */
+    def semantic(qv: Array[Double], k: Int = 20, excludeId: Long = -1L): Seq[Hit] =
+      topK(denseIds.iterator.zip(denseVecs.iterator)
+        .filter(_._1 != excludeId)
+        .map { case (id, emb) => (id, fx4(cosine(emb, qv))) }, k)
+
+    /** RRF hybrid fusion — [[graft.operators.HybridSearch.rrf]]:
+      * each branch's top-2*limit contributes 1/(60 + rank); per-doc
+      * accumulation runs in dense → sparse → text branch order, the
+      * same sequence the batch union feeds its aggregate.
+      */
+    def hybridRrf(qv: Array[Double], qid: Long, query: String,
+                  limit: Int = 20): Seq[Hit] = {
+      val n = limit * 2
+      val acc = new java.util.LinkedHashMap[Long, Double]()
+      def add(hits: Seq[Hit]): Unit = hits.foreach { h =>
+        val c = acc.getOrDefault(h.vecId, 0.0)
+        acc.put(h.vecId, c + 1.0 / (graft.operators.HybridSearch.RrfK + h.rank))
+      }
+      add(semantic(qv, n, excludeId = qid))
+      add(bm25(query, n))
+      add(textSearch(query, n))
+      val cands = scala.jdk.CollectionConverters.IteratorHasAsScala(
+        acc.entrySet().iterator()).asScala
+        .map(e => (e.getKey.longValue(), fx6(e.getValue)))
+      topK(cands, limit)
+    }
+  }
+
+  private def fx6(x: Double): Long = math.floor(x * 1000000L + 0.5).toLong
+
+  /** Load the embedded retrieval tier: collect the documents and
+    * embeddings tables (two Spark jobs), build the inverted tf index.
+    */
+  def loadEmbedded(spark: SparkSession, dir: String): Embedded = {
+    import graft.functions.TextFunctions.tokens
+    val docRows = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")), tokens(col("text")))
+      .orderBy(col("doc_id"))
+      .collect()
+    val n = docRows.length
+    val docIds = docRows.map(_.getLong(0))
+    val lowerTexts = docRows.map(_.getString(1))
+    val dls = new Array[Long](n)
+    val tfs = new Array[java.util.HashMap[String, Int]](n)
+    val inv = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < n) {
+      val toks = docRows(i).getSeq[String](2)
+      dls(i) = toks.size.toLong
+      val m = new java.util.HashMap[String, Int]()
+      toks.foreach { t =>
+        if (m.merge(t, 1, (a, b) => a + b) == 1)
+          inv.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += i
+      }
+      tfs(i) = m
+      i += 1
+    }
+    val inverted = new java.util.HashMap[String, Array[Int]]()
+    inv.forEach((t, b) => inverted.put(t, b.toArray))
+    val embRows = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id"))
+      .collect()
+    new Embedded(docIds, lowerTexts, dls, tfs, inverted,
+      embRows.map(_.getLong(0)), embRows.map(_.getSeq[Double](1).toArray))
+  }
+
   def loadPq(spark: SparkSession, dir: String): Pq = {
     import VectorSearch.PqM
     val path = VectorIndex.pqIndexReady(spark, dir)

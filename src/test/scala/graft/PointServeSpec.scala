@@ -54,6 +54,24 @@ class PointServeSpec extends GraftSuite {
     assert(approx.map(_.score) == approx.map(_.score).sorted)
   }
 
+  test("embedded retrieval serve (bm25/text/dense/hybrid-rrf) matches each batch twin bit-for-bit") {
+    val emb = PointServe.loadEmbedded(spark, sf)
+    val bm25Batch = operators.Bm25.search(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(emb.bm25(operators.Bm25.DefaultQuery).map(h => (h.vecId, h.score)) == bm25Batch)
+    val textBatch = operators.Bm25.textSearch(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(emb.textSearch(operators.Bm25.DefaultQuery).map(h => (h.vecId, h.score)) == textBatch)
+    val denseBatch = operators.VectorSearch.semanticTopK(spark, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq
+    assert(emb.semantic(queryVecs(0L), k = 20, excludeId = 0L)
+      .map(h => (h.vecId, h.score)) == denseBatch)
+    val rrfBatch = operators.HybridSearch.rrf(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+    assert(emb.hybridRrf(queryVecs(0L), 0L, operators.Bm25.DefaultQuery)
+      .map(h => (h.vecId, h.score)) == rrfBatch)
+  }
+
   test("point queries launch zero Spark jobs and beat the batch scheduling floor") {
     val lsh = PointServe.loadLsh(spark, sf)   // load cost: Spark jobs OK here
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
