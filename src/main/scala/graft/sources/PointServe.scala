@@ -111,12 +111,24 @@ object PointServe {
     * Query math mirrors [[VectorIndex.annLshFromIndex]] exactly:
     * signature on the same deterministic plane family, XOR multi-probe
     * mask set, fx4 cosine, (score DESC, vec_id ASC) ranking.
+    *
+    * [[refresh]] catches the served snapshot up with streaming
+    * maintenance ([[graft.streaming.EventStreams.vectorIndexStream]]
+    * appends generation-stamped rows into the same layout): it reads
+    * ONLY rows beyond the loaded generation (the `gen` predicate
+    * prunes appended files via footer stats — base-build row groups
+    * are constant gen 0) and swaps in a new snapshot. Queries read a
+    * @volatile immutable snapshot, so a concurrent refresh is
+    * invisible mid-query; refresh itself is single-writer (the
+    * reference's sequential add_document contract).
     */
   final class Lsh private[PointServe] (
-      buckets: java.util.HashMap[Int, Array[(Long, Array[Double])]],
+      spark: SparkSession, path: String,
+      @volatile private var snap: (java.util.HashMap[Int, Array[(Long, Array[Double])]], Long),
       planes: Array[Array[Int]], masks: Array[Long]) {
 
     def query(qv: Array[Double], k: Int = 5, excludeId: Long = -1L): Seq[Hit] = {
+      val buckets = snap._1
       val qbucket = signature(qv, planes).toInt
       val cands = masks.iterator.flatMap { m =>
         val b = buckets.get(qbucket ^ m.toInt)
@@ -127,28 +139,65 @@ object PointServe {
       topK(cands, k)
     }
 
+    /** Fold generations appended since load/last refresh into the
+      * snapshot; returns the number of rows picked up.
+      */
+    def refresh(): Int = {
+      val (buckets, maxGen) = snap
+      val delta = PointServe.readLshRows(spark, path, Some(maxGen))
+      if (delta.isEmpty) 0
+      else {
+        val next = new java.util.HashMap[Int, Array[(Long, Array[Double])]](buckets)
+        delta.groupBy(_._1).foreach { case (b, rs) =>
+          val add = rs.map(r => (r._2, r._3))
+          next.put(b, Option(next.get(b)).map(_ ++ add).getOrElse(add))
+        }
+        snap = (next, delta.iterator.map(_._4).max max maxGen)
+        delta.length
+      }
+    }
+
     def size: Int = {
       var n = 0
-      buckets.values().forEach(a => n += a.length)
+      snap._1.values().forEach(a => n += a.length)
       n
     }
+  }
+
+  /** (bucket, vec_id, emb, gen) rows, optionally only beyond a
+    * generation — the gen filter reaches the parquet footer stats, so
+    * a delta read touches only appended files. A layout predating the
+    * `gen` column reads as gen 0 (nothing to delta-refresh).
+    */
+  private def readLshRows(spark: SparkSession, path: String,
+                          afterGen: Option[Long]): Array[(Int, Long, Array[Double], Long)] = {
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("vec_id"),
+      col("embedding").cast("array<double>"), col("bucket"), genCol.as("gen"))
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getInt(2), r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(3)))
   }
 
   /** Load the LSH layout into memory (builds it first if absent). One
     * Spark job here; zero afterwards.
     */
   def loadLsh(spark: SparkSession, dir: String,
-              radius: Int = VectorSearch.LshProbeRadius): Lsh = {
-    val path = VectorIndex.lshIndexReady(spark, dir)
-    val rows = spark.read.parquet(path)
-      .select(col("vec_id"), col("embedding").cast("array<double>"), col("bucket"))
-      .collect()
+              radius: Int = VectorSearch.LshProbeRadius): Lsh =
+    loadLshFrom(spark, VectorIndex.lshIndexReady(spark, dir), radius)
+
+  /** [[loadLsh]] over an explicit layout path (a test copy, a shard's
+    * partition subset, or a layout built elsewhere).
+    */
+  def loadLshFrom(spark: SparkSession, path: String,
+                  radius: Int = VectorSearch.LshProbeRadius): Lsh = {
+    val rows = readLshRows(spark, path, None)
     val buckets = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
-    rows.groupBy(_.getInt(2)).foreach { case (b, rs) =>
-      buckets.put(b, rs.map(r =>
-        (r.getLong(0), r.getSeq[Double](1).toArray)))
+    rows.groupBy(_._1).foreach { case (b, rs) =>
+      buckets.put(b, rs.map(r => (r._2, r._3)))
     }
-    new Lsh(buckets,
+    val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
+    new Lsh(spark, path, (buckets, maxGen),
       VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes),
       VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius))
   }
@@ -209,7 +258,8 @@ object PointServe {
     * one the fx4 ADC ranking is returned as-is (approximate tier).
     */
   final class Pq private[PointServe] (
-      ids: Array[Long], codes: Array[Array[Int]],
+      spark: SparkSession, path: String,
+      @volatile private var snap: (Array[Long], Array[Array[Int]], Long),
       books: Array[Array[Array[Double]]]) { // m -> cid -> subvector
 
     import VectorSearch.{PqM, PqSubDim}
@@ -217,6 +267,7 @@ object PointServe {
     def query(qv: Array[Double], k: Int = 20, excludeId: Long = -1L,
               coarseK: Int = VectorSearch.PqCoarseK,
               vectorLookup: Long => Option[Array[Double]] = _ => None): Seq[Hit] = {
+      val (ids, codes, _) = snap
       val adc = Array.tabulate(PqM, books(0).length) { (m, c) =>
         l2Sq(qv, books(m)(c), m * PqSubDim, PqSubDim, 0)
       }
@@ -235,6 +286,36 @@ object PointServe {
       }
       else topK(rescored.iterator, k, ascending = true)
     }
+
+    /** Fold code rows appended by
+      * [[graft.streaming.EventStreams.pqIndexStream]] since load/last
+      * refresh into the snapshot (same gen-pruned delta read and
+      * volatile-swap contract as [[Lsh.refresh]]); returns rows added.
+      */
+    def refresh(): Int = {
+      val (ids, codes, maxGen) = snap
+      val delta = PointServe.readPqRows(spark, path, Some(maxGen))
+      if (delta.isEmpty) 0
+      else {
+        snap = (ids ++ delta.map(_._1), codes ++ delta.map(_._2),
+          delta.iterator.map(_._3).max max maxGen)
+        delta.length
+      }
+    }
+
+    def size: Int = snap._1.length
+  }
+
+  /** (vec_id, codes, gen) rows, optionally only beyond a generation. */
+  private def readPqRows(spark: SparkSession, path: String,
+                         afterGen: Option[Long]): Array[(Long, Array[Int], Long)] = {
+    import VectorSearch.PqM
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("vec_id") +: genCol.as("gen") +:
+      (0 until PqM).map(m => col(s"code$m")): _*)
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getLong(0), Array.tabulate(PqM)(m => r.getInt(m + 2)), r.getLong(1)))
   }
 
   /** Embedded retrieval serving: the reference engine's in-memory
@@ -363,14 +444,14 @@ object PointServe {
       embRows.map(_.getLong(0)), embRows.map(_.getSeq[Double](1).toArray))
   }
 
-  def loadPq(spark: SparkSession, dir: String): Pq = {
+  def loadPq(spark: SparkSession, dir: String): Pq =
+    loadPqFrom(spark, VectorIndex.pqIndexReady(spark, dir))
+
+  /** [[loadPq]] over an explicit layout path. */
+  def loadPqFrom(spark: SparkSession, path: String): Pq = {
     import VectorSearch.PqM
-    val path = VectorIndex.pqIndexReady(spark, dir)
-    val codeCols = (0 until PqM).map(m => col(s"code$m"))
-    val rows = spark.read.parquet(path)
-      .select(col("vec_id") +: codeCols: _*).collect()
-    val ids = rows.map(_.getLong(0))
-    val codes = rows.map(r => Array.tabulate(PqM)(m => r.getInt(m + 1)))
+    val rows = readPqRows(spark, path, None)
+    val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._3).max
     // books parquet: one row of PqM array<struct<cid,cemb>> columns;
     // codes index cid-sorted order (annPqFromIndex array_sorts), and
     // cids are the dense 0..PqK-1 range by construction
@@ -381,6 +462,6 @@ object PointServe {
         .sortBy(_.getLong(0))
         .map(_.getSeq[Double](1).toArray).toArray
     }
-    new Pq(ids, codes, books)
+    new Pq(spark, path, (rows.map(_._1), rows.map(_._2), maxGen), books)
   }
 }

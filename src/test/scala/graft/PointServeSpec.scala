@@ -72,6 +72,51 @@ class PointServeSpec extends GraftSuite {
       .map(h => (h.vecId, h.score)) == rrfBatch)
   }
 
+  test("refresh folds streaming-appended generations into the served snapshot") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pserve").toFile.getAbsolutePath
+    val newId = 999999L
+    val newVec = queryVecs(1L) // duplicate of vector 1 → cosine 1.0 with itself
+
+    // LSH: isolated layout copy (never the shared /tmp layout — an
+    // appended test generation must not leak into other specs' probes)
+    val lshPath = tmp + "/lsh"
+    VectorIndex.buildLshIndex(spark, sf, lshPath)
+    val idx = PointServe.loadLshFrom(spark, lshPath)
+    val n0 = idx.size
+    val planes = operators.VectorSearch.lshPlanes(64, operators.VectorSearch.AnnLshPlanes)
+    Seq((newId, newVec.map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+      .withColumn("gen", lit(1L))
+      .withColumn("bucket", operators.VectorSearch.lshBucket(
+        col("embedding").cast("array<double>"), planes).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(lshPath)
+    assert(!idx.query(newVec, k = 5).exists(_.vecId == newId),
+      "snapshot must not see unrefreshed appends")
+    assert(idx.refresh() == 1 && idx.size == n0 + 1)
+    assert(idx.query(newVec, k = 5).exists(h => h.vecId == newId && h.score == 10000L))
+    assert(idx.refresh() == 0, "no new generations → no-op")
+
+    // PQ: same contract over the codes layout
+    val pqPath = tmp + "/pq"
+    VectorIndex.buildPqIndex(spark, sf, pqPath)
+    val pq = PointServe.loadPqFrom(spark, pqPath)
+    val m0 = pq.size
+    import operators.VectorSearch.{PqM, PqSubDim}
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val books = spark.read.parquet(pqPath + "_books")
+    Seq((newId, newVec.toSeq)).toDF("vec_id", "emb")
+      .crossJoin(broadcast(books))
+      .select(col("vec_id") +: lit(1L).as("gen") +: (0 until PqM).map { m =>
+        column(graft.functions.expressions.NearestCentroid(
+          expression(slice(col("emb"), m * PqSubDim + 1, PqSubDim)),
+          expression(col(s"book$m")))).cast("int").as(s"code$m")
+      }: _*)
+      .write.mode("append").parquet(pqPath)
+    assert(pq.refresh() == 1 && pq.size == m0 + 1)
+    assert(pq.query(newVec, k = 20).exists(_.vecId == newId),
+      "appended codes must serve after refresh")
+  }
+
   test("point queries launch zero Spark jobs and beat the batch scheduling floor") {
     val lsh = PointServe.loadLsh(spark, sf)   // load cost: Spark jobs OK here
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
