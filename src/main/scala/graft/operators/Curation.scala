@@ -358,26 +358,38 @@ object Curation {
         size(split(col("text"), " ")).cast("long").as("toks"))
     val stats = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-    val total = stats.agg(sum(col("n_tokens")).as("total_tok"))
     val wBp = MixWeights.foldLeft(Option.empty[Column]) {
       case (None, (s, w))    => Some(when(col("source") === s, w.toLong))
       case (Some(c), (s, w)) => Some(c.when(col("source") === s, w.toLong))
     }.get.otherwise(0L)
-    val rates = stats.crossJoin(broadcast(total))
+    // corpus total as an unpartitioned window over the PER-SOURCE stats
+    // (domain-count rows — bounded at any corpus size, same rationale
+    // as the hybrid branch-ranking windows): a separate stats.agg()
+    // subtree is NOT deduped by Catalyst against stats itself and
+    // re-scanned the whole corpus for one number
+    val rates = stats
+      .withColumn("total_tok",
+        sum(col("n_tokens")).over(Window.partitionBy()))
       .withColumn("w_bp", wBp)
       .withColumn("rate_bp",
         least(lit(10000L),
           expr("(10000L * ((w_bp * total_tok) div 10000L)) div n_tokens")))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"))
-    val kept = docs
+    // ONE conditional aggregation over the gated join carries the
+    // input stats, the rate and the kept mass together: no post-join
+    // filter (a source whose every doc fails the gate must still
+    // report a row) and no second rates join — the rates subtree
+    // appears once, so the whole operator is exactly two corpus scans
+    // (Catalyst does not dedupe repeated DataFrame subtrees; the
+    // previous rates-then-left-join shape paid a third)
+    val gate = (hash60(col("text")) % 10000L) < col("rate_bp")
+    docs
       .join(broadcast(rates.select(col("source"), col("rate_bp"))), Seq("source"))
-      .filter((hash60(col("text")) % 10000L) < col("rate_bp"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
-    rates.join(broadcast(kept), Seq("source"), "left")
-      .select(col("source"), col("n_docs"), col("n_tokens"), col("rate_bp"),
-        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
-        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        first(col("rate_bp")).as("rate_bp"),
+        count(when(gate, 1)).as("kept_docs"),
+        coalesce(sum(when(gate, col("toks"))), lit(0L)).as("kept_tokens"))
       .orderBy(col("source"))
   }
 
