@@ -352,13 +352,14 @@ object Curation {
     * aggregate; per-source state is bounded by the domain count, so
     * every join rides a broadcast of a constant-bounded relation.
     */
-  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+  def corpusMix(spark: SparkSession, dir: String,
+                weights: Seq[(String, Int)] = MixWeights): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"),
         size(split(col("text"), " ")).cast("long").as("toks"))
     val stats = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
-    val wBp = MixWeights.foldLeft(Option.empty[Column]) {
+    val wBp = weights.foldLeft(Option.empty[Column]) {
       case (None, (s, w))    => Some(when(col("source") === s, w.toLong))
       case (Some(c), (s, w)) => Some(c.when(col("source") === s, w.toLong))
     }.get.otherwise(0L)

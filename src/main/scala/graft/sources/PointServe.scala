@@ -125,7 +125,8 @@ object PointServe {
   final class Lsh private[PointServe] (
       spark: SparkSession, path: String,
       @volatile private var snap: (java.util.HashMap[Int, Array[(Long, Array[Double])]], Long),
-      planes: Array[Array[Int]], masks: Array[Long]) {
+      planes: Array[Array[Int]], masks: Array[Long],
+      shard: Option[Set[Int]] = None) {
 
     def query(qv: Array[Double], k: Int = 5, excludeId: Long = -1L): Seq[Hit] = {
       val buckets = snap._1
@@ -144,7 +145,7 @@ object PointServe {
       */
     def refresh(): Int = {
       val (buckets, maxGen) = snap
-      val delta = PointServe.readLshRows(spark, path, Some(maxGen))
+      val delta = PointServe.readLshRows(spark, path, Some(maxGen), shard)
       if (delta.isEmpty) 0
       else {
         val next = new java.util.HashMap[Int, Array[(Long, Array[Double])]](buckets)
@@ -167,17 +168,35 @@ object PointServe {
   /** (bucket, vec_id, emb, gen) rows, optionally only beyond a
     * generation — the gen filter reaches the parquet footer stats, so
     * a delta read touches only appended files. A layout predating the
-    * `gen` column reads as gen 0 (nothing to delta-refresh).
+    * `gen` column reads as gen 0 (nothing to delta-refresh). A
+    * `shard` restriction filters on the partition column, so a
+    * shard's load (and every refresh) lists and reads ONLY its own
+    * bucket directories.
     */
   private def readLshRows(spark: SparkSession, path: String,
-                          afterGen: Option[Long]): Array[(Int, Long, Array[Double], Long)] = {
+                          afterGen: Option[Long],
+                          shard: Option[Set[Int]] = None): Array[(Int, Long, Array[Double], Long)] = {
     val layout = spark.read.parquet(path)
     val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
-    val base = layout.select(col("vec_id"),
+    val sharded = shard.fold(layout)(s =>
+      layout.filter(col("bucket").isin(s.toSeq: _*)))
+    val base = sharded.select(col("vec_id"),
       col("embedding").cast("array<double>"), col("bucket"), genCol.as("gen"))
     afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
       .map(r => (r.getInt(2), r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(3)))
   }
+
+  /** Scatter-gather merge for sharded serving: each shard answers
+    * from its own bucket subset with the same ranking; the gather
+    * re-ranks the union — identical to the unsharded result because
+    * bucket membership partitions the candidate set and the ranking
+    * key (score, vec_id) is global. This is the 100 TB deployment
+    * shape: the layout's partition column is the shard key, each
+    * serving node loads its directories, a router merges top-ks.
+    */
+  def mergeHits(shardHits: Seq[Seq[Hit]], k: Int,
+                ascending: Boolean = false): Seq[Hit] =
+    topK(shardHits.iterator.flatten.map(h => (h.vecId, h.score)), k, ascending)
 
   /** Load the LSH layout into memory (builds it first if absent). One
     * Spark job here; zero afterwards.
@@ -186,12 +205,16 @@ object PointServe {
               radius: Int = VectorSearch.LshProbeRadius): Lsh =
     loadLshFrom(spark, VectorIndex.lshIndexReady(spark, dir), radius)
 
-  /** [[loadLsh]] over an explicit layout path (a test copy, a shard's
-    * partition subset, or a layout built elsewhere).
+  /** [[loadLsh]] over an explicit layout path (a test copy, a layout
+    * built elsewhere) and optionally a bucket shard: a serving node
+    * passed `shard` loads (and refreshes) only its own bucket
+    * directories; [[mergeHits]] gathers shard answers back into the
+    * exact unsharded result.
     */
   def loadLshFrom(spark: SparkSession, path: String,
-                  radius: Int = VectorSearch.LshProbeRadius): Lsh = {
-    val rows = readLshRows(spark, path, None)
+                  radius: Int = VectorSearch.LshProbeRadius,
+                  shard: Option[Set[Int]] = None): Lsh = {
+    val rows = readLshRows(spark, path, None, shard)
     val buckets = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
     rows.groupBy(_._1).foreach { case (b, rs) =>
       buckets.put(b, rs.map(r => (r._2, r._3)))
@@ -199,7 +222,7 @@ object PointServe {
     val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
     new Lsh(spark, path, (buckets, maxGen),
       VectorSearch.lshPlanes(64, VectorSearch.AnnLshPlanes),
-      VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius))
+      VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius), shard)
   }
 
   /** IVF point index: fine-centroid table + cell → members resident.

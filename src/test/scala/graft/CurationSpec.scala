@@ -217,4 +217,18 @@ class CurationSpec extends GraftSuite {
     assert(rows("src0")._5.toDouble / keptTotal > rows("src0")._2.toDouble / totalTok,
       "src0 share must rise")
   }
+
+  test("corpus_mix drops unweighted domains entirely but still reports their input stats") {
+    val rows = Curation.corpusMix(spark, sf, weights = Seq("src0" -> 10000)).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("rate_bp"),
+         r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))).toMap
+    // every source still reports a row (a gate that silently drops a
+    // domain's accounting row hides what the mix excluded)
+    assert(rows.size == 20 && rows.values.forall(_._1 > 0))
+    rows.foreach { case (s, (_, rate, kept, keptTok)) =>
+      if (s == "src0") assert(rate == 10000L && kept > 0, s"$s keep-all")
+      else assert(rate == 0L && kept == 0L && keptTok == 0L, s"$s zero-weight drop")
+    }
+  }
 }

@@ -117,6 +117,23 @@ class PointServeSpec extends GraftSuite {
       "appended codes must serve after refresh")
   }
 
+  test("sharded serve: complementary bucket shards scatter-gather to the exact unsharded result") {
+    val path = VectorIndex.lshIndexReady(spark, sf)
+    val full = PointServe.loadLshFrom(spark, path)
+    val evens = PointServe.loadLshFrom(spark, path,
+      shard = Some((0 until 256 by 2).toSet))
+    val odds = PointServe.loadLshFrom(spark, path,
+      shard = Some((1 until 256 by 2).toSet))
+    assert(evens.size + odds.size == full.size, "shards must partition the corpus")
+    (0L until 8L).foreach { qid =>
+      val expected = full.query(queryVecs(qid), k = 5, excludeId = qid)
+      val gathered = PointServe.mergeHits(
+        Seq(evens.query(queryVecs(qid), k = 5, excludeId = qid),
+            odds.query(queryVecs(qid), k = 5, excludeId = qid)), k = 5)
+      assert(gathered == expected, s"query $qid")
+    }
+  }
+
   test("point queries launch zero Spark jobs and beat the batch scheduling floor") {
     val lsh = PointServe.loadLsh(spark, sf)   // load cost: Spark jobs OK here
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
