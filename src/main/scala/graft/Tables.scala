@@ -20,17 +20,28 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which vanilla Spark
-    * refuses; read nanos as long and rebuild a microsecond timestamp.
+  /** The driver's events.parquet has stored ts as TIMESTAMP(NANOS)
+    * (earlier rounds) and as TIMESTAMP(MICROS) without a UTC flag
+    * (current data) — dispatch on the type actually read so either
+    * generation loads, always normalizing to TimestampType at
+    * microsecond precision with UTC epoch semantics (every session
+    * here pins spark.sql.session.timeZone=UTC, so the NTZ cast is
+    * epoch-exact).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // DIV (integer division) — `col / 1000L` is DOUBLE division, and
-    // epoch-nanos (~1.7e18) exceed a double's 2^53 exact range, so the
-    // rounded quotient lands ±1µs off DuckDB's truncating ns→µs
-    // conversion. Exposed by any operator emitting exact epoch micros.
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // DIV (integer division) — `col / 1000L` is DOUBLE division, and
+      // epoch-nanos (~1.7e18) exceed a double's 2^53 exact range, so the
+      // rounded quotient lands ±1µs off DuckDB's truncating ns→µs
+      // conversion. Exposed by any operator emitting exact epoch micros.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering for corpus curation: deterministic
+  * Lloyd k-means over the embeddings table. Clustering is the
+  * curation counterpart of ANN search (semantic diversity sampling,
+  * per-cluster quota filtering, topic balance reports all consume the
+  * assignment); the reference's IVF training (index.rs coarse
+  * quantizer) is the same computation — this operator exposes it as a
+  * first-class result instead of an index byproduct.
+  *
+  * Determinism across engines (the oracle replays every step in
+  * DuckDB and the driver hash-compares): embeddings are quantized to
+  * integer milli-units up front, so every centroid accumulation is
+  * EXACT integer arithmetic — no float summation-order jitter can
+  * flip a borderline assignment. Centroid updates divide with an
+  * explicit FLOOR on a double quotient (|sum| is far inside 2^53)
+  * because Spark's `div` truncates toward zero while DuckDB's `//`
+  * floors — the one place the engines' integer semantics disagree.
+  * Ties in the argmin break toward the lower cluster id in both
+  * engines (lexicographic (dist, cluster) minimum).
+  *
+  * Scale shape, per iteration: one broadcast of the k×dim centroid
+  * relation (constant-bounded) against the corpus for assignment, one
+  * vec-keyed aggregate for the argmin, one shuffle_hash join back to
+  * the quantized vectors riding the same vec_id partitioning, and a
+  * (cluster, dim)-keyed aggregate whose map-side partials bound the
+  * shuffle at k·dim rows per input partition. Iteration count is the
+  * fixed [[KmeansIters]] — no data-dependent convergence loop, so the
+  * job graph is static and the whole operator is linear in corpus
+  * size.
+  */
+object Clustering {
+  /** Cluster count, fixed Lloyd iteration count, quantization scale. */
+  val KmeansK = 8
+  val KmeansIters = 2
+  val QScale = 1000
+
+  /** Embeddings quantized to exact integer milli-units. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          v => floor(v * QScale + 0.5).cast("long")).as("qe"))
+
+  /** Squared L2 distance between two integer vectors — exact. */
+  private def sqDist = aggregate(
+    zip_with(col("qe"), col("ce"), (a, b) => (a - b) * (a - b)),
+    lit(0L), _ + _)
+
+  /** Assign every vector to its nearest centroid; ties to the lower
+    * cluster id via the lexicographic struct minimum.
+    */
+  private def assign(q: DataFrame, cent: DataFrame): DataFrame =
+    q.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cluster"), sqDist.as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"), col("m.dist").as("dist"))
+
+  /** Recompute centroids as the floored per-dimension mean of each
+    * cluster's members. A cluster that lost every member simply emits
+    * no centroid row — consistently in both engines.
+    */
+  private def recenter(q: DataFrame, asg: DataFrame): DataFrame =
+    asg.join(q.hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("cluster"), posexplode(col("qe")).as(Seq("i", "v")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("s"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
+        x => x.getField("s")).as("ce"))
+
+  /** Deterministic k-means assignment: init from the [[KmeansK]]
+    * lowest vec_ids (cluster id = rank order), [[KmeansIters]] Lloyd
+    * rounds, output one row per vector with its cluster and exact
+    * quantized squared distance.
+    */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantized(spark, dir)
+    val init = q.orderBy(col("vec_id")).limit(KmeansK)
+      .withColumn("cluster",
+        (row_number().over(Window.partitionBy().orderBy(col("vec_id"))) - 1).cast("long"))
+      .select(col("cluster"), col("qe").as("ce"))
+    val finalCent = (1 until KmeansIters).foldLeft(init) { (cent, _) =>
+      recenter(q, assign(q, cent))
+    }
+    assign(q, finalCent)
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedKmeansSql: String = {
+    val dim = 64
+    def distE(ce: String) =
+      s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> (q.qe[i]-$ce[i])*(q.qe[i]-$ce[i]))) AS BIGINT)"
+    def assignE(cent: String) =
+      s"""SELECT vec_id, cluster, dist FROM (
+         |    SELECT q.vec_id, $cent.cluster, ${distE(s"$cent.ce")} AS dist,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${distE(s"$cent.ce")}, $cent.cluster) AS rn
+         |    FROM q CROSS JOIN $cent)
+         |  WHERE rn = 1""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], v -> CAST(FLOOR(v*$QScale + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster, qe AS ce
+       |  FROM q ORDER BY vec_id LIMIT $KmeansK
+       |), a1 AS (
+       |  ${assignE("c0")}
+       |), c1 AS (
+       |  SELECT cluster, list(s ORDER BY i) AS ce FROM (
+       |    SELECT a1.cluster, i, CAST(FLOOR(SUM(q.qe[i])::DOUBLE / COUNT(*)) AS BIGINT) AS s
+       |    FROM a1 JOIN q USING (vec_id) CROSS JOIN (SELECT unnest(range(1, ${dim + 1})) AS i)
+       |    GROUP BY a1.cluster, i)
+       |  GROUP BY cluster
+       |), a2 AS (
+       |  ${assignE("c1")}
+       |)
+       |SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id""".stripMargin
+  }
+}

@@ -449,4 +449,110 @@ object Curation {
        |FROM r
        |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- model-based quality gate ----
+
+  /** Fixed weights of the linear quality model: a stand-in for a
+    * trained fastText/logistic quality classifier (the published
+    * CCNet/Gopher-style pipelines gate on exactly such a model). The
+    * FEATURES are the real pipeline; swapping learned weights in is a
+    * constant edit.
+    */
+  val QBias = -1.8; val QwLen = 2.0; val QwPunct = -4.0
+  val QwStop = 3.0; val QwDigit = -2.0
+
+  /** Model-based quality filtering: a logistic model over the same
+    * surface statistics [[TextAnalysis.quality]] reports (length
+    * saturation, punctuation/digit noise, stopword naturalness),
+    * emitting the raw margin, the sigmoid score and the keep
+    * decision. The decision is taken on the MARGIN's sign (pure
+    * +,*,/ arithmetic — bit-identical across engines), never on the
+    * transcendental sigmoid, so the gate cannot flip on a last-ulp
+    * exp() divergence. Zero shuffles — a pure map at any corpus
+    * size, exactly like the reference's per-document scoring hooks
+    * (lib.rs add_document runs per-doc transforms inline).
+    */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val nChars = length(text).cast("double")
+    val nTokens = size(split(text, " ")).cast("double")
+    val rawToks = transform(split(lower(text), " "), t => regexp_replace(t, "[^a-z0-9]", ""))
+    val stopToks = size(filter(rawToks, t => t.isin(StopWords: _*))).cast("double")
+    val alnumSpace = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
+    val digits = nChars - length(regexp_replace(text, "[0-9]", "")).cast("double")
+    val z = lit(QBias) +
+      lit(QwLen) * least(lit(1.0), nTokens / 50.0) +
+      lit(QwPunct) * ((nChars - alnumSpace) / nChars) +
+      lit(QwStop) * least(lit(1.0), (stopToks / greatest(nTokens, lit(1.0))) * 5.0) +
+      lit(QwDigit) * (digits / nChars)
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), fx(z, 6).as("margin"),
+        fx(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),
+        (z >= 0.0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityLogitSql: String = {
+    val nChars = "length(text)::DOUBLE"
+    val nTokens = "len(string_split(text, ' '))::DOUBLE"
+    val rawToks = "list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g'))"
+    val stopToks = s"len(list_filter($rawToks, t -> list_contains($stopWordsSql, t)))::DOUBLE"
+    val alnumSpace = "length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE"
+    val digits = s"($nChars - length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE)"
+    val z = s"($QBias + $QwLen * least(1.0, $nTokens / 50.0)" +
+      s" + $QwPunct * (($nChars - $alnumSpace) / $nChars)" +
+      s" + $QwStop * least(1.0, ($stopToks / greatest($nTokens, 1.0)) * 5.0)" +
+      s" + $QwDigit * ($digits / $nChars))"
+    s"""SELECT doc_id, ${fxSql(z, 6)} AS margin,
+       |  ${fxSql(s"1.0 / (1.0 + exp(-($z)))", 4)} AS score,
+       |  ($z >= 0.0)::BIGINT AS keep
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- training-shard manifest ----
+
+  /** Shard count for the training-shard manifest. */
+  val NumShards = 16
+
+  /** Training-shard manifest: assign every document a deterministic
+    * shard by content-independent id hash (stable under re-partitions
+    * and re-runs on any cluster) and report each shard's document and
+    * token mass plus its basis-point share of the corpus — what a
+    * tokenizer/trainer consumes to plan balanced data-parallel reads.
+    * One map + one [[NumShards]]-ary aggregate (map-side partials);
+    * the share window runs over shard-count rows, bounded at any
+    * corpus size.
+    */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        (hash60(col("doc_id")) % NumShards).as("shard"))
+    docs.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .withColumn("share_bp",
+        expr(s"(10000L * n_tokens) div sum(n_tokens) over ()"))
+      .orderBy(col("shard"))
+  }
+
+  val shardManifestSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, n_chars,
+       |    len(string_split(text, ' '))::BIGINT AS toks,
+       |    ${hash60Sql("doc_id")} % $NumShards AS shard
+       |  FROM documents
+       |), s AS (
+       |  SELECT shard, COUNT(*)::BIGINT AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |    MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |  FROM d GROUP BY shard
+       |)
+       |SELECT shard, n_docs, n_tokens, n_chars, min_doc, max_doc,
+       |  CAST((10000 * n_tokens) // (SUM(n_tokens) OVER ()) AS BIGINT) AS share_bp
+       |FROM s
+       |ORDER BY shard""".stripMargin
 }

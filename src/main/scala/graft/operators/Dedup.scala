@@ -776,4 +776,74 @@ object Dedup {
        |ORDER BY cosine DESC, id1, id2
        |LIMIT $k""".stripMargin
   }
+
+  // ---- chunk-granular exact dedup ----
+
+  /** Window width (whitespace tokens) for chunk-granular dedup:
+    * NON-overlapping, unlike [[TextAnalysis.textChunk]]'s sliding
+    * windows — overlap would make every window collide with its own
+    * neighbours and report intra-document "duplication" that isn't.
+    */
+  val ChunkDedupW = 32
+
+  /** Chunk-granular exact deduplication (the document-internal half
+    * of exact-substring dedup, Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better" at fixed-window
+    * granularity): cut every document into consecutive
+    * [[ChunkDedupW]]-token windows, hash each window, and report per
+    * document how many of its chunks also occur in ANOTHER document.
+    * Whole-doc dedup misses boilerplate shared across distinct pages
+    * (headers, licence blocks, navigation); this flags it at window
+    * resolution so a downstream pass can drop the repeated spans
+    * instead of whole documents.
+    *
+    * Scale shape: map + Generate to the chunk stream, one hash-keyed
+    * groupBy for chunk frequency (map-side partials — the heavy
+    * string column never shuffles, only its 60-bit hash), one
+    * shuffle_hash join back and one doc-keyed aggregate. Linear at
+    * any corpus size; no self-join, no pair space.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val start = col("chunk_ix") * ChunkDedupW + 1
+    val occ = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(col("n").cast("double") / ChunkDedupW).cast("long") - 1L)).as("chunk_ix"),
+        col("toks"))
+      .select(col("doc_id"),
+        hash60(array_join(slice(col("toks"), start, lit(ChunkDedupW)), " ")).as("h"))
+    val freq = occ.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"))
+    occ.join(freq.hint("shuffle_hash"), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("n_docs") >= 2, 1)).as("shared_chunks"),
+        fx(count(when(col("n_docs") >= 2, 1)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |), occ AS (
+       |  SELECT doc_id,
+       |    ${hash60Sql(s"array_to_string(list_slice(toks, chunk_ix * $ChunkDedupW + 1, chunk_ix * $ChunkDedupW + $ChunkDedupW), ' ')")} AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(0, CAST(CEIL(n / $ChunkDedupW.0) AS BIGINT))) AS chunk_ix
+       |        FROM t)
+       |), freq AS (
+       |  SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM occ GROUP BY h
+       |)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  COUNT(CASE WHEN n_docs >= 2 THEN 1 END) AS shared_chunks,
+       |  ${fxSql("COUNT(CASE WHEN n_docs >= 2 THEN 1 END)::DOUBLE / COUNT(*)::DOUBLE", 6)} AS shared_frac
+       |FROM occ JOIN freq USING (h)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

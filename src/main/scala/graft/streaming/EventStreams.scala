@@ -69,12 +69,22 @@ object EventStreams {
     */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream
-      .schema(schema)
-      .parquet(dir)
-      // integer DIV: see Tables.events — double division drifts ±1µs
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // a streaming source needs a declared schema; probe the footer with
+    // a batch read so either driver data generation (nanos-as-long or
+    // micros-NTZ — see Tables.events) streams correctly
+    def schemaWith(tsDdl: String) =
+      s"event_id BIGINT, ts $tsDdl, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        spark.readStream.schema(schemaWith("BIGINT")).parquet(dir)
+          // integer DIV: see Tables.events — double division drifts ±1µs
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        spark.readStream.schema(schemaWith("TIMESTAMP_NTZ")).parquet(dir)
+          .withColumn("ts", col("ts").cast("timestamp"))
+      case _ =>
+        spark.readStream.schema(schemaWith("TIMESTAMP")).parquet(dir)
+    }
   }
 
   /** Streaming dedup-on-ingest: keep the FIRST document per content

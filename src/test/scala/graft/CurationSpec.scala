@@ -231,4 +231,38 @@ class CurationSpec extends GraftSuite {
       else assert(rate == 0L && kept == 0L && keptTok == 0L, s"$s zero-weight drop")
     }
   }
+
+  test("quality_logit: keep is exactly the margin's sign and the score is its sigmoid") {
+    val rows = Curation.qualityLogit(spark, sf).collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val margin = r.getAs[Long]("margin")      // fx(z, 6)
+      val score = r.getAs[Long]("score")        // fx(sigmoid(z), 4)
+      val keep = r.getAs[Long]("keep")
+      assert(keep == (if (margin >= 0) 1L else 0L), s"doc ${r.getLong(0)} gate/margin")
+      val sig = 1.0 / (1.0 + math.exp(-margin / 1e6))
+      assert(math.abs(score - sig * 1e4) <= 1.0, s"doc ${r.getLong(0)} sigmoid")
+      assert(score > 0 && score < 10000)
+    }
+    val keepFrac = rows.count(_.getAs[Long]("keep") == 1L).toDouble / rows.length
+    assert(keepFrac > 0.1 && keepFrac < 0.99, s"degenerate gate: $keepFrac")
+  }
+
+  test("shard_manifest conserves the corpus and balances token mass") {
+    val rows = Curation.shardManifest(spark, sf).collect()
+    assert(rows.length == Curation.NumShards)
+    val docs = Tables.documents(spark, sf)
+      .select(sum(size(split(col("text"), " "))).cast("long"), count(lit(1)))
+      .collect()(0)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.getLong(1))
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == docs.getLong(0))
+    // share_bp is the floored basis-point share: sums to <= 10000 and
+    // within NumShards of it, and hashing spreads mass (no empty shard,
+    // no shard holding more than 3x its fair share at this corpus size)
+    val shares = rows.map(_.getAs[Long]("share_bp"))
+    assert(shares.sum <= 10000L && shares.sum > 10000L - Curation.NumShards)
+    assert(rows.forall(_.getAs[Long]("n_docs") > 0))
+    assert(shares.max < 3L * 10000L / Curation.NumShards)
+  }
 }

@@ -116,4 +116,27 @@ class DedupSpec extends GraftSuite {
       assert((r.getAs[Long]("is_dup") == 1L) == (r.getAs[Long]("vec_id") != r.getAs[Long]("keep_id")))
     }
   }
+
+  test("chunk dedup counts exactly the windows shared with another document") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val W = Dedup.ChunkDedupW
+    val chunksOf = docs.map { case (id, toks) =>
+      id -> toks.grouped(W).map(_.mkString(" ")).toSeq }
+    val docsPerChunk = chunksOf.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(c => c -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val got = Dedup.chunkDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("shared_chunks"))).toMap
+    assert(got.keySet == docs.keySet)
+    chunksOf.foreach { case (id, cs) =>
+      val expShared = cs.count(c => docsPerChunk(c) >= 2)
+      assert(got(id) == (cs.size.toLong, expShared.toLong), s"doc $id")
+    }
+    // the synthetic corpus plants cross-document boilerplate: the
+    // operator must actually fire at the test scale
+    assert(got.values.exists(_._2 > 0), "no shared chunk found anywhere")
+  }
 }
