@@ -390,4 +390,113 @@ object Bm25 {
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin
   }
+
+  /** Fixed demo batch for [[searchBatch]] (query_id = position). */
+  val BatchQueries: Seq[String] = Seq(
+    DefaultQuery,
+    "table scan filter merge sort",
+    "hash group key column batch",
+    "customer order data query line")
+
+  /** Batched BM25: N text queries answered in ONE plan (reference
+    * src/performance/parallel_search.rs:67 parallel_text_search — the
+    * reference fans queries out over a thread pool against the shared
+    * in-memory index; the Spark-first form makes the batch a single
+    * job so the corpus is scanned ONCE for every query in it).
+    *
+    * The per-doc sketch covers the UNION vocabulary of the batch, so
+    * corpus stats (n_docs, avgdl, every term's df) remain one
+    * shuffle-free scalar aggregate. Each query's score is a column
+    * over its own slice of the sketch; a small explode fans each doc
+    * row out to its matching queries only, and per-query ranking is
+    * the bounded map-side [[graft.functions.expressions.TopKAgg]] —
+    * the exchange carries at most partitions × k survivors per query,
+    * never the full scored space. Zero keyed shuffles on corpus data
+    * at any scale; batch size only widens the sketch.
+    */
+  def searchBatch(spark: SparkSession, dir: String,
+                  queries: Seq[String] = BatchQueries, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.expressions.TopKAgg.topK
+    val qTerms = queries.map(tokenizeQuery)
+    val terms = qTerms.flatten.distinct
+    require(terms.nonEmpty, "batch has no searchable terms")
+    // the stats aggregate and the scoring pass both read the token
+    // arrays; persist so tokenization is paid once (same reasoning as
+    // [[searchDocs]])
+    val toks = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = toks.select(col("doc_id"),
+      column(graft.functions.expressions.TokenTfs(
+        expression(col("toks")), terms)).as("c"))
+    val dl = col("c").getItem(0)
+    val aggExprs = count(lit(1)).as("n_docs") +: avg(dl).as("avgdl") +:
+      terms.indices.map(j =>
+        sum((col("c").getItem(j + 1) > 0).cast("long")).cast("double").as(s"df$j"))
+    val stats = counts.agg(aggExprs.head, aggExprs.tail: _*)
+    def termScore(j: Int) = {
+      val tf = col("c").getItem(j + 1).cast("double")
+      val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl / col("avgdl"))))
+    }
+    val perQuery = qTerms.zipWithIndex.collect { case (ts, qi) if ts.nonEmpty =>
+      val idx = ts.map(terms.indexOf)
+      struct(lit(qi.toLong).as("query_id"),
+        idx.map(j => col("c").getItem(j + 1)).reduce(_ + _).as("m"),
+        idx.map(termScore).reduce(_ + _).as("s"))
+    }
+    counts
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("e"))
+      .filter(col("e.m") > 0)
+      .select(col("e.query_id").as("query_id"), col("doc_id"),
+        fx(col("e.s"), 6).as("score"))
+      .groupBy(col("query_id"))
+      .agg(topK(col("score").cast("double"), col("doc_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("score", ScoreTag.metadata))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def searchBatchSql(queries: Seq[String] = BatchQueries, k: Int = 10): String = {
+    val qTerms = queries.map(tokenizeQuery)
+    val union = qTerms.flatten.distinct.map(t => s"'$t'").mkString("(", ", ", ")")
+    val qtermRows = qTerms.zipWithIndex.flatMap { case (ts, qi) =>
+      ts.map(t => s"($qi, '$t')")
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), lens AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl FROM toks
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+       |), posting AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM toks
+       |), qterms AS (
+       |  SELECT * FROM (VALUES $qtermRows) AS t(query_id, term)
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+       |  FROM posting WHERE term IN $union
+       |  GROUP BY doc_id, dl, term
+       |), dfs AS (
+       |  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term
+       |), scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ${fxSql(s"SUM(ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * ((1.0 - $B) + $B * (tf.dl / stats.avgdl))))", 6)} AS score
+       |  FROM tf JOIN qterms q USING (term) JOIN dfs USING (term), stats
+       |  GROUP BY q.query_id, tf.doc_id
+       |), ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

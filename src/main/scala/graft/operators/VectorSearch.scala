@@ -84,6 +84,45 @@ object VectorSearch {
        |ORDER BY score DESC, e.vec_id
        |LIMIT $k""".stripMargin
 
+  /** Threshold-gated vector search (reference src/query_engine.rs:121
+    * `vector_search(query, limit, threshold)`; default_threshold at
+    * :27): only candidates at or above the similarity floor are
+    * returned, capped at `limit`. The floor compares the FIXED-POINT
+    * score (the same [[graft.OracleNum.fx]] quantization the result
+    * reports), so the gate is bit-identical cross-engine — a raw
+    * float comparison could disagree with the reported score at the
+    * boundary. The reference's 0.7 default assumes unit-normalized
+    * real-model embeddings; the synthetic corpus tops out near 0.37,
+    * so the entry parameterizes the floor at 0.25 (same semantics,
+    * reachable distribution). The predicate sits under the
+    * TakeOrderedAndProject, so at scale most of the corpus is
+    * discarded map-side before the top-k heaps ever see it.
+    */
+  def semanticTopKThreshold(spark: SparkSession, dir: String, qid: Long = 0,
+                            threshold: Double = 0.25, k: Int = 20): DataFrame = {
+    val floor = math.round(threshold * 10000)
+    embCorpus(spark, dir)
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
+      .filter(col("score") >= floor)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  def semanticTopKThresholdSql(qid: Long = 0, threshold: Double = 0.25,
+                               k: Int = 20): String = {
+    val floor = math.round(threshold * 10000)
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid)
+       |SELECT e.vec_id,
+       |  ${fxSql(cosineSql("e.embedding::DOUBLE[]", "q.qv"))} AS score
+       |FROM embeddings e, q
+       |WHERE e.vec_id <> $qid
+       |  AND ${fxSql(cosineSql("e.embedding::DOUBLE[]", "q.qv"))} >= $floor
+       |ORDER BY score DESC, e.vec_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** DuckDB cosine with the same sequential-sum semantics as
     * [[graft.functions.VectorFunctions.cosineSimilarity]].
     */

@@ -18,6 +18,26 @@ class RetrievalSpec extends GraftSuite {
     assert(hy.nonEmpty) // dense branch still contributes
   }
 
+  test("batched bm25 matches the single-query plan per query") {
+    val k = 10
+    val batch = Bm25.searchBatch(spark, sf, k = k).collect()
+    val byQuery = batch.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Bm25.BatchQueries.indices.map(_.toLong).toSet)
+    byQuery.foreach { case (qid, g) =>
+      // ranks contiguous from 1, scores descending with doc_id tiebreak
+      val sorted = g.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to g.length).toSeq)
+      val keys = sorted.map(r => (-r.getAs[Long]("score"), r.getAs[Long]("doc_id"))).toSeq
+      assert(keys == keys.sorted, s"query $qid not rank-ordered")
+      // each query's slice is exactly the single-query top-k (6dp fx twin)
+      val single = Bm25.searchDocs(spark,
+          graft.Tables.documents(spark, sf), Bm25.BatchQueries(qid.toInt), k)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      assert(sorted.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq == single,
+        s"query $qid diverges from the single-query plan")
+    }
+  }
+
   test("bm25 returns scored docs for corpus terms") {
     val rows = Bm25.search(spark, sf, "spark vector join", 15).collect()
     assert(rows.length == 15)

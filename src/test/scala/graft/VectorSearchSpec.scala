@@ -40,6 +40,18 @@ class VectorSearchSpec extends GraftSuite {
     }
   }
 
+  test("threshold search returns exactly the above-floor prefix of brute force") {
+    val t = 0.25
+    val floor = math.round(t * 10000)
+    val got = VectorSearch.semanticTopKThreshold(spark, sf, qid = 0, threshold = t, k = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq
+    assert(got.nonEmpty && got.forall(_._2 >= floor))
+    val brute = VectorSearch.semanticTopK(spark, sf, qid = 0, k = 500)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score")))
+      .filter(_._2 >= floor).take(20).toSeq
+    assert(got == brute)
+  }
+
   test("filtered search only returns allowed labels and pushes the filter to the scan") {
     val rows = VectorSearch.semanticTopKFiltered(spark, sf).collect()
     assert(rows.nonEmpty)
