@@ -83,8 +83,21 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   def bm25Search(query: String, k: Int = 20): DataFrame =
     Bm25.search(spark, dir, query, k)
 
+  /** Batch of text queries in one job (parallel_search.rs
+    * parallel_text_search); rows keyed by position in `queries`.
+    */
+  def bm25SearchBatch(queries: Seq[String], k: Int = 10): DataFrame =
+    Bm25.searchBatch(spark, dir, queries, k)
+
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
     VectorSearch.semanticTopK(spark, dir, queryVecId, k)
+
+  /** Threshold-gated vector search (query_engine.rs vector_search
+    * with a similarity floor).
+    */
+  def semanticSearchThreshold(queryVecId: Long, threshold: Double = 0.25,
+                              k: Int = 20): DataFrame =
+    VectorSearch.semanticTopKThreshold(spark, dir, queryVecId, threshold, k)
 
   def semanticSearchFiltered(queryVecId: Long, labels: Seq[Int],
                              k: Int = 20): DataFrame =

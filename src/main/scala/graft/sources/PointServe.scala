@@ -229,15 +229,21 @@ object PointServe {
     * Query math mirrors [[VectorIndex.annIvfFromIndex]]: nearest
     * [[VectorSearch.IvfProbeCoarse]] coarse centroids by (L2, cid),
     * nprobe nearest fine cells inside them, fx4 cosine over the probed
-    * cells, (score DESC, vec_id ASC) top-k.
+    * cells, (score DESC, vec_id ASC) top-k. [[refresh]] folds
+    * generations appended by
+    * [[graft.streaming.EventStreams.ivfIndexStream]] into the served
+    * snapshot — same gen-pruned delta read and volatile-swap contract
+    * as [[Lsh.refresh]].
     */
   final class Ivf private[PointServe] (
-      cells: java.util.HashMap[Int, Array[(Long, Array[Double])]],
+      spark: SparkSession, path: String,
+      @volatile private var snap: (java.util.HashMap[Int, Array[(Long, Array[Double])]], Long),
       fine: Array[(Long, Array[Double], Long)], // (cid, cemb, ccid)
       stride: Int) {
 
     def query(qv: Array[Double], k: Int = 20, excludeId: Long = -1L,
               nprobe: Int = VectorSearch.IvfNprobe): Seq[Hit] = {
+      val cells = snap._1
       val coarseMod = stride.toLong * VectorSearch.IvfCoarse
       val qcoarse = fine.iterator.filter(_._1 % coarseMod == 0)
         .map { case (cid, cemb, _) => (cid, l2Sq(cemb, qv, 0, math.min(cemb.length, qv.length), 0)) }
@@ -255,21 +261,61 @@ object PointServe {
       }
       topK(cands, k)
     }
+
+    /** Fold generations appended since load/last refresh into the
+      * snapshot; returns the number of rows picked up.
+      */
+    def refresh(): Int = {
+      val (cells, maxGen) = snap
+      val delta = PointServe.readIvfRows(spark, path, Some(maxGen))
+      if (delta.isEmpty) 0
+      else {
+        val next = new java.util.HashMap[Int, Array[(Long, Array[Double])]](cells)
+        delta.groupBy(_._1).foreach { case (c, rs) =>
+          val add = rs.map(r => (r._2, r._3))
+          next.put(c, Option(next.get(c)).map(_ ++ add).getOrElse(add))
+        }
+        snap = (next, delta.iterator.map(_._4).max max maxGen)
+        delta.length
+      }
+    }
+
+    def size: Int = {
+      var n = 0
+      snap._1.values().forEach(a => n += a.length)
+      n
+    }
   }
 
-  def loadIvf(spark: SparkSession, dir: String): Ivf = {
-    val path = VectorIndex.ivfIndexReady(spark, dir)
-    val rows = spark.read.parquet(path)
-      .select(col("vec_id"), col("embedding").cast("array<double>"), col("cell"))
-      .collect()
+  /** (cell, vec_id, emb, gen) rows, optionally only beyond a
+    * generation — the gen predicate prunes appended files via footer
+    * stats, same as [[readLshRows]]. A layout predating the `gen`
+    * column reads as gen 0.
+    */
+  private def readIvfRows(spark: SparkSession, path: String,
+                          afterGen: Option[Long]): Array[(Int, Long, Array[Double], Long)] = {
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("vec_id"),
+      col("embedding").cast("array<double>"), col("cell"), genCol.as("gen"))
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getInt(2), r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(3)))
+  }
+
+  def loadIvf(spark: SparkSession, dir: String): Ivf =
+    loadIvfFrom(spark, VectorIndex.ivfIndexReady(spark, dir))
+
+  def loadIvfFrom(spark: SparkSession, path: String): Ivf = {
+    val rows = readIvfRows(spark, path, None)
     val cells = new java.util.HashMap[Int, Array[(Long, Array[Double])]]()
-    rows.groupBy(_.getInt(2)).foreach { case (c, rs) =>
-      cells.put(c, rs.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      cells.put(c, rs.map(r => (r._2, r._3)))
     }
+    val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
     val fine = spark.read.parquet(path + "_centroids")
       .select(col("cid"), col("cemb"), col("ccid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
-    new Ivf(cells, fine, VectorSearch.IvfStride)
+    new Ivf(spark, path, (cells, maxGen), fine, VectorSearch.IvfStride)
   }
 
   /** PQ point index: codes + codebook resident (no vectors — the

@@ -146,7 +146,9 @@ object VectorIndex {
     corpus.crossJoin(broadcast(coarseArr))
       .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
       .join(broadcast(fineByCoarse), Seq("ccid"))
-      .select(col("vec_id"), col("embedding"),
+      // gen 0 = base build; ivfIndexStream appends later generations
+      // into the same cell directories
+      .select(col("vec_id"), col("embedding"), lit(0L).as("gen"),
         nearestCentroid(col("emb"), col("fcents")).cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)

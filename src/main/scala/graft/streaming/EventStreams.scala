@@ -232,6 +232,53 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintenance of the persisted IVF cell layout: each
+    * micro-batch is routed through the SAVED two-level centroid
+    * relation (coarse argmin, then fine argmin within the coarse
+    * cell — identical assignment to the base build, reconstructed
+    * from `<path>_centroids`, KB-scale) and appended into the cell
+    * directory probes already dynamic-prune to. Centroid drift is the
+    * operator's call, exactly as with [[pqIndexStream]]'s codebook:
+    * assignments are exact for whatever centroids are live, and
+    * `VectorIndex.rebuildIfNeeded` refreshes layout + centroids
+    * together once appended generations trip the heuristic. Same
+    * effectively-once generation contract as [[indexStream]].
+    */
+  def ivfIndexStream(vecs: DataFrame, path: String, baseGen: Long = 1L,
+                     stride: Int = graft.operators.VectorSearch.IvfStride)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        def nearest(emb: org.apache.spark.sql.Column,
+                    cents: org.apache.spark.sql.Column) =
+          column(graft.functions.expressions.NearestCentroid(
+            expression(emb), expression(cents)))
+        if (!generationPresent(spark.read.parquet(path), gen)) {
+          val fine = spark.read.parquet(path + "_centroids")
+          val coarseArr = fine
+            .filter(col("cid") %
+              (stride.toLong * graft.operators.VectorSearch.IvfCoarse) === 0)
+            .agg(collect_list(struct(col("cid"), col("cemb"))).as("carr"))
+          val fineByCoarse = fine.groupBy(col("ccid"))
+            .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+          batch
+            .select(col("vec_id"), col("embedding"),
+              col("embedding").cast("array<double>").as("emb"), lit(gen).as("gen"))
+            .crossJoin(broadcast(coarseArr))
+            .withColumn("ccid", nearest(col("emb"), col("carr")))
+            .join(broadcast(fineByCoarse), Seq("ccid"))
+            .select(col("vec_id"), col("embedding"), col("gen"),
+              nearest(col("emb"), col("fcents")).cast("int").as("cell"))
+            .repartition(col("cell"))
+            .write.mode("append").partitionBy("cell").parquet(path)
+        }
+      }
+      .start()
+
   def vectorIndexStream(vecs: DataFrame, path: String,
                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream

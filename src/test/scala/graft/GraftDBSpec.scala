@@ -34,6 +34,10 @@ class GraftDBSpec extends GraftSuite {
       rows(Bm25.search(spark, sf, "spark vector join", 10)))
     assert(rows(db.semanticSearch(0, 10)) ==
       rows(VectorSearch.semanticTopK(spark, sf, 0, 10)))
+    assert(rows(db.bm25SearchBatch(Bm25.BatchQueries.take(2), 5)) ==
+      rows(Bm25.searchBatch(spark, sf, Bm25.BatchQueries.take(2), 5)))
+    assert(rows(db.semanticSearchThreshold(0, 0.2, 10)) ==
+      rows(VectorSearch.semanticTopKThreshold(spark, sf, 0, 0.2, 10)))
     assert(rows(db.hybridSearch(Bm25.DefaultQuery, 0, "normalized")) ==
       rows(HybridSearch.normalized(spark, sf)))
     assert(rows(db.searchDocuments(HybridSearch.SnippetQuery)) ==

@@ -115,6 +115,25 @@ class PointServeSpec extends GraftSuite {
     assert(pq.refresh() == 1 && pq.size == m0 + 1)
     assert(pq.query(newVec, k = 20).exists(_.vecId == newId),
       "appended codes must serve after refresh")
+
+    // IVF: append through the actual streaming maintenance path
+    val ivfPath = tmp + "/ivf"
+    VectorIndex.buildIvfIndex(spark, sf, ivfPath)
+    val ivf = PointServe.loadIvfFrom(spark, ivfPath)
+    val v0 = ivf.size
+    val stage = tmp + "/ivf_stage"
+    Seq((newId, newVec.map(_.toFloat).toSeq)).toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(stage)
+    val schema = spark.read.parquet(stage).schema
+    val q = graft.streaming.EventStreams.ivfIndexStream(
+      spark.readStream.schema(schema).parquet(stage), ivfPath)
+    q.processAllAvailable(); q.stop()
+    assert(!ivf.query(newVec, k = 5).exists(_.vecId == newId),
+      "snapshot must not see unrefreshed appends")
+    assert(ivf.refresh() == 1 && ivf.size == v0 + 1)
+    assert(ivf.query(newVec, k = 5).exists(h => h.vecId == newId && h.score == 10000L),
+      "streamed vector must serve at cosine 1.0 after refresh")
+    assert(ivf.refresh() == 0, "no new generations → no-op")
   }
 
   test("sharded serve: complementary bucket shards scatter-gather to the exact unsharded result") {

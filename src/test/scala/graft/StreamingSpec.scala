@@ -192,4 +192,33 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(idxPath).count() == nRows,
       "replayed batch appended duplicate vectors")
   }
+
+  test("streamed vectors become searchable through incremental IVF index maintenance") {
+    import graft.sources.VectorIndex
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfidx_stream").toString + "/ivf"
+    VectorIndex.buildIvfIndex(spark, sf, idxPath)
+    val maxId = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head.getLong(0)
+    // a clone of vec 0's embedding routes through the SAVED centroids
+    // into vec 0's own cell — which query 0's probe set necessarily
+    // contains — and scores cosine 1.0, so it must serve at rank 1
+    val stageDir = java.nio.file.Files.createTempDirectory("ivfvecs_stream")
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.ivfIndexStream(newStream(), idxPath)
+    q.processAllAvailable(); q.stop()
+    val served = VectorIndex.annIvfFromIndex(spark, idxPath,
+        VectorIndex.queryBatch(spark, sf, 1)).collect()
+    assert(served.headOption.map(_.getAs[Long]("vec_id")).contains(maxId + 1),
+      s"streamed vector not served: ${served.map(_.getAs[Long]("vec_id")).toSeq}")
+    // replay safety: generation presence skips the re-delivered batch
+    val nRows = spark.read.parquet(idxPath).count()
+    val q2 = EventStreams.ivfIndexStream(newStream(), idxPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(idxPath).count() == nRows,
+      "replayed batch appended duplicate vectors")
+  }
 }
