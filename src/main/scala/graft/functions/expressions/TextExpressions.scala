@@ -546,6 +546,58 @@ object RepetitionStats {
   * Identical output to TextFunctions.wordShingles(tokens(text), n)
   * (spec-enforced).
   */
+/** Per-document (term, tf) pairs in ONE pass over the text — the
+  * string-keyed sibling of [[TermFreqs]] (which emits hashed ids and
+  * relative weights). Emitting the counts from a map kernel means the
+  * per-doc aggregation needs NO exchange: the relational
+  * explode + groupBy(doc, term) twin shuffles every distinct
+  * (doc, term) pair just to count within rows that were already
+  * co-located. Pairs are sorted by term so downstream explodes are
+  * deterministic.
+  */
+case class TermCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", org.apache.spark.sql.types.StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TermCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TermCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  def compute(text: UTF8String): GenericArrayData = {
+    val toks = Tok.tokens(text.toString)
+    if (toks.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val tf = new java.util.TreeMap[String, java.lang.Long]()
+    var i = 0
+    while (i < toks.size) {
+      val t = toks.get(i)
+      val prev = tf.get(t)
+      tf.put(t, if (prev == null) 1L else prev + 1L)
+      i += 1
+    }
+    val rows = new Array[Any](tf.size)
+    val it = tf.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      rows(k) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
 case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression {
 

@@ -265,29 +265,37 @@ object TextAnalysis {
   /** Per-document top-[[TfidfK]] TF-IDF keywords (tf * ln(N/df), the
     * classic smooth-free form; the reference's BM25 machinery is the
     * retrieval twin — this is its corpus-analysis counterpart used for
-    * tagging/clustering training data). Plan: one (doc_id, term)
-    * aggregation for tf; df is a count window over the SAME relation
-    * partitioned by term — one linear lineage, so the tokenize subtree
-    * runs once with nothing persisted (the previous persist+broadcast
-    * shape leaked a corpus-vocab-sized cache entry per invocation and
-    * shipped the whole vocabulary through the driver, a real ceiling
-    * on a web-scale term space). Ranking is a window on doc_id —
-    * per-partition state bounded by one document's vocabulary at any
-    * corpus size — comparing the fx'd BIGINT score, so rank order is
-    * identical in both engines regardless of last-ulp double jitter.
+    * tagging/clustering training data). Plan: per-doc (term, tf)
+    * pairs come from the one-pass native
+    * [[expressions.TermCounts]] sketch — ZERO exchange for the
+    * within-doc aggregation (the earlier explode + groupBy(doc, term)
+    * shuffled every distinct pair just to count rows that were
+    * already doc-local); df is a term-keyed aggregate whose map-side
+    * partials put only vocabulary-sized rows on the wire, joined back
+    * shuffle_hash on the same term partitioning (no broadcast — a
+    * web-scale term space must never ship through the driver, and no
+    * sort — the earlier count-window form sorted the whole relation
+    * within term partitions for a sort-insensitive COUNT). Ranking is
+    * a window on doc_id — per-partition state bounded by one
+    * document's vocabulary at any corpus size — comparing the fx'd
+    * BIGINT score, so rank order is identical in both engines
+    * regardless of last-ulp double jitter.
     */
   def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val tf = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        explode(column(graft.functions.expressions.TermCounts(
+          expression(col("text"))))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val score = fx(col("tf").cast("double") * log(col("n_docs").cast("double") / col("df")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    tf.join(df.hint("shuffle_hash"), Seq("term"))
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), score.as("score", ScoreTag.metadata))
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -161,6 +161,21 @@ class NativeExpressionPropertySpec extends GraftSuite {
     }
   }
 
+  test("TermCounts matches the naive token groupBy, term-sorted") {
+    import graft.functions.expressions.TermCounts
+    samples.foreach { s =>
+      val got = TermCounts.compute(UTF8String.fromString(s))
+      val l = Tok.tokens(s)
+      val toks = (0 until l.size).map(l.get)
+      val want = toks.groupBy(identity).map { case (t, g) => (t, g.size.toLong) }
+        .toSeq.sortBy(_._1)
+      val rows = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2); (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      assert(rows == want, s"term counts mismatch for '$s'")
+    }
+  }
+
   test("TokenTfs counts query terms like a naive scan, dl first") {
     import graft.functions.expressions.TokenTfs
     val queryTerms = Seq("spark", "vector", "no1such2term")
