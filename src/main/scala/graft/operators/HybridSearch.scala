@@ -98,6 +98,110 @@ object HybridSearch {
        |LIMIT $limit""".stripMargin
   }
 
+  /** Batched RRF hybrid search: N (query text, query vector) pairs
+    * fused in ONE plan — the reference executes concurrent hybrid
+    * queries over its shared in-memory index (concurrent.rs batch
+    * execution + performance/parallel_search.rs); the Spark-first
+    * form scans the corpus once PER BRANCH TYPE for the whole batch
+    * instead of once per (query, branch). Query i pairs vector
+    * `vec_id = i` with text `queries(i)`. Branch ranks come from the
+    * batch ops' bounded map-side TopKAgg
+    * ([[VectorSearch.annTopKBatch]], [[Bm25.searchBatch]], and the
+    * same shape for the token-containment text branch); fusion is one
+    * (query_id, doc_id) aggregate over <= 3·2·limit rows per query,
+    * ranked by a final per-query TopKAgg. Per-query results are
+    * IDENTICAL to [[rrf]] — spec-asserted.
+    */
+  def rrfBatch(spark: SparkSession, dir: String,
+               queries: Seq[String] = Bm25.BatchQueries, limit: Int = 20): DataFrame = {
+    import graft.functions.expressions.TopKAgg.topK
+    val n = limit * 2
+    val dense = VectorSearch.annTopKBatch(spark, dir, queries.size, n)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    val sparse = Bm25.searchBatch(spark, dir, queries, n)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    val txt = textRankedBatch(spark, dir, queries, n)
+    dense.unionByName(sparse).unionByName(txt)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(fx(sum(lit(1.0) / (lit(RrfK) + col("rank"))), 6).as("rrf"))
+      .groupBy(col("query_id"))
+      .agg(topK(col("rrf").cast("double"), col("doc_id"), limit).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"),
+        col("e.score").cast("long").as("rrf_score", ScoreTag.metadata))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Token-containment text branch for the batch: one corpus scan,
+    * per-doc fan-out to matching queries only, map-side TopKAgg
+    * ranking — same score semantics as [[Bm25.textSearch]].
+    */
+  private def textRankedBatch(spark: SparkSession, dir: String,
+                              queries: Seq[String], n: Int): DataFrame = {
+    import graft.functions.expressions.TopKAgg.topK
+    val content = lower(col("text"))
+    val perQ = queries.zipWithIndex.map { case (q, qi) =>
+      val terms = q.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
+      val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
+        .reduce(_ + _)
+      struct(lit(qi.toLong).as("query_id"), score.as("s"))
+    }
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array(perQ: _*)).as("e"))
+      .filter(col("e.s") > 0)
+      .select(col("e.query_id").as("query_id"), col("doc_id"), col("e.s").as("s"))
+      .groupBy(col("query_id"))
+      .agg(topK(col("s").cast("double"), col("doc_id"), n).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  def rrfBatchSql(queries: Seq[String] = Bm25.BatchQueries, limit: Int = 20): String = {
+    val n = limit * 2
+    val qtextRows = queries.zipWithIndex.flatMap { case (q, qi) =>
+      q.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
+        .map(t => s"($qi, '$t')")
+    }.mkString(", ")
+    s"""WITH dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rank
+       |  FROM (${VectorSearch.annTopKBatchSql(queries.size, n)})
+       |), sparse AS (
+       |  SELECT query_id, doc_id, rank
+       |  FROM (${Bm25.searchBatchSql(queries, n)})
+       |), qtext AS (
+       |  SELECT * FROM (VALUES $qtextRows) AS t(query_id, term)
+       |), tscore AS (
+       |  SELECT q.query_id, d.doc_id, COUNT(*)::BIGINT AS s
+       |  FROM documents d JOIN qtext q ON contains(lower(d.text), q.term)
+       |  GROUP BY q.query_id, d.doc_id
+       |), txt AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, CAST(rank AS BIGINT) AS rank
+       |  FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+       |    FROM tscore)
+       |  WHERE rank <= $n
+       |), branches AS (
+       |  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM txt
+       |), fused AS (
+       |  SELECT query_id, doc_id,
+       |    ${fxSql(s"SUM(1.0 / ($RrfK + rank))", 6)} AS rrf_score
+       |  FROM branches
+       |  GROUP BY query_id, doc_id
+       |), ranked AS (
+       |  SELECT query_id, doc_id, rrf_score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |  FROM fused
+       |)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       |  doc_id, rrf_score
+       |FROM ranked WHERE rank <= $limit
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val DenseWeight  = 0.5
   val SparseWeight = 0.3
   val TextWeight   = 0.2

@@ -38,6 +38,19 @@ class RetrievalSpec extends GraftSuite {
     }
   }
 
+  test("batched hybrid RRF slice 0 equals the single-query rrf plan") {
+    val batch = HybridSearch.rrfBatch(spark, sf, limit = 20).collect()
+    val byQuery = batch.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.keySet == Bm25.BatchQueries.indices.map(_.toLong).toSet)
+    val slice0 = batch.filter(_.getAs[Long]("query_id") == 0L)
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+    // query 0 = (vec 0, DefaultQuery): exactly the hybrid_rrf result
+    val single = HybridSearch.rrf(spark, sf, limit = 20).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+    assert(slice0 == single, "batch slice 0 diverges from hybrid_rrf")
+  }
+
   test("bm25 returns scored docs for corpus terms") {
     val rows = Bm25.search(spark, sf, "spark vector join", 15).collect()
     assert(rows.length == 15)
