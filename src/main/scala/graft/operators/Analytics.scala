@@ -451,6 +451,57 @@ object Analytics {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Daily-count anomaly flags per event type — the z-score outlier
+    * scan over the same daily grain [[eventsRolling]] rolls up: a day
+    * is anomalous when its count sits more than 2 population standard
+    * deviations from its type's mean. The test is evaluated in EXACT
+    * integer arithmetic — (n·c − S)² > 4·(n·Q − S²) with S = Σc,
+    * Q = Σc² is algebraically (c − μ)² > 4σ² scaled by n², so both
+    * engines flag identical rows with zero float involvement (a
+    * sqrt/stddev formulation can disagree in the last ulp exactly at
+    * the threshold). Magnitudes stay far inside BIGINT until daily
+    * counts reach ~1e8; past that, swap the products to DECIMAL(38,0)
+    * — same plan, same exactness.
+    *
+    * Scale shape: one keyed aggregate to daily grain (map-side
+    * partials), one days×types-sized aggregate for per-type moments
+    * broadcast-sized at any corpus scale, one shuffle_hash join back
+    * riding the daily relation's partitioning. No window, no sort
+    * until the output ORDER BY.
+    */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),
+        sum(col("n_events") * col("n_events")).as("q"))
+    val dev = col("n") * col("n_events") - col("s")
+    daily.join(stats.hint("shuffle_hash"), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        (dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+          .cast("long").as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsAnomalySql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+       |    COUNT(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(n_events)::BIGINT AS s,
+       |    SUM(n_events * n_events)::BIGINT AS q
+       |  FROM daily GROUP BY 1
+       |)
+       |SELECT event_type, day, n_events,
+       |  ((n * n_events - s) * (n * n_events - s) > 4 * (n * q - s * s))::BIGINT AS is_anomaly
+       |FROM daily JOIN st USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+
   val eventsRollingSql: String =
     s"""WITH daily AS (
        |  SELECT event_type,

@@ -110,6 +110,26 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("events_anomaly flags exactly the >2-sigma days, via exact integer moments") {
+    val rows = Analytics.eventsAnomaly(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getAs[Long]("is_anomaly") == 1L),
+      "test corpus must contain at least one anomalous day")
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      val counts = rs.map(_.getAs[Long]("n_events"))
+      val n = counts.length.toLong
+      val s = counts.sum
+      val q = counts.map(c => c * c).sum
+      rs.foreach { r =>
+        val c = r.getAs[Long]("n_events")
+        val dev = n * c - s
+        val want = if (dev * dev > 4L * (n * q - s * s)) 1L else 0L
+        assert(r.getAs[Long]("is_anomaly") == want,
+          s"flag mismatch for $t day ${r.getAs[Long]("day")}")
+      }
+    }
+  }
+
   test("events_quantiles percentiles are ordered and bracket the data") {
     val rows = Analytics.eventsQuantiles(spark, sf).collect()
     assert(rows.nonEmpty)
