@@ -584,7 +584,9 @@ object Dedup {
     // a cache read and executes fine either way.
     val session = pairs.sparkSession
     val AqeKey = "spark.sql.adaptive.enabled"
+    val PartsKey = "spark.sql.shuffle.partitions"
     val prevAqe = session.conf.get(AqeKey, "true")
+    val prevParts = session.conf.get(PartsKey, "200")
     session.conf.set(AqeKey, "false")
     try {
     // persist AND eagerly materialize the input: edges unions the pair
@@ -593,7 +595,18 @@ object Dedup {
     // is computed CONCURRENTLY by both union branches before the cache
     // lands — the count pins it once, everything downstream reads cache
     val p = pairs.persist(lvl)
-    p.count()
+    val nPairs = p.count()
+    // Right-size the per-round shuffles to the GRAPH, not the corpus:
+    // the pair relation is near-dup-fraction sized, usually orders of
+    // magnitude below the corpus the session's shuffle.partitions is
+    // tuned for, and every propagation round pays task launch +
+    // exchange overhead per partition (with AQE off — see above —
+    // nothing coalesces them). ~5k edges per partition keeps rounds
+    // dense; a genuinely huge pair graph keeps the session value, so
+    // this only ever shrinks, never caps, the parallelism.
+    val parts = math.min(prevParts.toIntOption.getOrElse(200).max(1).toLong,
+      math.max(4L, nPairs / 5000L + 1L)).toString
+    session.conf.set(PartsKey, parts)
     val fwd = p.select(col("id1").as("a"), col("id2").as("b"))
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -642,7 +655,10 @@ object Dedup {
     edges.unpersist()
     p.unpersist()
     labels
-    } finally session.conf.set(AqeKey, prevAqe)
+    } finally {
+      session.conf.set(AqeKey, prevAqe)
+      session.conf.set(PartsKey, prevParts)
+    }
   }
 
   /** Near-duplicate clusters from the verified minhash pairs: each
