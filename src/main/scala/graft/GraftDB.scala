@@ -89,6 +89,12 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   def bm25SearchBatch(queries: Seq[String], k: Int = 10): DataFrame =
     Bm25.searchBatch(spark, dir, queries, k)
 
+  /** Batch of hybrid RRF queries in one job — query i pairs vector
+    * vec_id = i with text `queries(i)`.
+    */
+  def hybridSearchBatch(queries: Seq[String], limit: Int = 20): DataFrame =
+    HybridSearch.rrfBatch(spark, dir, queries, limit)
+
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
     VectorSearch.semanticTopK(spark, dir, queryVecId, k)
 

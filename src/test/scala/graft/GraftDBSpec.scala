@@ -36,6 +36,8 @@ class GraftDBSpec extends GraftSuite {
       rows(VectorSearch.semanticTopK(spark, sf, 0, 10)))
     assert(rows(db.bm25SearchBatch(Bm25.BatchQueries.take(2), 5)) ==
       rows(Bm25.searchBatch(spark, sf, Bm25.BatchQueries.take(2), 5)))
+    assert(rows(db.hybridSearchBatch(Bm25.BatchQueries.take(2), 5)) ==
+      rows(HybridSearch.rrfBatch(spark, sf, Bm25.BatchQueries.take(2), 5)))
     assert(rows(db.semanticSearchThreshold(0, 0.2, 10)) ==
       rows(VectorSearch.semanticTopKThreshold(spark, sf, 0, 0.2, 10)))
     assert(rows(db.hybridSearch(Bm25.DefaultQuery, 0, "normalized")) ==

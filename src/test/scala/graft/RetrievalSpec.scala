@@ -38,6 +38,15 @@ class RetrievalSpec extends GraftSuite {
     }
   }
 
+  test("a stopword-only query inside a batch is skipped, not fatal") {
+    val rows = Bm25.searchBatch(spark, sf,
+      Seq(Bm25.DefaultQuery, "a the of to"), k = 5).collect()
+    val ids = rows.map(_.getAs[Long]("query_id")).toSet
+    assert(ids == Set(0L), s"term-less query must emit no rows, got $ids")
+    // an entirely term-less batch is a contract violation, not a hang
+    intercept[IllegalArgumentException](Bm25.searchBatch(spark, sf, Seq("a the"), 5))
+  }
+
   test("batched hybrid RRF slice 0 equals the single-query rrf plan") {
     val batch = HybridSearch.rrfBatch(spark, sf, limit = 20).collect()
     val byQuery = batch.groupBy(_.getAs[Long]("query_id"))
