@@ -74,12 +74,11 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("s")))),
         x => x.getField("s")).as("ce"))
 
-  /** Deterministic k-means assignment: init from the [[KmeansK]]
-    * lowest vec_ids (cluster id = rank order), [[KmeansIters]] Lloyd
-    * rounds, output one row per vector with its cluster and exact
-    * quantized squared distance.
+  /** Final Lloyd assignment: init from the [[KmeansK]] lowest
+    * vec_ids (cluster id = rank order), [[KmeansIters]] rounds —
+    * one row per vector: (vec_id, cluster, dist).
     */
-  def embedKmeans(spark: SparkSession, dir: String): DataFrame = {
+  private def finalAssign(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = quantized(spark, dir)
     val init = q.orderBy(col("vec_id")).limit(KmeansK)
@@ -91,10 +90,57 @@ object Clustering {
     }
     assign(q, finalCent)
       .select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
+  /** Deterministic k-means assignment: output one row per vector
+    * with its cluster and exact quantized squared distance.
+    */
+  def embedKmeans(spark: SparkSession, dir: String): DataFrame =
+    finalAssign(spark, dir).orderBy(col("vec_id"))
+
+  /** Embedding-space outlier flags: a vector is an outlier iff its
+    * centroid distance sits more than 2 population-σ above its
+    * cluster's mean distance — the prune-far-from-centroid signal of
+    * embedding-based data curation (Sorscher et al. 2022 data-pruning
+    * metric; SemDeDup's discard heuristic), composed on the exact
+    * integer [[embedKmeans]] assignment.
+    *
+    * The z-test is evaluated in EXACT arithmetic, the
+    * [[graft.operators.Analytics.eventsAnomaly]] idiom lifted to
+    * decimal(38,0): (n·d − s)² > 4·(n·q − s²) — Spark's long
+    * arithmetic would overflow at q = Σd² (d caps at 4·QScale²·dim ≈
+    * 2.6e8, so d² alone is ~6.6e16 and any corpus-sized sum wraps),
+    * while decimal keeps every product far inside 38 digits and
+    * DuckDB's HUGEINT mirrors it exactly — the flag is deterministic
+    * cross-engine with zero float involvement.
+    *
+    * Scale: per-cluster moments are a k-row aggregate with map-side
+    * partials; the join back is a broadcast of k = [[KmeansK]] rows
+    * (constant-bounded by construction). The assignment is persisted
+    * because moments + output are two consumers of the iterative
+    * Lloyd lineage; the plan is parameter-free so the CacheManager
+    * holds one entry per session, not one per call.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val D = "decimal(38,0)"
+    val asg = finalAssign(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = asg.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast(D).as("n"),
+        sum(col("dist")).cast(D).as("s"),
+        sum((col("dist") * col("dist")).cast(D)).as("q2"))
+    val dev = col("n") * col("dist").cast(D) - col("s")
+    asg.join(broadcast(stats), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        (dev * dev > lit(4).cast(D) * (col("n") * col("q2") - col("s") * col("s")))
+          .cast("long").as("is_outlier"))
       .orderBy(col("vec_id"))
   }
 
-  val embedKmeansSql: String = {
+  /** The Lloyd pipeline as shared DuckDB CTEs ending in `a2` =
+    * (vec_id, cluster, dist).
+    */
+  private val kmeansCtesSql: String = {
     val dim = 64
     def distE(ce: String) =
       s"CAST(list_sum(list_transform(range(1, ${dim + 1}), i -> (q.qe[i]-$ce[i])*(q.qe[i]-$ce[i]))) AS BIGINT)"
@@ -105,7 +151,7 @@ object Clustering {
          |        ORDER BY ${distE(s"$cent.ce")}, $cent.cluster) AS rn
          |    FROM q CROSS JOIN $cent)
          |  WHERE rn = 1""".stripMargin
-    s"""WITH q AS (
+    s"""q AS (
        |  SELECT vec_id,
        |    list_transform(embedding::DOUBLE[], v -> CAST(FLOOR(v*$QScale + 0.5) AS BIGINT)) AS qe
        |  FROM embeddings
@@ -122,7 +168,25 @@ object Clustering {
        |  GROUP BY cluster
        |), a2 AS (
        |  ${assignE("c1")}
-       |)
-       |SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id""".stripMargin
+       |)""".stripMargin
   }
+
+  val embedKmeansSql: String =
+    s"""WITH $kmeansCtesSql
+       |SELECT vec_id, cluster, dist FROM a2 ORDER BY vec_id""".stripMargin
+
+  /** HUGEINT mirrors Spark's decimal(38,0) exactly for these bounded
+    * products; SUM(BIGINT) is HUGEINT in DuckDB already.
+    */
+  val embedOutliersSql: String =
+    s"""WITH $kmeansCtesSql, st AS (
+       |  SELECT cluster, CAST(COUNT(*) AS HUGEINT) AS n,
+       |    CAST(SUM(dist) AS HUGEINT) AS s,
+       |    CAST(SUM(CAST(dist AS HUGEINT) * dist) AS HUGEINT) AS q2
+       |  FROM a2 GROUP BY cluster
+       |)
+       |SELECT vec_id, cluster, dist,
+       |  ((n*dist - s)*(n*dist - s) > 4*(n*q2 - s*s))::BIGINT AS is_outlier
+       |FROM a2 JOIN st USING (cluster)
+       |ORDER BY vec_id""".stripMargin
 }

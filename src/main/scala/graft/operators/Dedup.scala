@@ -862,4 +862,142 @@ object Dedup {
        |FROM occ JOIN freq USING (h)
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---- normalization-gated exact dedup (C4-style) ----
+
+  /** Exact dedup after text normalization — lowercase, every
+    * non-alphanumeric run collapsed to one space, trimmed — the
+    * C4-style "fuzzy-exact" gate catching duplicates that differ only
+    * in case, punctuation or whitespace, which raw content-hash dedup
+    * ([[exact]]) misses. One row per normalized form with the copy
+    * count, the number of DISTINCT raw variants collapsed, and the
+    * kept (minimal) id.
+    *
+    * Scale: identical shape to [[exact]] — one hash-groupBy with
+    * map-side partials over a zero-shuffle codegen'd regexp map; the
+    * n_variants exact-distinct rides the same (norm_hash)-keyed
+    * exchange (partial distinct-sets merge map-side, and a group's
+    * cardinality is bounded by its copy count, not the corpus).
+    * (Reference content identity: lib.rs add_document content-hash
+    * skip-existing; the normalized gate is the curation-pipeline
+    * extension over it.)
+    */
+  private[graft] def normalizedFromDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"),
+        hash60(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        count_distinct(col("text")).as("n_variants"),
+        min(col("doc_id")).as("keep_id"))
+      .orderBy(col("keep_id"))
+
+  def normalizedExact(spark: SparkSession, dir: String): DataFrame =
+    normalizedFromDocs(Tables.documents(spark, dir))
+
+  val normalizedExactSql: String =
+    s"""SELECT ${hash60Sql("trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))")} AS norm_hash,
+       |  COUNT(*) AS n_copies, COUNT(DISTINCT text) AS n_variants,
+       |  MIN(doc_id) AS keep_id
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY keep_id""".stripMargin
+
+  // ---- winnowing fingerprints (local-overlap detection) ----
+
+  /** k-gram width (tokens) and winnowing window (k-grams). */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowMinShared = 2
+
+  /** Winnowed fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003): hash every [[WinnowK]]-gram of the token stream in
+    * position order, then keep a k-gram iff its hash is the minimum
+    * of the [[WinnowW]]-wide window ENDING at it. Expected density is
+    * ~2/(w+1) of all k-grams, so the fingerprint posting is ~(w+1)/2x
+    * smaller than the full shingle posting [[ngramJaccard]] joins on
+    * — while any sufficiently long verbatim shared token run still
+    * contributes a shared selected fingerprint (the run's minimal
+    * hash is selected in BOTH docs once its window lies inside the
+    * run). That density/guarantee trade is what makes position-aware
+    * overlap detection affordable at corpus scale.
+    *
+    * One doc_id-keyed exchange total: the lead-window k-gram
+    * construction and the min-window selection ride the same
+    * (doc_id, pos) sort.
+    */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .withColumn("t3", lead(col("tok"), 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        hash60(concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3"))).as("h"))
+      .withColumn("wmin", min(col("h")).over(w.rowsBetween(-(WinnowW - 1), 0)))
+      .filter(col("h") === col("wmin"))
+      .select(col("doc_id"), col("h"))
+      .distinct()
+  }
+
+  /** Winnowing-based local-overlap pairs: docs sharing >= `minShared`
+    * selected fingerprints, with the shared count — the MOSS-style
+    * plagiarism/boilerplate-span signal. A pair can share one long
+    * verbatim span without being whole-doc near-duplicates, which is
+    * exactly the case Jaccard-style dedup scores below threshold;
+    * conversely every reported pair shares verbatim k-grams, not just
+    * vocabulary. Ubiquitous fingerprints (df > [[MaxBucket]]) are
+    * boilerplate, not pair evidence, and are dropped exactly like
+    * [[ngramJaccard]]'s df cap — so no fingerprint bucket ever goes
+    * quadratic. The df count rides a window over the SAME
+    * h-partitioning the self-join shuffles on.
+    */
+  private[graft] def winnowPairsFromDocs(docs: DataFrame, minShared: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sel = winnowFingerprints(docs)
+    val rare = sel
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("df") >= 2 && col("df") <= MaxBucket)
+      .select(col("h"), col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rare.select(col("h"), col("doc_id").as("id1"))
+      .join(rare.select(col("h"), col("doc_id").as("id2")), "h")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  def winnow(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsFromDocs(
+      Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text"))),
+      WinnowMinShared)
+
+  val winnowSql: String =
+    s"""WITH kg AS (
+       |  SELECT doc_id, ${wordShinglesSql(tokensSql("text"), WinnowK)} AS gs
+       |  FROM documents
+       |), pos AS (
+       |  SELECT doc_id, i, ${hash60Sql("g")} AS h
+       |  FROM (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS i, unnest(gs) AS g FROM kg)
+       |), sel AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, h,
+       |      MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                   ROWS BETWEEN ${WinnowW - 1} PRECEDING AND CURRENT ROW) AS wmin
+       |    FROM pos)
+       |  WHERE h = wmin
+       |), rare AS (
+       |  SELECT h FROM sel GROUP BY h HAVING COUNT(*) BETWEEN 2 AND $MaxBucket
+       |), rp AS (
+       |  SELECT s.doc_id, s.h FROM sel s JOIN rare USING (h)
+       |)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS n_shared
+       |FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
+       |ORDER BY id1, id2""".stripMargin
 }

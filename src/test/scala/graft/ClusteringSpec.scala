@@ -55,4 +55,29 @@ class ClusteringSpec extends GraftSuite {
     assert(used.forall(c => c >= 0 && c < Clustering.KmeansK))
     assert(used.length > 1, "degenerate single-cluster assignment")
   }
+
+  test("embed_outliers flags exactly the >2-sigma distances, exact BigInt twin") {
+    val asg = Clustering.embedKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val moments = asg.groupBy(_._2).map { case (c, ms) =>
+      val n = BigInt(ms.length)
+      val s = ms.map(m => BigInt(m._3)).sum
+      val q = ms.map(m => BigInt(m._3) * BigInt(m._3)).sum
+      c -> ((n, s, q))
+    }
+    val exp = asg.map { case (id, c, d) =>
+      val (n, s, q) = moments(c)
+      val dev = n * BigInt(d) - s
+      id -> (if (dev * dev > 4 * (n * q - s * s)) 1L else 0L)
+    }.toMap
+    val got = Clustering.embedOutliers(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == asg.length)
+    // cluster and dist pass through the kmeans assignment unchanged
+    assert(got.map(g => (g._1, g._2, g._3)).toSet == asg.toSet)
+    val bad = got.filter(g => exp(g._1) != g._4)
+    assert(bad.isEmpty, s"flag mismatches: ${bad.take(5).toSeq}")
+    // both classes must be populated at test scale or the spec is vacuous
+    assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L))
+  }
 }

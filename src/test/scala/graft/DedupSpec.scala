@@ -139,4 +139,68 @@ class DedupSpec extends GraftSuite {
     // operator must actually fire at the test scale
     assert(got.values.exists(_._2 > 0), "no shared chunk found anywhere")
   }
+
+  test("normalized dedup collapses case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World! Foo"),
+      (2L, "hello world foo"),
+      (3L, "HELLO   world... foo"),
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    val rows = Dedup.normalizedFromDocs(docs).collect()
+    assert(rows.length == 2)
+    val g = rows.find(_.getAs[Long]("keep_id") == 1L).get
+    assert(g.getAs[Long]("n_copies") == 3L)
+    assert(g.getAs[Long]("n_variants") == 3L)
+    val other = rows.find(_.getAs[Long]("keep_id") == 4L).get
+    assert(other.getAs[Long]("n_copies") == 1L)
+  }
+
+  test("normalized dedup partitions the corpus and never splits exact groups") {
+    val rows = Dedup.normalizedExact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_copies")).sum ==
+      Tables.documents(spark, sf).count())
+    val keeps = rows.map(_.getAs[Long]("keep_id")).toSeq
+    assert(keeps == keeps.sorted && keeps.distinct == keeps)
+    // normalization is a function of raw text: it can only merge
+    // raw-exact groups, never split one
+    assert(rows.length <= Dedup.exact(spark, sf).count())
+  }
+
+  test("winnowing selects a shared fingerprint for a long verbatim span") {
+    import spark.implicits._
+    val run = "quick zebra jumped over seventeen lazy purple dogs while " +
+      "nobody watched carefully yesterday because orange telescopes " +
+      "rarely malfunction during quiet winter afternoons near old harbors"
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta $run echo foxtrot golf"),
+      (2L, s"november oscar papa $run quebec romeo sierra tango"),
+      (3L, "completely unrelated filler content about database engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairsFromDocs(docs, minShared = 1).collect()
+    assert(pairs.exists(r => r.getAs[Long]("id1") == 1L && r.getAs[Long]("id2") == 2L),
+      "docs sharing a 24-token verbatim run must share a winnowed fingerprint")
+    assert(!pairs.exists(r => r.getAs[Long]("id1") == 3L || r.getAs[Long]("id2") == 3L))
+  }
+
+  test("winnowed fingerprints are a sparse subset of the k-gram hashes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val nSel = Dedup.winnowFingerprints(docs).count()
+    val totalKgrams = docs.select(sum(greatest(
+      size(graft.functions.TextFunctions.tokens(col("text"))) - (Dedup.WinnowK - 1),
+      lit(0)))).collect()(0).getLong(0)
+    assert(nSel > 0)
+    // expected density 2/(w+1) = 0.4 of all k-grams; 0.6 leaves head-
+    // room for distinct-hash collapse and short-doc boundary effects
+    assert(nSel < (0.6 * totalKgrams).toLong,
+      s"winnowing kept $nSel of $totalKgrams k-grams — not sparse")
+  }
+
+  test("winnow surfaces the injected near-duplicate pairs") {
+    val pairs = Dedup.winnow(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
+    assert(pairs.forall(_.getAs[Long]("n_shared") >= Dedup.WinnowMinShared))
+  }
 }
