@@ -27,6 +27,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final class GraftDB(val spark: SparkSession, val dir: String) {
 
+  private val startedAtMs = System.currentTimeMillis()
+
   def getDocument(id: Long): DataFrame = DocOps.get(spark, dir, id)
 
   def listDocuments(limit: Int = 50, offset: Int = 0): DataFrame =
@@ -40,7 +42,84 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
     */
   def deleteDocuments(ids: Seq[Long]): DataFrame = DocOps.deleteIds(spark, dir, ids)
 
+  /** Surviving store after deleting every document matching `filter`
+    * (embedded.rs:327 delete_blocking(Filter) — delete by predicate,
+    * not by id list). The filter compiles through the same ADT as the
+    * search path, so the delete predicate is pushed to the scan; the
+    * result is the lazy complement relation, composable with
+    * [[ingest]]'s partitioned rewrite.
+    */
+  def deleteByFilter(filter: Filtering.FilterExpr): DataFrame =
+    Tables.documents(spark, dir).filter(!Filtering.compile(filter))
+
   def getStats: DataFrame = DocOps.stats(spark, dir)
+
+  def uptimeMillis: Long = System.currentTimeMillis() - startedAtMs
+
+  /** Health snapshot (embedded.rs:100 HealthStatus / :356 health_check,
+    * lib.rs:655 get_health_status): named checks with per-check detail
+    * plus the rolled-up verdict. Checks are file-level probes — no
+    * table scan, so the call is safe on a 100 TB store. The optional
+    * index-debt probe ([[graft.sources.VectorIndex.shouldRebuild]]) is
+    * one aggregate over the footer-pruned `gen` column of each
+    * existing layout — a maintenance-scheduler cost, reported as
+    * detail (debt is a rebuild hint, not an outage).
+    */
+  def healthCheck(checkIndexDebt: Boolean = false): GraftDB.HealthStatus = {
+    def present(name: String) = new java.io.File(dir, name).exists()
+    val storage = GraftDB.CheckResult(present("documents.parquet"),
+      if (present("documents.parquet")) s"store at $dir" else s"missing $dir/documents.parquet")
+    val vectors = GraftDB.CheckResult(present("embeddings.parquet"),
+      if (present("embeddings.parquet")) "embeddings present" else s"missing $dir/embeddings.parquet")
+    val session = GraftDB.CheckResult(!spark.sparkContext.isStopped,
+      if (spark.sparkContext.isStopped) "SparkContext stopped" else s"master=${spark.sparkContext.master}")
+    val index = {
+      val kinds = Seq("lsh", "ivf", "pq").filter { k =>
+        new java.io.File(VectorIndex.indexPath(dir, k), "_SUCCESS").exists()
+      }
+      val debt =
+        if (!checkIndexDebt || kinds.isEmpty) Nil
+        else kinds.filter(k => VectorIndex.shouldRebuild(spark, VectorIndex.indexPath(dir, k)))
+      GraftDB.CheckResult(ok = true,
+        if (kinds.isEmpty) "no persisted layouts (built on first use)"
+        else s"layouts: ${kinds.mkString(",")}" +
+          (if (debt.nonEmpty) s"; rebuild recommended: ${debt.mkString(",")}" else ""))
+    }
+    val checks = Map("storage" -> storage, "embeddings" -> vectors,
+      "session" -> session, "index" -> index)
+    val failing = checks.collect { case (n, c) if !c.ok => s"$n: ${c.detail}" }
+    GraftDB.HealthStatus(failing.isEmpty,
+      failing.headOption, checks)
+  }
+
+  /** Per-strategy fusion performance stats over a recorded
+    * query-metrics table (lib.rs:543 get_performance_metrics).
+    */
+  def getPerformanceMetrics(metrics: DataFrame): DataFrame =
+    HybridSearch.fusionPerformanceStats(metrics)
+
+  /** Prometheus text-format export of the query metrics
+    * (metrics.rs:353 export_prometheus): gauges computed in ONE scalar
+    * aggregate over the metrics table — map-side partials, one row to
+    * the driver regardless of history size.
+    */
+  def exportPrometheus(metrics: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    val r = metrics.agg(
+      count(lit(1)).as("total"),
+      avg(col("duration_ms")).as("avg_ms"),
+      expr("percentile(duration_ms, 0.95)").as("p95_ms"),
+      expr("percentile(duration_ms, 0.99)").as("p99_ms"),
+      avg((col("duration_ms") < 10.0).cast("double")).as("hit_rate")).head
+    def g(name: String, help: String, v: Any): String =
+      s"# HELP graft_$name $help\n# TYPE graft_$name gauge\ngraft_$name $v\n"
+    g("total_queries", "Total number of recorded queries", r.getAs[Long]("total")) +
+      g("avg_query_time_ms", "Average query time in milliseconds", r.getAs[Double]("avg_ms")) +
+      g("p95_query_time_ms", "P95 query time in milliseconds", r.getAs[Double]("p95_ms")) +
+      g("p99_query_time_ms", "P99 query time in milliseconds", r.getAs[Double]("p99_ms")) +
+      g("cache_hit_rate", "Share of queries answered under the cache-latency threshold",
+        r.getAs[Double]("hit_rate"))
+  }
 
   /** storage.rs:100 document_exists — a pushed-down point-lookup
     * count, the one facade method that is eager by contract.
@@ -175,6 +254,14 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
 }
 
 object GraftDB {
+
+  /** Per-check probe outcome (embedded.rs CheckResult). */
+  final case class CheckResult(ok: Boolean, detail: String)
+
+  /** Rolled-up health verdict (embedded.rs:100 HealthStatus). */
+  final case class HealthStatus(isHealthy: Boolean, lastError: Option[String],
+                                checks: Map[String, CheckResult])
+
   /** Embedded-mode constructor (embedded.rs): a local session over a
     * corpus directory. NOTE: a JVM holds one SparkContext — if a
     * session already exists, getOrCreate returns it and `cores` has

@@ -534,4 +534,55 @@ object Analytics {
        |FROM sessions
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Distinct-cardinality rollup per event type: unique users, unique
+    * active days, total events (lib.rs:446 get_stats exposes exactly
+    * these corpus cardinalities). Exact COUNT(DISTINCT) is the
+    * ORACLE-COMPARABLE form — Spark plans it as a two-phase expand +
+    * partial-distinct aggregate, so each distinct key is shuffled once;
+    * correct, but the shuffle carries every (event_type, user_id) pair.
+    */
+  def eventsDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), day.as("day"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+           countDistinct(col("day")).as("n_days"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsDistinctSql: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(DISTINCT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT) AS n_days,
+      |  COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** The 100 TB distinct-count path, runnable: [[eventsDistinct]] with
+    * HyperLogLog++ (`approx_count_distinct`, rsd 2%) swapped in behind
+    * the same column shape. The sketch is map-side mergeable — each
+    * partition emits one fixed-size HLL register array per group, so
+    * the shuffle carries O(groups) bytes instead of O(distinct keys);
+    * at a billion users that is the difference between a metadata-sized
+    * exchange and a multi-TB one. No cross-engine sketch agreement
+    * exists, so the driver records a rows-only check; AnalyticsSpec
+    * pins each approximate cardinality within 5% of the exact form,
+    * which is the real contract.
+    */
+  def eventsDistinctSketch(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"), day.as("day"))
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users"),
+           approx_count_distinct(col("day"), 0.02).as("n_days"),
+           count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+  }
 }

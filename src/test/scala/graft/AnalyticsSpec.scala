@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Analytics
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, datediff, lit}
 
 class AnalyticsSpec extends GraftSuite {
 
@@ -126,6 +126,34 @@ class AnalyticsSpec extends GraftSuite {
         val want = if (dev * dev > 4L * (n * q - s * s)) 1L else 0L
         assert(r.getAs[Long]("is_anomaly") == want,
           s"flag mismatch for $t day ${r.getAs[Long]("day")}")
+      }
+    }
+  }
+
+  test("events_distinct matches a driver-side exact recount; HLL twin within 5%") {
+    val exact = Analytics.eventsDistinct(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val raw = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long"))
+      .collect().groupBy(_.getString(0))
+    assert(exact.keySet == raw.keySet)
+    raw.foreach { case (tpe, rows) =>
+      val e = exact(tpe)
+      assert(e.getAs[Long]("n_users") == rows.map(_.getLong(1)).distinct.length.toLong)
+      assert(e.getAs[Long]("n_days") == rows.map(_.getLong(2)).distinct.length.toLong)
+      assert(e.getAs[Long]("n_events") == rows.length.toLong)
+    }
+    val sketch = Analytics.eventsDistinctSketch(spark, sf).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(sketch.keySet == exact.keySet)
+    exact.foreach { case (tpe, e) =>
+      val s = sketch(tpe)
+      assert(s.getAs[Long]("n_events") == e.getAs[Long]("n_events"))
+      Seq("n_users", "n_days").foreach { c =>
+        val (ev, sv) = (e.getAs[Long](c), s.getAs[Long](c))
+        assert(math.abs(sv - ev) <= math.max(1L, (0.05 * ev).toLong),
+          s"$tpe.$c: sketch $sv vs exact $ev")
       }
     }
   }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.{Bm25, DocOps, HybridSearch, VectorSearch}
+import org.apache.spark.sql.functions.col
 
 /** The facade must be a pure delegation layer: every method's plan
   * yields exactly the underlying operator's result, so a reference
@@ -97,5 +98,57 @@ class GraftDBSpec extends GraftSuite {
     assert(dedupUpdated.count() == store.count())
     assert(dedupUpdated.filter(col("doc_id") === 42L).collect()
       .head.getAs[String]("lang") == "zz")
+  }
+
+  test("deleteByFilter removes exactly the matching documents, pushed to the scan") {
+    import graft.operators.Filtering._
+    val store = Tables.documents(spark, sf)
+    val total = store.count()
+    val enDocs = store.filter(col("lang") === "en").count()
+    assert(enDocs > 0 && enDocs < total)
+    val out = db.deleteByFilter(Cmp("lang", Eq, "en"))
+    assert(out.count() == total - enDocs)
+    assert(out.filter(col("lang") === "en").isEmpty)
+    // the complement predicate must reach the parquet scan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    // compound filters compile through the same ADT arm as search
+    val both = db.deleteByFilter(AndF(Seq(
+      Cmp("lang", Eq, "en"), Cmp("n_chars", Gt, 500))))
+    val matching = store.filter(col("lang") === "en" && col("n_chars") > 500).count()
+    assert(both.count() == total - matching)
+  }
+
+  test("healthCheck reports per-check detail and a rolled-up verdict") {
+    val h = db.healthCheck()
+    assert(h.isHealthy && h.lastError.isEmpty)
+    assert(h.checks.keySet == Set("storage", "embeddings", "session", "index"))
+    assert(h.checks("storage").ok && h.checks("storage").detail.contains(sf))
+    assert(h.checks("session").ok && h.checks("session").detail.contains("local"))
+    assert(db.uptimeMillis >= 0)
+    // a handle over a missing directory is unhealthy with a named error
+    val bad = GraftDB(spark, "/nonexistent/graft-health-probe")
+    val hb = bad.healthCheck()
+    assert(!hb.isHealthy)
+    assert(hb.lastError.exists(_.contains("documents.parquet")))
+    assert(!hb.checks("storage").ok && !hb.checks("embeddings").ok)
+  }
+
+  test("exportPrometheus renders gauges from one metrics aggregate") {
+    import spark.implicits._
+    val metrics = Seq(
+      ("q1", "spark", 1L, 5.0, 10L, 1L, Some(4.0), "rrf"),
+      ("q2", "vector", 2L, 50.0, 10L, 0L, None, "rrf"),
+      ("q3", "join", 3L, 100.0, 10L, 2L, Some(5.0), "linear"))
+      .toDF("query_id", "query_text", "ts", "duration_ms",
+        "result_count", "n_clicked", "satisfaction", "fusion_strategy")
+    val text = db.exportPrometheus(metrics)
+    assert(text.contains("# TYPE graft_total_queries gauge"))
+    assert(text.contains("graft_total_queries 3"))
+    assert(text.contains("graft_cache_hit_rate 0.333"))
+    assert(text.contains("graft_p99_query_time_ms"))
+    // per-strategy stats surface delegates to the operator
+    assert(db.getPerformanceMetrics(metrics).collect().map(_.getAs[String]("fusion_strategy"))
+      .toSeq == Seq("linear", "rrf"))
   }
 }
