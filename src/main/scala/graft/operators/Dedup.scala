@@ -562,6 +562,57 @@ object Dedup {
 
   // ---- near-dup clusters (connected components) ----
 
+  /** Edge-count ceiling for the driver-side union-find fast path of
+    * [[connectedComponents]]: 200k (id1,id2) longs ≈ 3 MB on the
+    * driver — the same order as Spark's own broadcast-join threshold,
+    * and the same design: a runtime size measurement picks the
+    * strategy, never an assumption about the input.
+    */
+  val LocalSolveMaxEdges: Long = 200000L
+
+  /** Driver-side min-label components for a broadcast-sized pair
+    * graph: union-find with path compression + union by rank, then
+    * each node labeled with its component's minimum id — exactly the
+    * fixpoint the distributed propagation converges to, so the two
+    * paths are interchangeable row-for-row.
+    */
+  private def localComponents(session: SparkSession, pairs: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.LongMap.empty[Long]
+    val rank = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElse(root, root) != root) root = parent.getOrElse(root, root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (la, lb) = (rank.getOrElse(ra, 0L), rank.getOrElse(rb, 0L))
+        if (la < lb) parent(ra) = rb
+        else if (la > lb) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = la + 1 }
+      }
+    }
+    val nodes = mutable.LongMap.empty[Unit]
+    pairs.select(col("id1"), col("id2")).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      nodes(a) = (); nodes(b) = ()
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      union(a, b)
+    }
+    val minOf = mutable.LongMap.empty[Long]
+    nodes.keysIterator.foreach { n =>
+      val r = find(n)
+      minOf(r) = math.min(minOf.getOrElse(r, Long.MaxValue), n)
+    }
+    val rows = nodes.keysIterator.map(n => (n, minOf(find(n)))).toSeq
+    import session.implicits._
+    rows.toDF("node", "label")
+  }
+
   /** Connected components over an undirected (id1, id2) pair relation
     * by iterative min-label propagation: every node adopts the
     * smallest label among itself and its neighbors until fixpoint.
@@ -571,8 +622,22 @@ object Dedup {
     * a handful of distributed rounds at any corpus size — the same
     * shape GraphX/GraphFrames use for CC. The driver only checks the
     * per-round convergence count, never the data.
+    *
+    * Strategy gate: the pair relation is counted ONCE anyway (to pin
+    * its cache and size the round shuffles), so the measured edge
+    * count also picks the execution strategy, exactly as Spark's
+    * planner swaps a shuffle join for a broadcast join under a size
+    * threshold. At or below [[LocalSolveMaxEdges]] the graph is
+    * broadcast-sized and each distributed round would pay far more in
+    * plan-compile + task-launch fixed costs than the whole solve is
+    * worth — union-find with path compression on the driver answers in
+    * O(E α(E)) and is proven label-identical to the distributed loop
+    * (DedupScaleSpec runs both on the same graph). Above the gate the
+    * propagation loop runs unchanged; the gate only ever removes
+    * per-round fixed costs, never parallelism that matters.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          localMaxEdges: Long = LocalSolveMaxEdges): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // AQE OFF for the propagation loop: adaptive re-planning defeats
     // cached-iterate reuse in iterative plans (each check re-executed
@@ -596,6 +661,11 @@ object Dedup {
     // lands — the count pins it once, everything downstream reads cache
     val p = pairs.persist(lvl)
     val nPairs = p.count()
+    if (nPairs <= localMaxEdges) {
+      val out = localComponents(session, p)
+      p.unpersist()
+      return out
+    }
     // Right-size the per-round shuffles to the GRAPH, not the corpus:
     // the pair relation is near-dup-fraction sized, usually orders of
     // magnitude below the corpus the session's shuffle.partitions is

@@ -87,4 +87,26 @@ class DedupScaleSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("id1") == 0L),
       "star pairs link to the min-id representative")
   }
+
+  test("local union-find and distributed propagation label the same graph identically") {
+    import spark.implicits._
+    // chains (diameter > 1), a clique, cross-links, isolated pairs,
+    // and ids arriving in both orders — the shapes that distinguish
+    // a wrong min-label fixpoint
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),            // chain
+      (10L, 11L), (11L, 12L), (10L, 12L),                // clique
+      (20L, 21L), (30L, 31L), (31L, 20L),                // merged via cross-link
+      (40L, 41L),                                        // isolated pair
+      (52L, 51L), (51L, 50L)                             // reversed order
+    ).toDF("id1", "id2")
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = labelsOf(Dedup.connectedComponents(pairs))
+    val dist = labelsOf(Dedup.connectedComponents(pairs, localMaxEdges = -1L))
+    assert(local == dist, "strategy gate must not change the labeling")
+    val m = local.toMap
+    assert(Seq(1L, 5L).map(m).toSet == Set(1L))
+    assert(m(12L) == 10L && m(31L) == 20L && m(52L) == 50L)
+  }
 }
