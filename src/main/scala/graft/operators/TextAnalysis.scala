@@ -387,7 +387,6 @@ object TextAnalysis {
     * doc_id, zero sorts, no broadcast of unbounded relations.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -395,15 +394,36 @@ object TextAnalysis {
       .agg(countDistinct(col("w")).as("v"))
     val surprise = fx(log((col("c1") + col("v")).cast("double") /
       (col("c12") + lit(1L)).cast("double")))
-    val scored = base
+    // Aggregate-and-join, never window: the surprise of a bigram is a
+    // function of the bigram alone, so the instance stream compresses
+    // to per-(doc, bigram) multiplicities first (hash aggregate with
+    // map-side partials), and the count relations it joins against are
+    // bigram-vocabulary-sized — every shuffle after the first carries
+    // distinct keys, not instances. The window formulation this
+    // replaces sorted ALL bigram instances twice (once per partition
+    // key); at corpus scale those two sorts dominate, and neither
+    // gets map-side reduction — worse, a window partitioned by bigram
+    // has NO skew mitigation: every instance of a stopword bigram
+    // ("of the" — billions at web scale) lands in ONE sorting task.
+    // The aggregate form takes map-side partials everywhere and its
+    // joins are exactly the shape AQE's skew-split rewrites; locally
+    // it costs a few hundred ms more in exchange fixed costs, the
+    // right trade. k·fx(s) ≡ sum of k copies of fx(s), so the
+    // compressed form is bit-identical to the per-instance one.
+    val inst = base
       .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+    val bc = inst.groupBy(col("b")).agg(sum(col("k")).as("c12"))
+    val uc = bc.select(substring_index(col("b"), " ", 1).as("w"), col("c12"))
+      .groupBy(col("w")).agg(sum(col("c12")).as("c1"))
+    val scored = inst
+      .join(bc.hint("shuffle_hash"), Seq("b"))
       .withColumn("w", substring_index(col("b"), " ", 1))
-      .withColumn("c12", count(lit(1)).over(Window.partitionBy(col("b"))))
-      .withColumn("c1", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .join(uc.hint("shuffle_hash"), Seq("w"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), surprise.as("s"))
+      .select(col("doc_id"), col("k"), surprise.as("s"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("surprise_fx"))
+      .agg(sum(col("k")).as("n_bigrams"), sum(col("k") * col("s")).as("surprise_fx"))
     base.select(col("doc_id"))
       .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
