@@ -1,0 +1,221 @@
+package graft.sources
+
+/** Resilience guards for the in-JVM serving tier (reference
+  * src/resilience.rs). The batch tier needs none of this — Spark task
+  * retry, stage re-attempts and speculative execution are the
+  * cluster-native forms — but [[PointServe]] answers point queries
+  * WITHOUT a Spark job, so it re-acquires the reference's single-node
+  * failure modes and takes the same three guards:
+  *
+  *  - [[CircuitBreaker]] (resilience.rs:81): failure-rate trip over a
+  *    request-volume window, Open → sleep window → HalfOpen probe
+  *    budget → Closed on enough successes, straight back to Open on a
+  *    probe failure.
+  *  - [[TokenBucketRateLimiter]] (resilience.rs:276): continuous
+  *    refill at `requestsPerSecond` up to `bucketCapacity`.
+  *  - [[RetryExecutor]] (resilience.rs:403): bounded attempts with
+  *    fixed / linear / exponential backoff and a retryability
+  *    predicate standing in for the reference's retryable-error list.
+  *
+  * Every component takes an injectable nano clock (and the executor an
+  * injectable sleeper) so specs drive the time arithmetic
+  * deterministically; production uses the defaults. State is
+  * coarse-grained `synchronized` — point-serve QPS is bounded by the
+  * rate limiter itself, so lock contention is not a concern.
+  */
+object Resilience {
+
+  sealed trait CircuitState
+  case object Closed extends CircuitState
+  case object Open extends CircuitState
+  case object HalfOpen extends CircuitState
+
+  /** resilience.rs:55 CircuitBreakerConfig (same defaults). */
+  final case class CircuitBreakerConfig(
+      failureThresholdPct: Double = 50.0,
+      minimumRequests: Int = 20,
+      requestVolumePeriodMs: Long = 60000L,
+      sleepWindowMs: Long = 30000L,
+      halfOpenMaxRequests: Int = 5)
+
+  final case class CircuitBreakerStats(
+      state: CircuitState, failures: Long, successes: Long, rejected: Long)
+
+  final class CircuitOpenException(name: String)
+    extends RuntimeException(s"circuit breaker '$name' is open")
+
+  final class CircuitBreaker(val name: String,
+                             config: CircuitBreakerConfig = CircuitBreakerConfig(),
+                             clock: () => Long = () => System.nanoTime()) {
+    private var state: CircuitState = Closed
+    private var failures = 0L
+    private var successes = 0L
+    private var rejected = 0L
+    private var halfOpenProbes = 0
+    private var lastFailureAtNs = Long.MinValue
+    private var lastRequestAtNs = Long.MinValue
+
+    private def ms(n: Long): Long = n * 1000000L
+
+    /** resilience.rs:108 allow_request. */
+    def allowRequest(): Boolean = synchronized {
+      val now = clock()
+      val allowed = state match {
+        case Closed => true
+        case Open =>
+          if (now - lastFailureAtNs >= ms(config.sleepWindowMs)) {
+            state = HalfOpen; halfOpenProbes = 0; successes = 0; failures = 0
+            true
+          } else false
+        case HalfOpen => halfOpenProbes < config.halfOpenMaxRequests
+      }
+      if (allowed) {
+        if (state == HalfOpen) halfOpenProbes += 1
+        lastRequestAtNs = now
+      } else rejected += 1
+      allowed
+    }
+
+    /** resilience.rs:135 record_success. */
+    def recordSuccess(): Unit = synchronized {
+      successes += 1
+      state match {
+        case HalfOpen =>
+          if (successes >= config.halfOpenMaxRequests) {
+            state = Closed; failures = 0; successes = 0; halfOpenProbes = 0
+          }
+        case _ =>
+          // volume-window expiry resets the failure-rate sample
+          if (lastRequestAtNs != Long.MinValue &&
+              clock() - lastRequestAtNs >= ms(config.requestVolumePeriodMs)) {
+            failures = 0; successes = 0
+          }
+      }
+    }
+
+    /** resilience.rs:155 record_failure. */
+    def recordFailure(): Unit = synchronized {
+      failures += 1
+      lastFailureAtNs = clock()
+      state match {
+        case HalfOpen => state = Open
+        case Closed =>
+          val total = failures + successes
+          if (total >= config.minimumRequests &&
+              failures * 100.0 / total >= config.failureThresholdPct)
+            state = Open
+        case Open => ()
+      }
+    }
+
+    def getState: CircuitState = synchronized(state)
+    def getStats: CircuitBreakerStats =
+      synchronized(CircuitBreakerStats(state, failures, successes, rejected))
+  }
+
+  /** resilience.rs:256 RateLimiterConfig (same defaults). */
+  final case class RateLimiterConfig(
+      requestsPerSecond: Double = 1000.0,
+      bucketCapacity: Int = 1000)
+
+  final class RateLimitedException(limit: Double)
+    extends RuntimeException(s"rate limit exceeded ($limit req/s)")
+
+  /** resilience.rs:276 TokenBucketRateLimiter with continuous refill
+    * (the reference batches refills per 100 ms as a lock optimization;
+    * arithmetic is identical).
+    */
+  final class TokenBucketRateLimiter(val config: RateLimiterConfig = RateLimiterConfig(),
+                                     clock: () => Long = () => System.nanoTime()) {
+    private var tokens: Double = config.bucketCapacity.toDouble
+    private var lastRefillNs: Long = clock()
+
+    private def refill(): Unit = {
+      val now = clock()
+      val elapsedS = (now - lastRefillNs) / 1e9
+      if (elapsedS > 0) {
+        tokens = math.min(config.bucketCapacity.toDouble,
+          tokens + elapsedS * config.requestsPerSecond)
+        lastRefillNs = now
+      }
+    }
+
+    /** resilience.rs:293 try_acquire. */
+    def tryAcquire(n: Int = 1): Boolean = synchronized {
+      refill()
+      if (tokens >= n) { tokens -= n; true } else false
+    }
+
+    /** resilience.rs:343 get_available_tokens. */
+    def availableTokens: Double = synchronized { refill(); tokens }
+  }
+
+  /** resilience.rs:351 RetryStrategy. */
+  sealed trait RetryStrategy { def delayMs(attempt: Int): Long }
+  final case class FixedDelay(delayMsValue: Long) extends RetryStrategy {
+    def delayMs(attempt: Int): Long = delayMsValue
+  }
+  final case class LinearBackoff(initialMs: Long, incrementMs: Long) extends RetryStrategy {
+    def delayMs(attempt: Int): Long = initialMs + incrementMs * attempt
+  }
+  final case class ExponentialBackoff(initialMs: Long = 100L, maxMs: Long = 30000L,
+                                      multiplier: Double = 2.0) extends RetryStrategy {
+    def delayMs(attempt: Int): Long =
+      math.min(maxMs.toDouble, initialMs * math.pow(multiplier, attempt.toDouble)).toLong
+  }
+
+  /** resilience.rs:403 RetryExecutor: `attempt` runs up to
+    * `maxAttempts` times; only throwables passing `retryable` are
+    * retried (the reference matches error strings against a
+    * retryable-error list — a predicate is the typed form), the rest
+    * propagate immediately; the final failure propagates after the
+    * budget is spent.
+    */
+  final class RetryExecutor(maxAttempts: Int = 3,
+                            strategy: RetryStrategy = ExponentialBackoff(),
+                            retryable: Throwable => Boolean = _ => true,
+                            sleep: Long => Unit = Thread.sleep) {
+    def execute[T](op: => T): T = {
+      var attempt = 0
+      while (true) {
+        try return op
+        catch {
+          case e: Throwable =>
+            if (!retryable(e) || attempt >= maxAttempts - 1) throw e
+            sleep(strategy.delayMs(attempt))
+            attempt += 1
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
+  }
+
+  /** The assembled guard for a serving call (resilience.rs:619
+    * ResilienceManager.execute_with_resilience): rate-limit gate →
+    * circuit gate → retried invocation, success/failure recorded into
+    * the breaker per attempt so a flapping backend trips it even when
+    * retries eventually succeed.
+    */
+  /** Default-config guard bundle for a named serving endpoint:
+    * `val g = Resilience.default("lsh"); g.call(server.query(qv, k))`.
+    */
+  def default(name: String): Guarded =
+    new Guarded(new CircuitBreaker(name), new TokenBucketRateLimiter())
+
+  final class Guarded(val breaker: CircuitBreaker,
+                      val limiter: TokenBucketRateLimiter,
+                      // an open circuit is not a transient fault: spinning
+                      // retries against it would defeat the sleep window
+                      retry: RetryExecutor = new RetryExecutor(
+                        retryable = !_.isInstanceOf[CircuitOpenException])) {
+    def call[T](op: => T): T = {
+      if (!limiter.tryAcquire())
+        throw new RateLimitedException(limiter.config.requestsPerSecond)
+      retry.execute {
+        if (!breaker.allowRequest()) throw new CircuitOpenException(breaker.name)
+        try { val r = op; breaker.recordSuccess(); r }
+        catch { case e: Throwable => breaker.recordFailure(); throw e }
+      }
+    }
+  }
+}
