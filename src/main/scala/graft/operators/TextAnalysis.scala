@@ -410,16 +410,26 @@ object TextAnalysis {
     // it costs a few hundred ms more in exchange fixed costs, the
     // right trade. k·fx(s) ≡ sum of k copies of fx(s), so the
     // compressed form is bit-identical to the per-instance one.
+    // bc is persisted because THREE downstream branches need it (the
+    // unigram rollup, the rates join, and through them the scoring
+    // join): without the cache each consumer re-runs the full
+    // tokenize+explode+aggregate instance pass. The cached relation is
+    // bigram-VOCABULARY-sized — orders of magnitude below the instance
+    // stream — and disk-spillable; eviction is the executor BlockManager
+    // LRU, the documented lifecycle for operator-internal caches (a
+    // standing pipeline would materialize the LM's count table to a
+    // table instead — it IS the trained model).
     val inst = base
       .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
     val bc = inst.groupBy(col("b")).agg(sum(col("k")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uc = bc.select(substring_index(col("b"), " ", 1).as("w"), col("c12"))
       .groupBy(col("w")).agg(sum(col("c12")).as("c1"))
-    val scored = inst
-      .join(bc.hint("shuffle_hash"), Seq("b"))
-      .withColumn("w", substring_index(col("b"), " ", 1))
+    val rates = bc.withColumn("w", substring_index(col("b"), " ", 1))
       .join(uc.hint("shuffle_hash"), Seq("w"))
+    val scored = inst
+      .join(rates.hint("shuffle_hash"), Seq("b"))
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), col("k"), surprise.as("s"))
       .groupBy(col("doc_id"))
