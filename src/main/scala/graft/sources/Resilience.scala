@@ -196,6 +196,58 @@ object Resilience {
     * the breaker per attempt so a flapping backend trips it even when
     * retries eventually succeed.
     */
+  final class OperationTimeoutException(ms: Long)
+    extends RuntimeException(s"operation timed out after $ms ms")
+
+  /** resilience.rs:476 TimeoutWrapper: run a serving call on a daemon
+    * pool thread and give up (cancelling with interrupt) past the
+    * deadline — a stuck rescore or a bad shard read must return
+    * control to the caller, not hang the serving thread. One shared
+    * cached pool; threads die idle, so an unused wrapper costs
+    * nothing.
+    */
+  final class TimeoutWrapper(defaultTimeoutMs: Long = 5000L) {
+    import java.util.concurrent._
+    private val pool = Executors.newCachedThreadPool(new ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "graft-timeout-wrapper"); t.setDaemon(true); t
+      }
+    })
+    def execute[T](op: => T): T = executeWithTimeout(defaultTimeoutMs)(op)
+    def executeWithTimeout[T](timeoutMs: Long)(op: => T): T = {
+      val fut = pool.submit(new Callable[T] { def call(): T = op })
+      try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+      catch {
+        case _: TimeoutException =>
+          fut.cancel(true)
+          throw new OperationTimeoutException(timeoutMs)
+        case e: ExecutionException => throw e.getCause
+      }
+    }
+  }
+
+  final case class PoolStats(available: Int, maxSize: Int)
+
+  final class PoolExhaustedException(name: String)
+    extends RuntimeException(s"resource pool '$name' exhausted")
+
+  /** resilience.rs:514 ResourcePool as a loan pattern: a bounded set
+    * of serving handles (point servers hold vectors/codes in RAM — an
+    * unbounded handle count is an OOM); `lease` blocks up to
+    * `timeoutMs` for a free handle, runs `f`, and ALWAYS returns the
+    * handle, so a throwing caller cannot leak capacity.
+    */
+  final class ResourcePool[T](val name: String, val maxSize: Int) {
+    private val q = new java.util.concurrent.LinkedBlockingQueue[T](maxSize)
+    def add(resource: T): Boolean = q.offer(resource)
+    def lease[R](timeoutMs: Long = 5000L)(f: T => R): R = {
+      val r = q.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (r == null) throw new PoolExhaustedException(name)
+      try f(r) finally q.put(r)
+    }
+    def stats: PoolStats = PoolStats(q.size, maxSize)
+  }
+
   /** Default-config guard bundle for a named serving endpoint:
     * `val g = Resilience.default("lsh"); g.call(server.query(qv, k))`.
     */

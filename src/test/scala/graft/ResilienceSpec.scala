@@ -117,6 +117,39 @@ class ResilienceSpec extends AnyFunSuite {
     assert(ExponentialBackoff(100, 300, 2.0).delayMs(5) == 300L, "capped at maxMs")
   }
 
+  test("timeout wrapper returns control past the deadline; results and errors pass through") {
+    val tw = new TimeoutWrapper(defaultTimeoutMs = 10000)
+    assert(tw.execute(21 * 2) == 42)
+    val boom = intercept[IllegalStateException](tw.execute(throw new IllegalStateException("inner")))
+    assert(boom.getMessage == "inner", "original exception type/message, not ExecutionException")
+    val t0 = System.nanoTime()
+    intercept[OperationTimeoutException] {
+      tw.executeWithTimeout(100)(Thread.sleep(60000))
+    }
+    assert((System.nanoTime() - t0) / 1e6 < 30000, "gave up well before the sleep finished")
+  }
+
+  test("resource pool leases block-free capacity and never leaks on caller failure") {
+    val pool = new ResourcePool[String]("servers", maxSize = 2)
+    assert(pool.add("a") && pool.add("b"))
+    assert(!pool.add("c"), "capacity bound enforced")
+    assert(pool.stats == PoolStats(2, 2))
+    val seen = pool.lease()(identity)
+    assert(Seq("a", "b").contains(seen))
+    // a throwing caller returns its handle
+    intercept[RuntimeException](pool.lease()(_ => throw new RuntimeException("use failed")))
+    assert(pool.stats.available == 2)
+    // both handles leased concurrently -> third lease times out
+    val l1 = pool.lease(100) { _ =>
+      pool.lease(100) { _ =>
+        intercept[PoolExhaustedException](pool.lease(50)(identity))
+        "nested"
+      }
+    }
+    assert(l1 == "nested")
+    assert(pool.stats.available == 2)
+  }
+
   test("guarded call: retries transients, records into the breaker, short-circuits when open") {
     val clock = new FakeClock
     val cb = new CircuitBreaker("serve", CircuitBreakerConfig(
