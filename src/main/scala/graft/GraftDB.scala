@@ -98,6 +98,21 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   def getPerformanceMetrics(metrics: DataFrame): DataFrame =
     HybridSearch.fusionPerformanceStats(metrics)
 
+  /** Handle-scoped query-result cache (query_engine.rs:79
+    * execute_query cache path): route any facade query through
+    * [[cachedQuery]] and a semantically equal plan within TTL serves
+    * the already-persisted distributed result.
+    */
+  val queryCache = new QueryCache()
+
+  def cachedQuery(build: => DataFrame): DataFrame = queryCache.getOrRun(build)
+
+  /** query_engine.rs:214 clear_cache. */
+  def clearCache(): Unit = queryCache.clear()
+
+  /** query_engine.rs:221 get_cache_stats → (hits, misses). */
+  def getCacheStats: (Long, Long) = queryCache.stats
+
   /** Prometheus text-format export of the query metrics
     * (metrics.rs:353 export_prometheus): gauges computed in ONE scalar
     * aggregate over the metrics table — map-side partials, one row to

@@ -134,6 +134,17 @@ class GraftDBSpec extends GraftSuite {
     assert(!hb.checks("storage").ok && !hb.checks("embeddings").ok)
   }
 
+  test("cachedQuery serves semantically equal plans from the handle cache") {
+    val fresh = GraftDB(spark, sf)
+    assert(fresh.getCacheStats == ((0L, 0L)))
+    val a = fresh.cachedQuery(fresh.bm25Search("spark vector", 5))
+    val b = fresh.cachedQuery(fresh.bm25Search("spark vector", 5))
+    assert(fresh.getCacheStats == ((1L, 1L)), "second identical plan is a hit")
+    assert(a.collect().toSeq == b.collect().toSeq)
+    fresh.clearCache()
+    assert(fresh.queryCache.size == 0, "clear drops entries (stats are lifetime counters)")
+  }
+
   test("exportPrometheus renders gauges from one metrics aggregate") {
     import spark.implicits._
     val metrics = Seq(
