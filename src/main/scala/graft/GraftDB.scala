@@ -49,8 +49,14 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
     * result is the lazy complement relation, composable with
     * [[ingest]]'s partitioned rewrite.
     */
-  def deleteByFilter(filter: Filtering.FilterExpr): DataFrame =
-    Tables.documents(spark, dir).filter(!Filtering.compile(filter))
+  def deleteByFilter(filter: Filtering.FilterExpr): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    // three-valued logic: a NULL predicate (e.g. the filtered field is
+    // NULL on some row) means "no match" — NOT(NULL) is NULL and would
+    // silently delete the row, so the complement coalesces to false
+    Tables.documents(spark, dir)
+      .filter(!coalesce(Filtering.compile(filter), lit(false)))
+  }
 
   def getStats: DataFrame = DocOps.stats(spark, dir)
 
@@ -128,12 +134,16 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
       avg((col("duration_ms") < 10.0).cast("double")).as("hit_rate")).head
     def g(name: String, help: String, v: Any): String =
       s"# HELP graft_$name $help\n# TYPE graft_$name gauge\ngraft_$name $v\n"
-    g("total_queries", "Total number of recorded queries", r.getAs[Long]("total")) +
-      g("avg_query_time_ms", "Average query time in milliseconds", r.getAs[Double]("avg_ms")) +
-      g("p95_query_time_ms", "P95 query time in milliseconds", r.getAs[Double]("p95_ms")) +
-      g("p99_query_time_ms", "P99 query time in milliseconds", r.getAs[Double]("p99_ms")) +
-      g("cache_hit_rate", "Share of queries answered under the cache-latency threshold",
-        r.getAs[Double]("hit_rate"))
+    // with zero recorded queries the latency aggregates are NULL —
+    // omit those series entirely (absent ≠ measured-zero; a 0.0 here
+    // would poison dashboard baselines) and export only the count
+    g("total_queries", "Total number of recorded queries", r.getAs[Long]("total")) + (
+      if (r.isNullAt(r.fieldIndex("avg_ms"))) ""
+      else g("avg_query_time_ms", "Average query time in milliseconds", r.getAs[Double]("avg_ms")) +
+        g("p95_query_time_ms", "P95 query time in milliseconds", r.getAs[Double]("p95_ms")) +
+        g("p99_query_time_ms", "P99 query time in milliseconds", r.getAs[Double]("p99_ms")) +
+        g("cache_hit_rate", "Share of queries answered under the cache-latency threshold",
+          r.getAs[Double]("hit_rate")))
   }
 
   /** storage.rs:100 document_exists — a pushed-down point-lookup

@@ -371,20 +371,19 @@ object TextAnalysis {
     *
     * The conditional's denominator is the PREFIX count c(w1,*) — how
     * often w1 opens a bigram — which is what a bigram LM actually
-    * normalizes by, and it falls out of the same (doc_id, bigram)
-    * relation as c(w1 w2): both are count windows over one linear
-    * lineage (the [[tfidfKeywords]] shape — nothing persisted, no
-    * multi-consumer cache to leak, tokenize runs once in the main
-    * lineage). The smoothing vocabulary V rides a one-row broadcast
-    * from its own tokenize pass (one extra corpus map — the price of
-    * a scalar no window can produce without a single-partition sort).
-    * Count state per window partition is one bigram's (or prefix's)
-    * occurrence list; a pathologically hot bigram concentrates its
-    * rows in one task — at that scale swap the windows for
-    * groupBy-count + shuffle_hash joins (AQE can split skewed join
-    * partitions; it cannot split a window partition). Final roll-up
-    * and the no-bigram-docs left join are keyed equi-shuffles on
-    * doc_id, zero sorts, no broadcast of unbounded relations.
+    * normalizes by, and it rolls up from the bigram count table
+    * c(w1 w2): the instance stream compresses to per-(doc, bigram)
+    * multiplicities, the count table aggregates from that and is the
+    * ONE persisted relation (vocabulary-sized, spillable — the
+    * trained LM itself; three consumers would otherwise re-run the
+    * tokenize+explode pass), and scoring is shuffle_hash joins
+    * against it — the shape AQE's skew-split rewrites, where a window
+    * partitioned by bigram would concentrate every instance of a hot
+    * bigram in one unsplittable sorting task. The smoothing
+    * vocabulary V rides a one-row broadcast from its own tokenize
+    * pass (one extra corpus map — the price of a scalar). Final
+    * roll-up and the no-bigram-docs left join are keyed equi-shuffles
+    * on doc_id, zero sorts, no broadcast of unbounded relations.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.spread(spark,

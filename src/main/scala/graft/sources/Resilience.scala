@@ -53,13 +53,29 @@ object Resilience {
     private var rejected = 0L
     private var halfOpenProbes = 0
     private var lastFailureAtNs = Long.MinValue
-    private var lastRequestAtNs = Long.MinValue
+    private var windowStartNs = Long.MinValue
 
     private def ms(n: Long): Long = n * 1000000L
+
+    // The failure-rate sample covers one request-volume window: when a
+    // request arrives past the window's end, the stale counters are
+    // dropped BEFORE it is recorded, so a blip from hours ago can
+    // never combine with fresh traffic to trip the breaker. (Keyed to
+    // the window START — the reference keys expiry to the LAST request
+    // time, which a steady request stream keeps perpetually fresh, so
+    // its sample never actually expires under load.)
+    private def rollWindowIfExpired(now: Long): Unit =
+      if (state == Closed) {
+        if (windowStartNs == Long.MinValue) windowStartNs = now
+        else if (now - windowStartNs >= ms(config.requestVolumePeriodMs)) {
+          failures = 0; successes = 0; windowStartNs = now
+        }
+      }
 
     /** resilience.rs:108 allow_request. */
     def allowRequest(): Boolean = synchronized {
       val now = clock()
+      rollWindowIfExpired(now)
       val allowed = state match {
         case Closed => true
         case Open =>
@@ -71,32 +87,30 @@ object Resilience {
       }
       if (allowed) {
         if (state == HalfOpen) halfOpenProbes += 1
-        lastRequestAtNs = now
       } else rejected += 1
       allowed
     }
 
     /** resilience.rs:135 record_success. */
     def recordSuccess(): Unit = synchronized {
+      rollWindowIfExpired(clock())
       successes += 1
       state match {
         case HalfOpen =>
           if (successes >= config.halfOpenMaxRequests) {
             state = Closed; failures = 0; successes = 0; halfOpenProbes = 0
+            windowStartNs = Long.MinValue
           }
-        case _ =>
-          // volume-window expiry resets the failure-rate sample
-          if (lastRequestAtNs != Long.MinValue &&
-              clock() - lastRequestAtNs >= ms(config.requestVolumePeriodMs)) {
-            failures = 0; successes = 0
-          }
+        case _ => ()
       }
     }
 
     /** resilience.rs:155 record_failure. */
     def recordFailure(): Unit = synchronized {
+      val now = clock()
+      rollWindowIfExpired(now)
       failures += 1
-      lastFailureAtNs = clock()
+      lastFailureAtNs = now
       state match {
         case HalfOpen => state = Open
         case Closed =>
@@ -178,9 +192,13 @@ object Resilience {
     def execute[T](op: => T): T = {
       var attempt = 0
       while (true) {
+        // NonFatal only: OOM/StackOverflow/InterruptedException must
+        // propagate immediately — retrying an interrupted call would
+        // swallow a TimeoutWrapper cancellation and re-run work whose
+        // caller already gave up.
         try return op
         catch {
-          case e: Throwable =>
+          case scala.util.control.NonFatal(e) =>
             if (!retryable(e) || attempt >= maxAttempts - 1) throw e
             sleep(strategy.delayMs(attempt))
             attempt += 1
@@ -239,7 +257,15 @@ object Resilience {
     */
   final class ResourcePool[T](val name: String, val maxSize: Int) {
     private val q = new java.util.concurrent.LinkedBlockingQueue[T](maxSize)
-    def add(resource: T): Boolean = q.offer(resource)
+    // bounds TOTAL handles (idle + leased), not idle slots: otherwise
+    // add() during a lease over-fills the queue and the lease's
+    // return put() blocks forever on a full queue
+    private val registered = new java.util.concurrent.atomic.AtomicInteger(0)
+    def add(resource: T): Boolean = {
+      if (registered.incrementAndGet() > maxSize) {
+        registered.decrementAndGet(); false
+      } else { q.put(resource); true }
+    }
     def lease[R](timeoutMs: Long = 5000L)(f: T => R): R = {
       val r = q.poll(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
       if (r == null) throw new PoolExhaustedException(name)

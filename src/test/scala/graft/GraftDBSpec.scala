@@ -161,5 +161,25 @@ class GraftDBSpec extends GraftSuite {
     // per-strategy stats surface delegates to the operator
     assert(db.getPerformanceMetrics(metrics).collect().map(_.getAs[String]("fusion_strategy"))
       .toSeq == Seq("linear", "rrf"))
+    // zero recorded queries: latency gauges are ABSENT, not 0.0 — a
+    // measured-zero would poison dashboard baselines
+    val empty = db.exportPrometheus(metrics.limit(0))
+    assert(empty.contains("graft_total_queries 0"))
+    assert(!empty.contains("avg_query_time_ms") && !empty.contains("cache_hit_rate"))
+  }
+
+  test("deleteByFilter leaves NULL-field documents alone (no match, no delete)") {
+    import graft.operators.Filtering._
+    import spark.implicits._
+    val store = Seq((1L, "en"), (2L, null.asInstanceOf[String]), (3L, "de"))
+      .toDF("doc_id", "lang")
+    // same complement compilation the facade applies, on a frame with NULLs
+    val survivors = store
+      .filter(!org.apache.spark.sql.functions.coalesce(
+        compile(Cmp("lang", Eq, "en")),
+        org.apache.spark.sql.functions.lit(false)))
+      .collect().map(_.getLong(0)).sorted
+    assert(survivors.toSeq == Seq(2L, 3L),
+      "NULL lang is 'no match' — the row must survive the delete")
   }
 }

@@ -37,6 +37,23 @@ class ResilienceSpec extends AnyFunSuite {
     assert(cb.getState == Closed, "45% failures < 50% threshold")
   }
 
+  test("stale failures expire with the request-volume window") {
+    val clock = new FakeClock
+    val cb = new CircuitBreaker("svc", CircuitBreakerConfig(
+      minimumRequests = 20, requestVolumePeriodMs = 60000), clock.read)
+    // a blip: 10 failures, under minimum volume
+    (1 to 10).foreach { _ => cb.allowRequest(); cb.recordFailure() }
+    assert(cb.getState == Closed)
+    // hours later, mostly-healthy traffic: the stale blip must NOT
+    // combine with it to reach 20 requests at >=50% failures
+    clock.advanceMs(3600000)
+    (1 to 18).foreach { _ => cb.allowRequest(); cb.recordSuccess() }
+    cb.allowRequest(); cb.recordFailure()
+    cb.allowRequest(); cb.recordFailure()
+    assert(cb.getState == Closed,
+      "2/20 failures in the current window is far under the 50% threshold")
+  }
+
   test("open breaker half-opens after the sleep window and closes on probe successes") {
     val clock = new FakeClock
     val cb = new CircuitBreaker("svc", CircuitBreakerConfig(
@@ -115,6 +132,14 @@ class ResilienceSpec extends AnyFunSuite {
 
     assert(LinearBackoff(100, 50).delayMs(2) == 200L)
     assert(ExponentialBackoff(100, 300, 2.0).delayMs(5) == 300L, "capped at maxMs")
+
+    // an interrupt (e.g. a TimeoutWrapper cancellation) is never
+    // retried even under the retry-everything default
+    var calls4 = 0
+    intercept[InterruptedException] {
+      ex.execute { calls4 += 1; throw new InterruptedException("cancelled") }
+    }
+    assert(calls4 == 1)
   }
 
   test("timeout wrapper returns control past the deadline; results and errors pass through") {
@@ -138,6 +163,12 @@ class ResilienceSpec extends AnyFunSuite {
     assert(Seq("a", "b").contains(seen))
     // a throwing caller returns its handle
     intercept[RuntimeException](pool.lease()(_ => throw new RuntimeException("use failed")))
+    assert(pool.stats.available == 2)
+    // the bound covers leased handles too: add() during a lease must
+    // not over-fill the queue (a later return put() would block forever)
+    pool.lease(100) { _ =>
+      assert(!pool.add("d"), "total handles, not idle slots, are bounded")
+    }
     assert(pool.stats.available == 2)
     // both handles leased concurrently -> third lease times out
     val l1 = pool.lease(100) { _ =>
