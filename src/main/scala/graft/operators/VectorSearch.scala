@@ -453,8 +453,11 @@ object VectorSearch {
   private def argminSql(v: String, cents: String): String =
     s"list_sort(list_transform($cents, c -> struct_pack(dist := ${l2Sql(v, "c.cemb")}, cid := c.cid)))[1].cid"
 
-  def annIvfSql(qid: Long = 0, stride: Int = IvfStride,
-                nprobe: Int = IvfNprobe, k: Int = 20): String =
+  /** Shared CTE prefix of the IVF oracle twins: probe selection +
+    * cell assignment, ending with the `assigned`/`probed`/`q`
+    * relations the final SELECT filters.
+    */
+  private def ivfProbeSqlPrefix(qid: Long, stride: Int, nprobe: Int): String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |), coarse AS (
@@ -484,11 +487,31 @@ object VectorSearch {
        |    ${argminSql("c.emb", "f.fcents")} AS acid
        |  FROM corpus c, coarse, fbyc f
        |  WHERE f.ccid = ${argminSql("c.emb", "carr")}
-       |)
+       |)""".stripMargin
+
+  def annIvfSql(qid: Long = 0, stride: Int = IvfStride,
+                nprobe: Int = IvfNprobe, k: Int = 20): String =
+    s"""${ivfProbeSqlPrefix(qid, stride, nprobe)}
        |SELECT vec_id, ${fxSql(cosineSql("emb", "qv"))} AS score
        |FROM assigned, probed, q
        |WHERE list_contains(pcids, acid) AND vec_id <> $qid
        |ORDER BY score DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  /** Oracle twin of the label-gated indexed IVF search: identical
+    * probe semantics, with the metadata gate applied to the probed
+    * candidate set BEFORE the top-k (post-filtering, the semantics a
+    * payload-filtered ANN index serves).
+    */
+  def annIvfFilteredSql(qid: Long = 0, labels: Seq[Int] = Seq(1, 3, 5),
+                        stride: Int = IvfStride, nprobe: Int = IvfNprobe,
+                        k: Int = 20): String =
+    s"""${ivfProbeSqlPrefix(qid, stride, nprobe)}
+       |SELECT a.vec_id, e.label, ${fxSql(cosineSql("a.emb", "qv"))} AS score
+       |FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id, probed, q
+       |WHERE list_contains(pcids, acid) AND a.vec_id <> $qid
+       |  AND e.label IN (${labels.mkString(", ")})
+       |ORDER BY score DESC, a.vec_id
        |LIMIT $k""".stripMargin
 
   /** Product-quantization geometry: [[PqM]] subspaces of

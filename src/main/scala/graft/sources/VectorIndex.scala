@@ -163,7 +163,8 @@ object VectorIndex {
   def annIvfFromIndex(spark: SparkSession, path: String, queries: DataFrame,
                       qid: Long = 0,
                       stride: Int = VectorSearch.IvfStride,
-                      nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20): DataFrame = {
+                      nprobe: Int = VectorSearch.IvfNprobe, k: Int = 20,
+                      labelGate: Option[DataFrame] = None): DataFrame = {
     val fine = spark.read.parquet(path + "_centroids")
     val corpus = spark.read.parquet(path)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("cell"))
@@ -187,11 +188,36 @@ object VectorIndex {
       .orderBy(col("dist"), col("cid"))
       .limit(nprobe)
       .select(col("cid").cast("int").as("cell"), col("qv"))
-    corpus.join(broadcast(probeCells), Seq("cell"))
+    val cand = corpus.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= qid)
-      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
+    // metadata gate (post-filtering): applied to the probed candidate
+    // set BEFORE the top-k, joined on vec_id — candidates are
+    // nprobe-cells-sized, the gate relation co-partitions on the same
+    // key, and the layout's DPP pruning is untouched
+    val gated = labelGate.fold(cand)(g =>
+      cand.join(g.hint("shuffle_hash"), Seq("vec_id")))
+    val cols = Seq(col("vec_id")) ++ labelGate.map(_ => col("label")).toSeq :+
+      fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata)
+    gated.select(cols: _*)
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Label-gated ANN over the persisted IVF layout (the reference's
+    * filtered vector search — query.rs search-with-filter over the
+    * index — as a payload filter on the probed cells; oracle twin
+    * [[VectorSearch.annIvfFilteredSql]]).
+    */
+  def annIvfFilteredIndexed(spark: SparkSession, dir: String, qid: Long = 0,
+                            labels: Seq[Int] = Seq(1, 3, 5),
+                            nprobe: Int = VectorSearch.IvfNprobe,
+                            k: Int = 20): DataFrame = {
+    val gate = graft.Tables.embeddings(spark, dir)
+      .filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), col("label"))
+    annIvfFromIndex(spark, ivfIndexReady(spark, dir),
+      queryBatch(spark, dir, qid.toInt + 1), qid, nprobe = nprobe, k = k,
+      labelGate = Some(gate))
   }
 
   /** Build (or rebuild) the PQ codes layout: the corpus encoded to

@@ -45,6 +45,28 @@ class VectorIndexSpec extends GraftSuite {
     assert(plan.contains("dynamicpruning"), s"no DPP on cell join:\n$plan")
   }
 
+  test("label-gated IVF search filters the probed candidates before the top-k") {
+    val labels = Seq(1, 3, 5)
+    val filtered = VectorIndex.annIvfFilteredIndexed(spark, sf, labels = labels)
+      .collect()
+    assert(filtered.nonEmpty && filtered.length <= 20)
+    assert(filtered.forall(r => labels.contains(r.getAs[Int]("label"))),
+      "every hit carries an allowed label")
+    val scores = filtered.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "descending score order")
+    // post-filtering semantics: the gated result is exactly the
+    // allowed-label subset of the probed candidate space, so every
+    // unfiltered hit with an allowed label must re-appear
+    val unfiltered = graft.sources.VectorIndex.annIvfIndexed(spark, sf, k = 20).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val gateLabels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectedSurvivors = unfiltered.filter(v => labels.contains(gateLabels(v)))
+    assert(expectedSurvivors.subsetOf(filtered.map(_.getAs[Long]("vec_id")).toSet),
+      "allowed-label hits from the unfiltered top-k survive the gate")
+  }
+
   test("PQ codes layout serves the exact annPq results without storing vectors") {
     val path = tmpDir("graft_pq_idx")
     VectorIndex.buildPqIndex(spark, sf, path)
