@@ -251,6 +251,13 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   def annSearchIvf(qid: Long = 0, k: Int = 20): DataFrame =
     VectorIndex.annIvfIndexed(spark, dir, qid, k = k)
 
+  /** Payload-filtered ANN over the persisted IVF layout (label gate
+    * joined onto the probed candidates before the top-k).
+    */
+  def annSearchIvfFiltered(qid: Long = 0, labels: Seq[Int] = Seq(1, 3, 5),
+                           k: Int = 20): DataFrame =
+    VectorIndex.annIvfFilteredIndexed(spark, dir, qid, labels, k = k)
+
   def annSearchPq(qid: Long = 0, k: Int = 20): DataFrame =
     VectorSearch.annPq(spark, dir, qid, k)
 

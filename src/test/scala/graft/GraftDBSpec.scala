@@ -134,6 +134,11 @@ class GraftDBSpec extends GraftSuite {
     assert(!hb.checks("storage").ok && !hb.checks("embeddings").ok)
   }
 
+  test("annSearchIvfFiltered delegates to the label-gated indexed search") {
+    assert(rows(db.annSearchIvfFiltered(0, Seq(1, 3, 5), 10)) ==
+      rows(graft.sources.VectorIndex.annIvfFilteredIndexed(spark, sf, 0, Seq(1, 3, 5), k = 10)))
+  }
+
   test("cachedQuery serves semantically equal plans from the handle cache") {
     val fresh = GraftDB(spark, sf)
     assert(fresh.getCacheStats == ((0L, 0L)))
