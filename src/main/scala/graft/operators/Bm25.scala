@@ -100,10 +100,16 @@ object Bm25 {
       .limit(k)
   }
 
-  def searchSql(query: String = DefaultQuery, k: Int = 20): String = {
+  def searchSql(query: String = DefaultQuery, k: Int = 20): String =
+    searchSqlOver("documents", query, k)
+
+  /** [[searchSql]] over an arbitrary corpus relation (SQL text) — the
+    * oracle twin of [[searchDocs]]'s corpus-frame parameter.
+    */
+  def searchSqlOver(corpus: String, query: String = DefaultQuery, k: Int = 20): String = {
     val terms = tokenizeQuery(query).map(t => s"'$t'").mkString("(", ", ", ")")
     s"""WITH toks AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM $corpus
        |), lens AS (
        |  SELECT doc_id, len(toks)::BIGINT AS dl FROM toks
        |), stats AS (
@@ -330,12 +336,19 @@ object Bm25 {
     * the scan is a single parquet pass at any scale.
     */
   def textSearch(spark: SparkSession, dir: String,
-                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
+                 query: String = DefaultQuery, k: Int = 20): DataFrame =
+    textSearchDocs(Tables.documents(spark, dir), query, k)
+
+  /** [[textSearch]] over an arbitrary `(doc_id, text, ...)` corpus
+    * frame (the filtered-search composition point).
+    */
+  def textSearchDocs(docs: DataFrame,
+                     query: String = DefaultQuery, k: Int = 20): DataFrame = {
     val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
     val content = lower(col("text"))
     val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
       .reduce(_ + _)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), score.as("score", ScoreTag.metadata))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
@@ -379,13 +392,17 @@ object Bm25 {
        |FROM tt
        |ORDER BY doc_id, term_id""".stripMargin
 
-  def textSearchSql(query: String = DefaultQuery, k: Int = 20): String = {
+  def textSearchSql(query: String = DefaultQuery, k: Int = 20): String =
+    textSearchSqlOver("documents", query, k)
+
+  def textSearchSqlOver(corpus: String, query: String = DefaultQuery,
+                        k: Int = 20): String = {
     val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
     val score = terms
       .map(t => s"(CASE WHEN contains(lower(text), '$t') THEN 1 ELSE 0 END)")
       .mkString(" + ")
     s"""SELECT doc_id, CAST($score AS BIGINT) AS score
-       |FROM documents
+       |FROM $corpus
        |WHERE ($score) > 0
        |ORDER BY score DESC, doc_id
        |LIMIT $k""".stripMargin

@@ -98,6 +98,75 @@ object HybridSearch {
        |LIMIT $limit""".stripMargin
   }
 
+  /** Filtered hybrid search (reference src/types.rs:119
+    * SearchRequest.filter carried WITH a hybrid query, lib.rs:460
+    * search_documents): one metadata predicate, compiled through the
+    * filter ADT, restricts EVERY branch's candidate space BEFORE its
+    * top-n — each branch returns n gated survivors (filtered-search
+    * semantics), and fusion sees only allowed documents. The gate is
+    * a pushed parquet predicate on the two document branches and a
+    * shuffle_hash id join on the dense branch (embeddings carry no
+    * document metadata; the id relation is corpus-fraction-sized,
+    * never broadcast).
+    */
+  def rrfFiltered(spark: SparkSession, dir: String, qid: Long = 0,
+                  query: String = Bm25.DefaultQuery,
+                  filter: Filtering.FilterExpr = Filtering.Cmp("lang", Filtering.Eq, "en"),
+                  limit: Int = 20): DataFrame = {
+    val allowed = graft.Tables.documents(spark, dir).filter(Filtering.compile(filter))
+    val n = limit * 2
+    def ranked(df: DataFrame, idCol: String) = {
+      val w = Window.orderBy(col("score").desc, col(idCol))
+      df.withColumn("rank", row_number().over(w))
+        .select(col(idCol).as("doc_id"), col("rank"))
+    }
+    val dense = ranked(VectorSearch.semanticTopKGated(
+      spark, dir, allowed.select(col("doc_id")), qid, n), "vec_id")
+    val sparse = ranked(Bm25.searchDocs(spark, allowed, query, n), "doc_id")
+    val txt = ranked(Bm25.textSearchDocs(allowed, query, n), "doc_id")
+    dense.unionByName(sparse).unionByName(txt)
+      .groupBy(col("doc_id"))
+      .agg(fx(sum(lit(1.0) / (lit(RrfK) + col("rank"))), 6).as("rrf_score"),
+           count(lit(1)).as("n_branches"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(limit)
+  }
+
+  def rrfFilteredSql(qid: Long = 0, query: String = Bm25.DefaultQuery,
+                     limit: Int = 20): String = {
+    val n = limit * 2
+    val allowedSql = "(SELECT * FROM documents WHERE lang = 'en')"
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid),
+       |densehits AS (
+       |  SELECT e.vec_id, ${OracleNum.fxSql(VectorSearch.cosineSql("e.embedding::DOUBLE[]", "q.qv"))} AS score
+       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, q
+       |  WHERE d.lang = 'en' AND e.vec_id <> $qid
+       |  ORDER BY score DESC, e.vec_id
+       |  LIMIT $n
+       |), dense AS (
+       |  SELECT vec_id AS doc_id,
+       |    row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+       |  FROM densehits
+       |), sparse AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (${Bm25.searchSqlOver(allowedSql, query, n)})
+       |), txt AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+       |  FROM (${Bm25.textSearchSqlOver(allowedSql, query, n)})
+       |), branches AS (
+       |  SELECT * FROM dense UNION ALL SELECT * FROM sparse UNION ALL SELECT * FROM txt
+       |)
+       |SELECT doc_id,
+       |  ${fxSql(s"SUM(1.0 / ($RrfK + rank))", 6)} AS rrf_score,
+       |  COUNT(*) AS n_branches
+       |FROM branches
+       |GROUP BY doc_id
+       |ORDER BY rrf_score DESC, doc_id
+       |LIMIT $limit""".stripMargin
+  }
+
   /** Batched RRF hybrid search: N (query text, query vector) pairs
     * fused in ONE plan — the reference executes concurrent hybrid
     * queries over its shared in-memory index (concurrent.rs batch

@@ -45,6 +45,23 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
+  /** [[semanticTopK]] restricted to an allowed-id relation (one
+    * `doc_id` column) — the gate joins BEFORE the top-k, so the k
+    * survivors all satisfy the filter (filtered-search semantics, not
+    * filter-after-rank). The id relation is corpus-fraction-sized:
+    * shuffle_hash on the shared id key, never broadcast.
+    */
+  def semanticTopKGated(spark: SparkSession, dir: String, allowedIds: DataFrame,
+                        qid: Long = 0, k: Int = 20): DataFrame =
+    embCorpus(spark, dir)
+      .join(allowedIds.select(col("doc_id").as("vec_id")).hint("shuffle_hash"),
+        Seq("vec_id"))
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
   def semanticTopKSql(qid: Long = 0, k: Int = 20): String =
     s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = $qid)
        |SELECT e.vec_id,

@@ -60,6 +60,23 @@ class RetrievalSpec extends GraftSuite {
     assert(slice0 == single, "batch slice 0 diverges from hybrid_rrf")
   }
 
+  test("filtered hybrid RRF fuses only allowed documents, gated before each branch top-n") {
+    import org.apache.spark.sql.functions.col
+    val hits = HybridSearch.rrfFiltered(spark, sf).collect()
+    assert(hits.nonEmpty && hits.length <= 20)
+    val langOf = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hits.forall(r => langOf(r.getAs[Long]("doc_id")) == "en"),
+      "every fused hit satisfies the filter")
+    // gate-then-rank, not rank-then-gate: an allowed doc outside the
+    // UNfiltered top-n can still surface once competitors are gated out
+    val unfilteredTop = HybridSearch.rrf(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val exclusive = hits.map(_.getAs[Long]("doc_id")).filterNot(unfilteredTop)
+    assert(exclusive.nonEmpty,
+      "filtered ranking should admit allowed docs the unfiltered top-k crowds out")
+  }
+
   test("bm25 returns scored docs for corpus terms") {
     val rows = Bm25.search(spark, sf, "spark vector join", 15).collect()
     assert(rows.length == 15)
