@@ -25,9 +25,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - rebuildAnnIndex/annSearch* — query.rs:257 rebuild_index +
   *    :282/:338 save/load_index via the partitioned layouts
   */
-final class GraftDB(val spark: SparkSession, val dir: String) {
+final class GraftDB(val spark: SparkSession, val dir: String,
+                    val config: GraftConfig = GraftConfig()) {
+
+  // a bad knob fails the handle constructor, not the first query a
+  // thousand tasks in (config.rs load-time validation)
+  require(config.validate.isEmpty,
+    s"invalid GraftConfig: ${config.validate.mkString("; ")}")
 
   private val startedAtMs = System.currentTimeMillis()
+
+  /** The handle's configuration (lib.rs:555 get_config). */
+  def getConfig: GraftConfig = config
 
   def getDocument(id: Long): DataFrame = DocOps.get(spark, dir, id)
 
@@ -85,7 +94,8 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
       }
       val debt =
         if (!checkIndexDebt || kinds.isEmpty) Nil
-        else kinds.filter(k => VectorIndex.shouldRebuild(spark, VectorIndex.indexPath(dir, k)))
+        else kinds.filter(k => VectorIndex.shouldRebuild(spark, VectorIndex.indexPath(dir, k),
+          config.index.rebuildAppendedFraction, config.index.rebuildMaxGenerations))
       GraftDB.CheckResult(ok = true,
         if (kinds.isEmpty) "no persisted layouts (built on first use)"
         else s"layouts: ${kinds.mkString(",")}" +
@@ -109,7 +119,31 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
     * [[cachedQuery]] and a semantically equal plan within TTL serves
     * the already-persisted distributed result.
     */
-  val queryCache = new QueryCache()
+  val queryCache = new QueryCache(config.cache.queryCacheSize, config.cache.ttlMs)
+
+  /** Driver-side query-embedding memoization (performance/
+    * cache_manager.rs:73 embedding cache): repeated query texts skip
+    * the kernel. Sized/TTL'd by [[GraftConfig.CacheConfig]].
+    */
+  val embeddingCache = new EmbeddingCache(config.cache.embeddingCacheSize,
+                                          config.cache.ttlMs)
+
+  /** Embed one query text through the cache — the serving-side twin of
+    * the distributed corpus map ([[operators.Embeddings.embed]]); both
+    * run the same [[graft.functions.expressions.MockEmbedding]] kernel
+    * (embeddings.rs:222 mock provider; a real provider swaps the
+    * kernel behind this same signature).
+    */
+  def embedQuery(text: String): Array[Double] =
+    embeddingCache.getOrCompute(text) { t =>
+      graft.functions.expressions.MockEmbedding
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t),
+                 config.vectorDimension)
+        .toDoubleArray()
+    }
+
+  /** (hits, misses) of the embedding cache (cache_manager.rs:83). */
+  def getEmbeddingCacheStats: (Long, Long) = embeddingCache.stats
 
   def cachedQuery(build: => DataFrame): DataFrame = queryCache.getOrRun(build)
 
@@ -205,7 +239,8 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
   /** Threshold-gated vector search (query_engine.rs vector_search
     * with a similarity floor).
     */
-  def semanticSearchThreshold(queryVecId: Long, threshold: Double = 0.25,
+  def semanticSearchThreshold(queryVecId: Long,
+                              threshold: Double = config.query.similarityThreshold,
                               k: Int = 20): DataFrame =
     VectorSearch.semanticTopKThreshold(spark, dir, queryVecId, threshold, k)
 
@@ -217,16 +252,24 @@ final class GraftDB(val spark: SparkSession, val dir: String) {
     * FusionStrategy-keyed hybrid_search_enhanced.
     */
   def hybridSearch(query: String, queryVecId: Long = 0,
-                   strategy: String = "rrf", limit: Int = 20): DataFrame =
+                   strategy: String = config.hybridSearch.fusionStrategy,
+                   limit: Int = config.query.defaultLimit): DataFrame = {
+    // query_engine.rs LimitMaxResults / QueryConfig.max_limit: the
+    // handle never returns more than the configured ceiling
+    val k = math.min(limit, config.query.maxLimit)
+    val w = config.hybridSearch.weights
     strategy match {
-      case "rrf"        => HybridSearch.rrf(spark, dir, queryVecId, query, limit)
-      case "linear"     => HybridSearch.linear(spark, dir, queryVecId, query, limit)
-      case "normalized" => HybridSearch.normalized(spark, dir, queryVecId, query, limit)
-      case "learned"    => HybridSearch.learned(spark, dir, queryVecId, query, limit)
+      case "rrf"        => HybridSearch.rrf(spark, dir, queryVecId, query, k)
+      case "linear"     => HybridSearch.linear(spark, dir, queryVecId, query, k,
+                                               w.dense, w.sparse, w.text)
+      case "normalized" => HybridSearch.normalized(spark, dir, queryVecId, query, k,
+                                                   w.dense, w.sparse, w.text)
+      case "learned"    => HybridSearch.learned(spark, dir, queryVecId, query, k)
       case other => throw new IllegalArgumentException(
         s"unknown fusion strategy '$other' (rrf|linear|normalized|learned; " +
           "adaptive needs a history — use HybridSearch.adaptive)")
     }
+  }
 
   /** Full search-response assembly: fused hits joined back to the
     * store with matched snippets (lib.rs:460 search_documents).
@@ -300,14 +343,17 @@ object GraftDB {
     * no effect (Spark's own contract); pass an explicit session via
     * `GraftDB(spark, dir)` to be unambiguous.
     */
-  def embedded(dir: String, cores: Int = 4): GraftDB = {
+  def embedded(dir: String, cores: Int = 4,
+               config: GraftConfig = GraftConfig()): GraftDB = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    new GraftDB(spark, dir)
+    new GraftDB(spark, dir, config)
   }
 
-  def apply(spark: SparkSession, dir: String): GraftDB = new GraftDB(spark, dir)
+  def apply(spark: SparkSession, dir: String,
+            config: GraftConfig = GraftConfig()): GraftDB =
+    new GraftDB(spark, dir, config)
 }

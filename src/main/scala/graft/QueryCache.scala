@@ -75,3 +75,53 @@ class QueryCache(maxEntries: Int = 64,
     entries.clear()
   }
 }
+
+/** Driver-side embedding cache (reference performance/
+  * cache_manager.rs:73 get_embedding / :78 set_embedding, sized by
+  * config.rs CacheConfig.embedding_cache_size): query texts repeat
+  * far more than documents do, and re-embedding the same query on
+  * every search is pure waste — the reference memoizes text→vector on
+  * the serving node, and so does graft's point-serving tier. LRU +
+  * TTL + hit/miss stats, same lifecycle contract as [[QueryCache]];
+  * values are tiny (dim doubles), so even the default 10k entries are
+  * a few hundred KB. Corpus-side batch embedding never goes through
+  * here — that is a distributed scan+map ([[operators.Embeddings]]).
+  */
+class EmbeddingCache(maxEntries: Int = 10000,
+                     ttlMs: Long = Long.MaxValue,
+                     clock: () => Long = () => System.currentTimeMillis()) {
+
+  private case class Entry(vec: Array[Double], at: Long)
+
+  private val entries =
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, true)
+  private var hitCount = 0L
+  private var missCount = 0L
+
+  /** Serve `compute(text)` through the cache (cache_manager.rs
+    * get_embedding-or-compute-then-set shape).
+    */
+  def getOrCompute(text: String)(compute: String => Array[Double]): Array[Double] =
+    synchronized {
+      val now = clock()
+      val e = entries.get(text)
+      if (e != null && now - e.at <= ttlMs) {
+        hitCount += 1
+        e.vec
+      } else {
+        if (e != null) entries.remove(text)
+        missCount += 1
+        val vec = compute(text)
+        entries.put(text, Entry(vec, now))
+        if (entries.size > maxEntries)
+          entries.remove(entries.entrySet().iterator().next().getKey)
+        vec
+      }
+    }
+
+  def stats: (Long, Long) = synchronized { (hitCount, missCount) }
+
+  def size: Int = synchronized { entries.size }
+
+  def clear(): Unit = synchronized { entries.clear() }
+}

@@ -302,7 +302,9 @@ object HybridSearch {
     * free at any corpus size.
     */
   def normalized(spark: SparkSession, dir: String, qid: Long = 0,
-                 query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
+                 query: String = Bm25.DefaultQuery, limit: Int = 20,
+                 dw: Double = DenseWeight, sw: Double = SparseWeight,
+                 tw: Double = TextWeight): DataFrame = {
     val n = limit * 2
     def norm(df0: DataFrame, idCol: String): DataFrame = {
       // min/max via an unpartitioned window: the input is the branch's
@@ -327,8 +329,8 @@ object HybridSearch {
       .select(col("doc_id"), col("ns").as("text_s"))
     outerFused(dense, sparse, txt)
       .select(col("doc_id"),
-        fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
-           col("text_s") * TextWeight, 6).as("score", ScoreTag.metadata))
+        fx(col("dense_s") * dw + col("sparse_s") * sw +
+           col("text_s") * tw, 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }
@@ -362,7 +364,9 @@ object HybridSearch {
     * re-scaled back to doubles before weighting.
     */
   def linear(spark: SparkSession, dir: String, qid: Long = 0,
-             query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
+             query: String = Bm25.DefaultQuery, limit: Int = 20,
+             dw: Double = DenseWeight, sw: Double = SparseWeight,
+             tw: Double = TextWeight): DataFrame = {
     val n = limit * 2
     val dense = VectorSearch.semanticTopK(spark, dir, qid, n)
       .select(col("vec_id").as("doc_id"), (col("score") / 1e4).as("dense_s"))
@@ -372,8 +376,8 @@ object HybridSearch {
       .select(col("doc_id"), col("score").cast("double").as("text_s"))
     outerFused(dense, sparse, txt)
       .select(col("doc_id"),
-        fx(col("dense_s") * DenseWeight + col("sparse_s") * SparseWeight +
-           col("text_s") * TextWeight, 6).as("score", ScoreTag.metadata))
+        fx(col("dense_s") * dw + col("sparse_s") * sw +
+           col("text_s") * tw, 6).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(limit)
   }

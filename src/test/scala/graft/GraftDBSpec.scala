@@ -187,4 +187,79 @@ class GraftDBSpec extends GraftSuite {
     assert(survivors.toSeq == Seq(2L, 3L),
       "NULL lang is 'no match' — the row must survive the delete")
   }
+
+  test("config: validation rejects bad knobs at handle construction") {
+    val bad = GraftConfig(
+      vectorDimension = 0,
+      hybridSearch = GraftConfig.HybridSearchConfig(fusionStrategy = "bogus",
+        bm25 = GraftConfig.Bm25Config(k1 = -1.0, b = 2.0)),
+      query = GraftConfig.QueryConfig(defaultLimit = 50, maxLimit = 10),
+      chunk = GraftConfig.ChunkConfig(size = 8, overlap = 8))
+    val errs = bad.validate
+    assert(errs.exists(_.contains("vectorDimension")))
+    assert(errs.exists(_.contains("k1")))
+    assert(errs.exists(_.contains("bm25.b")))
+    assert(errs.exists(_.contains("fusionStrategy")))
+    assert(errs.exists(_.contains("maxLimit")))
+    assert(errs.exists(_.contains("chunk.overlap")))
+    intercept[IllegalArgumentException](new GraftDB(spark, sf, bad))
+    assert(GraftConfig().validate.isEmpty, "defaults must be valid")
+    assert(db.getConfig == GraftConfig(), "get_config returns the handle's config")
+  }
+
+  test("config: fusion weights and limits thread through the facade") {
+    // default-configured handle is bit-identical to the bare operator
+    assert(rows(db.hybridSearch(Bm25.DefaultQuery, 0, "linear")) ==
+      rows(HybridSearch.linear(spark, sf)))
+    // a custom-weighted handle reproduces explicitly-weighted fusion
+    val cfg = GraftConfig(hybridSearch = GraftConfig.HybridSearchConfig(
+      fusionStrategy = "linear",
+      weights = GraftConfig.HybridWeights(dense = 0.7, sparse = 0.2, text = 0.1)))
+    val db2 = GraftDB(spark, sf, cfg)
+    assert(rows(db2.hybridSearch(Bm25.DefaultQuery)) ==
+      rows(HybridSearch.linear(spark, sf, 0, Bm25.DefaultQuery, 20, 0.7, 0.2, 0.1)),
+      "config weights + default strategy must reach the fusion arithmetic")
+    assert(rows(db2.hybridSearch(Bm25.DefaultQuery)) !=
+      rows(HybridSearch.linear(spark, sf)),
+      "0.7/0.2/0.1 must rank differently from the 0.5/0.3/0.2 defaults")
+    // QueryConfig.max_limit caps the result height
+    val capped = GraftDB(spark, sf,
+      GraftConfig(query = GraftConfig.QueryConfig(defaultLimit = 5, maxLimit = 8)))
+    assert(capped.hybridSearch(Bm25.DefaultQuery, 0, "rrf", limit = 50).count() == 8)
+    assert(capped.hybridSearch(Bm25.DefaultQuery).count() == 5,
+      "defaultLimit drives the no-argument call")
+  }
+
+  test("embedding cache: memoized query embedding matches the distributed kernel") {
+    val db3 = GraftDB(spark, sf)
+    val text = Tables.documents(spark, sf)
+      .filter(col("doc_id") === 7L).head.getAs[String]("text")
+    val v1 = db3.embedQuery(text)
+    assert(db3.getEmbeddingCacheStats == ((0L, 1L)), "first call is a miss")
+    val v2 = db3.embedQuery(text)
+    assert(db3.getEmbeddingCacheStats == ((1L, 1L)), "second call hits")
+    assert(v1 sameElements v2)
+    // the cached vector IS the corpus-map kernel's output for that doc
+    val dist = graft.operators.Embeddings
+      .embed(col("text"), db3.getConfig.vectorDimension)
+    val fromScan = Tables.documents(spark, sf).filter(col("doc_id") === 7L)
+      .select(dist.as("e")).head.getSeq[Double](0).toArray
+    assert(v1 sameElements fromScan,
+      "serving-side and distributed embeddings must be the same kernel")
+    db3.embeddingCache.clear()
+    assert(db3.embeddingCache.size == 0)
+  }
+
+  test("embedding cache: LRU bound and TTL expiry") {
+    var now = 0L
+    val c = new EmbeddingCache(maxEntries = 2, ttlMs = 100, clock = () => now)
+    def emb(s: String) = c.getOrCompute(s)(t => Array(t.length.toDouble))
+    emb("a"); emb("b"); emb("c") // a evicted by LRU bound
+    assert(c.size == 2)
+    emb("b")
+    assert(c.stats == ((1L, 3L)), "b still resident after a's eviction")
+    now = 200L // b expired
+    emb("b")
+    assert(c.stats == ((1L, 4L)), "expired entry recomputes")
+  }
 }
