@@ -502,6 +502,47 @@ object Analytics {
        |FROM daily JOIN st USING (event_type)
        |ORDER BY event_type, day""".stripMargin
 
+  /** Top-N per group — the leaderboard shape (top 3 users by event
+    * count per event type) the rest of the analytics core doesn't
+    * exercise. The textbook formulation is
+    * `row_number() OVER (PARTITION BY event_type ORDER BY n DESC)`,
+    * but with a handful of event types over billions of users that
+    * window sorts a users-sized partition on ONE reducer per type — a
+    * guaranteed straggler at 100 TB. Here ranking rides the bounded
+    * [[graft.functions.expressions.TopKAgg]] instead: after the
+    * (type, user) count aggregate, each map task keeps a 3-slot heap
+    * per type, so only numPartitions*3 candidates per type ever reach
+    * the final exchange and nothing users-sized is ever sorted. The
+    * oracle replays the row_number formulation — same rows, opposite
+    * plan — and TopKAgg's DESC-score/ASC-id order matches the SQL's
+    * `ORDER BY n_events DESC, user_id` tie-break exactly.
+    */
+  def eventsTopn(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    import graft.functions.expressions.TopKAgg.topK
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(topK(col("n").cast("double"), col("user_id"), n).as("tk"))
+      .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("user_id"), col("e.score").cast("long").as("n_events"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  def eventsTopnSql(n: Int = 3): String =
+    s"""WITH c AS (
+       |  SELECT event_type, user_id, COUNT(*)::BIGINT AS n_events
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY n_events DESC, user_id) AS rank
+       |  FROM c
+       |)
+       |SELECT event_type, rank::BIGINT AS rank, user_id, n_events
+       |FROM r WHERE rank <= $n
+       |ORDER BY event_type, rank""".stripMargin
+
   val eventsRollingSql: String =
     s"""WITH daily AS (
        |  SELECT event_type,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Analytics
-import org.apache.spark.sql.functions.{col, datediff, lit}
+import org.apache.spark.sql.functions.{col, count, datediff, lit, row_number}
 
 class AnalyticsSpec extends GraftSuite {
 
@@ -200,5 +200,29 @@ class AnalyticsSpec extends GraftSuite {
         assert(sv >= lo && sv <= hi, s"$tpe.$name: sketch $sv outside [$lo,$hi]")
       }
     }
+  }
+
+  test("events_topn: bounded TopKAgg ranking equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Analytics.eventsTopn(spark, sf).collect()
+    // exactly n rows per type, ranks 1..n, counts non-increasing
+    out.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L, 3L), tpe)
+      val ns = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n_events"))
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, s"$tpe not sorted")
+    }
+    // the heap-aggregate result IS the row_number window's result
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    val windowed = Tables.events(spark, sf)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("event_type"), col("rank"), col("user_id"), col("n_events"))
+      .orderBy(col("event_type"), col("rank"))
+      .collect().toSeq.map(_.toSeq)
+    assert(out.toSeq.map(_.toSeq) == windowed,
+      "TopKAgg plan must reproduce the window plan's rows exactly")
   }
 }
