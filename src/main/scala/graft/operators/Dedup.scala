@@ -1070,4 +1070,117 @@ object Dedup {
        |FROM rp a JOIN rp b ON a.h = b.h AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= $WinnowMinShared
        |ORDER BY id1, id2""".stripMargin
+
+  // ---- span-level duplicate coverage (substring dedup signal) ----
+
+  /** Span gram width in tokens, and the coverage flag threshold in
+    * basis points (2000 = a fifth of the doc verbatim-shared).
+    */
+  val SpanW = 8
+  val SpanFlagBp = 2000L
+
+  /** Per-document duplicated-SPAN coverage — the substring-level
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), where the unit of duplication is
+    * a verbatim token span, not the whole document: a token position
+    * is duplicated iff some [[SpanW]]-token window containing its
+    * start also appears in at least one OTHER document. Emits per doc
+    * the token count, the number of tokens covered by duplicated
+    * spans (union of overlapping windows, not a double-count), the
+    * coverage in integer basis points (`div` — exact cross-engine at
+    * any magnitude) and the ≥[[SpanFlagBp]] drop flag. Whole-doc
+    * near-dup scoring ([[minhashPairs]]) misses a unique document
+    * that embeds a long quoted/boilerplate block; this is the gate
+    * that catches it — and unlike [[winnow]]'s pair view, the output
+    * is a per-doc verdict, linear in the corpus, never pair-shaped.
+    *
+    * Scale shape — the Spark substitute for the paper's monolithic
+    * suffix array, which cannot be built across machines: stride-1
+    * gram hashing is a zero-shuffle native map
+    * ([[expressions.ShingleStrings]] + posexplode); "seen in ≥2 docs"
+    * is a two-level (h, doc) → h aggregate (map-side partials, the
+    * gram-vocabulary-keyed exchange is the operator's one big
+    * shuffle); the gram→dup-hash join is a shuffle_hash on h riding
+    * that same partitioning (the dup-hash relation is
+    * corpus-fraction-sized — on a boilerplate-heavy web corpus a
+    * large fraction of grams — and is NEVER broadcast, the
+    * curate-corpus lesson); interval union is one lag window
+    * partitioned by doc_id (per-doc width, no skew ceiling: a doc
+    * contributes at most its own length).
+    */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    spanCoverageFromDocs(Tables.spread(spark,
+      Tables.documents(spark, dir).select(col("doc_id"), col("text"))))
+
+  private[graft] def spanCoverageFromDocs(docsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val grams8 = column(graft.functions.expressions.ShingleStrings(
+      expression(col("text")), SpanW))
+    val docs = docsIn
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_toks"),
+        grams8.as("gs"))
+    val grams = docs
+      .select(col("doc_id"), posexplode(col("gs")).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        hash60(col("g")).as("h"))
+    // grams seen in >= 2 distinct docs: (h, doc) partial then h roll-up
+    // (no expand, map-side partials at both levels)
+    val dupH = grams.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("dd"))
+      .filter(col("dd") >= 2).select(col("h"))
+    val dupStarts = grams.join(dupH.hint("shuffle_hash"), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    // union of [pos, pos+W-1] intervals: each duplicated start adds
+    // min(gap to previous start, W) new covered tokens
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = dupStarts
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .select(col("doc_id"),
+        least(col("pos") - coalesce(col("prev"), col("pos") - SpanW),
+          lit(SpanW.toLong)).as("c"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("dup_toks"))
+    docs.select(col("doc_id"), col("n_toks"))
+      .join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("dup_toks"), lit(0L)).as("dup_toks"))
+      .withColumn("dup_bp",
+        when(col("n_toks") > 0L, expr("(dup_toks * 10000L) div n_toks"))
+          .otherwise(lit(0L)))
+      .withColumn("is_span_dup", (col("dup_bp") >= SpanFlagBp).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCoverageSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), g AS (
+       |  SELECT doc_id, pos,
+       |    ${hash60Sql(s"array_to_string(list_slice(toks, pos, pos + ${SpanW - 1}), ' ')")} AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, greatest(len(toks) - ${SpanW - 1}, 0) + 1)) AS pos
+       |        FROM base)
+       |), duph AS (
+       |  SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS dd FROM g GROUP BY h)
+       |  WHERE dd >= 2
+       |), ds AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN duph USING (h)
+       |), cov AS (
+       |  SELECT doc_id, SUM(c)::BIGINT AS dup_toks FROM (
+       |    SELECT doc_id, LEAST(pos - COALESCE(
+       |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - $SpanW),
+       |      $SpanW) AS c
+       |    FROM ds)
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.doc_id, len(b.toks)::BIGINT AS n_toks,
+       |  COALESCE(cov.dup_toks, 0)::BIGINT AS dup_toks,
+       |  (CASE WHEN len(b.toks) > 0
+       |        THEN (COALESCE(cov.dup_toks, 0) * 10000) // len(b.toks)
+       |        ELSE 0 END)::BIGINT AS dup_bp,
+       |  ((CASE WHEN len(b.toks) > 0
+       |         THEN (COALESCE(cov.dup_toks, 0) * 10000) // len(b.toks)
+       |         ELSE 0 END) >= $SpanFlagBp)::BIGINT AS is_span_dup
+       |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+       |ORDER BY b.doc_id""".stripMargin
 }

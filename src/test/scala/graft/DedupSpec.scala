@@ -203,4 +203,34 @@ class DedupSpec extends GraftSuite {
     assert(pairs.forall(r => r.getAs[Long]("id1") < r.getAs[Long]("id2")))
     assert(pairs.forall(_.getAs[Long]("n_shared") >= Dedup.WinnowMinShared))
   }
+
+  test("span coverage counts exactly the cross-doc shared token run") {
+    import spark.implicits._
+    // a 12-token run shared verbatim by docs 1 and 2, embedded in
+    // otherwise-unique text; doc 3 is fully unique. With W=8, the
+    // shared run contributes windows only where all 8 tokens lie
+    // inside it, so the covered union is exactly the 12 run tokens.
+    val run = (1 to 12).map(i => f"shared$i%02d").mkString(" ")
+    def uniq(tag: String, n: Int) = (1 to n).map(i => f"$tag$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, s"${uniq("aa", 10)} $run ${uniq("bb", 10)}"),
+      (2L, s"${uniq("cc", 7)} $run ${uniq("dd", 13)}"),
+      (3L, uniq("ee", 32))).toDF("doc_id", "text")
+    val out = Dedup.spanCoverageFromDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_toks"), r.getAs[Long]("dup_toks"),
+         r.getAs[Long]("dup_bp"), r.getAs[Long]("is_span_dup"))).toMap
+    assert(out(1L) == ((32L, 12L, 3750L, 1L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((32L, 12L, 3750L, 1L)), s"doc2: ${out(2L)}")
+    assert(out(3L) == ((32L, 0L, 0L, 0L)), s"doc3: ${out(3L)}")
+  }
+
+  test("span coverage never double-counts overlapping duplicated windows") {
+    val cov = Dedup.spanCoverage(spark, sf).collect()
+    assert(cov.forall(r => r.getAs[Long]("dup_toks") <= r.getAs[Long]("n_toks")),
+      "interval union must be bounded by the doc's own length")
+    assert(cov.forall(r => r.getAs[Long]("dup_bp") <= 10000L))
+    // injected near-duplicates in the corpus guarantee a nonzero signal
+    assert(cov.exists(_.getAs[Long]("dup_toks") > 0L))
+  }
 }
