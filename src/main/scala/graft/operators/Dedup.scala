@@ -1124,12 +1124,17 @@ object Dedup {
       .select(col("doc_id"), posexplode(col("gs")).as(Seq("p0", "g")))
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         hash60(col("g")).as("h"))
-    // grams seen in >= 2 distinct docs: (h, doc) partial then h roll-up
-    // (no expand, map-side partials at both levels)
-    val dupH = grams.select(col("h"), col("doc_id")).distinct()
-      .groupBy(col("h")).agg(count(lit(1)).as("dd"))
-      .filter(col("dd") >= 2).select(col("h"))
-    val dupStarts = grams.join(dupH.hint("shuffle_hash"), Seq("h"))
+    // "h seen in >= 2 distinct docs" as min(doc)≠max(doc) over an
+    // h-partitioned window — NOT a groupBy+self-join, which would scan
+    // and re-hash the whole corpus twice (the gram subtree is the
+    // expensive pass; the audited join formulation planned two full
+    // Scan+Generate chains). One h-keyed exchange, linear per bucket
+    // even on a boilerplate gram shared by millions of docs.
+    val hw = Window.partitionBy(col("h"))
+    val dupStarts = grams
+      .withColumn("dmin", min(col("doc_id")).over(hw))
+      .withColumn("dmax", max(col("doc_id")).over(hw))
+      .filter(col("dmin") =!= col("dmax"))
       .select(col("doc_id"), col("pos"))
     // union of [pos, pos+W-1] intervals: each duplicated start adds
     // min(gap to previous start, W) new covered tokens
