@@ -117,6 +117,41 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Token-length histogram per source in power-of-two buckets — the
+    * packing-planner view of the corpus: a trainer sizing sequence
+    * bins (cf. [[Curation.packDocs]]) reads exactly this shape to
+    * predict padding waste and pick bin widths per domain. Bucket =
+    * 2^floor(log2(ws_tokens)), computed EXACTLY via the binary-digit
+    * count (`length(bin(n)) - 1` — identical in Spark and DuckDB),
+    * never a float log that can mis-round at exact powers of two.
+    * One zero-shuffle map + one (source × ~20 buckets)-sized
+    * aggregate with map-side partials — free at any corpus scale.
+    */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val nToks = size(split(col("text"), " ")).cast("long")
+    Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), nToks.as("n"))
+      .withColumn("bucket_lo",
+        pow(lit(2.0), (length(bin(col("n"))) - 1).cast("double")).cast("long"))
+      .groupBy(col("source"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"),
+           min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy(col("source"), col("bucket_lo"))
+  }
+
+  val tokenHistogramSql: String =
+    s"""WITH t AS (
+       |  SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents
+       |)
+       |SELECT source,
+       |  CAST(power(2, length(bin(n)) - 1) AS BIGINT) AS bucket_lo,
+       |  COUNT(*)::BIGINT AS n_docs, SUM(n)::BIGINT AS sum_tokens,
+       |  MIN(n)::BIGINT AS min_tokens, MAX(n)::BIGINT AS max_tokens
+       |FROM t
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   val tokenCountSql: String =
     s"""SELECT doc_id,
        |  len(string_split(text, ' '))::BIGINT AS ws_tokens,

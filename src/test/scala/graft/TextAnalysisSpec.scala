@@ -203,4 +203,19 @@ class TextAnalysisSpec extends GraftSuite {
       if (nb > 0) assert(sfx > 0, s"doc $id positivity")
     }
   }
+
+  test("token histogram buckets are exact powers of two and conserve the corpus") {
+    val rows = TextAnalysis.tokenHistogram(spark, sf).collect()
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("bucket_lo")
+      assert(java.lang.Long.bitCount(lo) == 1, s"bucket_lo $lo not a power of 2")
+      val (mn, mx) = (r.getAs[Long]("min_tokens"), r.getAs[Long]("max_tokens"))
+      assert(mn >= lo && mx < 2 * lo && mn <= mx,
+        s"[$mn,$mx] outside bucket [$lo,${2 * lo})")
+      assert(r.getAs[Long]("sum_tokens") >= r.getAs[Long]("n_docs") * mn)
+    }
+    val total = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "every document lands in exactly one bucket")
+  }
 }
