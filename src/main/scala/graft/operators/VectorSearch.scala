@@ -380,6 +380,93 @@ object VectorSearch {
     rankTopK(scored, k)
   }
 
+  /** k-NN graph fan-out and its multi-probe radius. The probe side is
+    * corpus-sized, so fan-out is a direct cost multiplier — but this
+    * synthetic corpus is near-random (neighbor cosine ≈ 0.35), where
+    * recall tracks scan fraction almost linearly: radius 1 (9/256
+    * buckets) measured 0.10 recall, radius 3 (93/256 ≈ 36%) 0.6+,
+    * matching [[LshProbeRadius]]'s trade. Real clustered embeddings
+    * collide much harder and take radius 1-2 for the same recall.
+    */
+  val KnnGraphK = 5
+  val KnnGraphRadius = 3
+
+  /** Corpus-wide k-NN GRAPH over the embedding table — every vector's
+    * top-k cosine neighbors in ONE plan. This is the batch primitive
+    * under graph ANN indexes (NN-Descent / HNSW layer seeding) and
+    * SemDeDup-style semantic analysis; the reference builds its HNSW
+    * neighbor lists vector-at-a-time in memory (src/index.rs:95-260),
+    * which caps out at single-node RAM — the Spark shape is
+    * bucket-blocked all-pairs: sign the corpus once into 2^8
+    * hyperplane buckets (native kernel), explode each vector into its
+    * radius-[[KnnGraphRadius]] probe buckets, join corpus↔probes on
+    * bucket (shuffle_hash — BOTH sides are corpus-sized, nothing is
+    * broadcast or driver-materialized), score within buckets, rank
+    * with the bounded map-side [[rankTopK]] heaps. Each (vector,
+    * candidate) pair arises in exactly one bucket (a candidate has
+    * one signature), so no dedup pass is needed. Cost is
+    * probes × corpus/2^planes per vector — at a bigger corpus the
+    * plane count grows as log2(n/bucket-target) and dense hot regions
+    * extend the same deterministic plane family exactly as
+    * [[graft.operators.Dedup.embeddingPairs]] salts over-cap buckets.
+    * The DuckDB oracle replays the identical bucketing, so this is
+    * hash-exact, not recall-gated; the spec separately floors recall
+    * against the brute-force graph.
+    */
+  def annKnnGraph(spark: SparkSession, dir: String,
+                  k: Int = KnnGraphK, radius: Int = KnnGraphRadius): DataFrame = {
+    val planes = lshPlanes(64, AnnLshPlanes)
+    val masks = lshProbeMasks(AnnLshPlanes, radius)
+    val corpus = embCorpus(spark, dir)
+      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val probes = corpus
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+        explode(lit(masks)).as("mask"), col("bucket"))
+      .select(col("query_id"), col("qv"),
+        col("bucket").bitwiseXOR(col("mask")).as("bucket"))
+    val scored = corpus
+      .join(probes.hint("shuffle_hash"), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
+    rankTopK(scored, k)
+      .select(col("query_id").as("vec_id"), col("rank"),
+        col("vec_id").as("neighbor_id"), col("score"))
+  }
+
+  def annKnnGraphSql(k: Int = KnnGraphK, radius: Int = KnnGraphRadius): String = {
+    val planes = lshPlanes(64, AnnLshPlanes)
+    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    val masksSql = lshProbeMasks(AnnLshPlanes, radius).mkString("[", ", ", "]")
+    val bucketExpr =
+      (0 until AnnLshPlanes).map { j =>
+        s"(CASE WHEN list_dot_product(emb, planes[${j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+      }.mkString(" + ")
+    s"""WITH corpus0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes
+       |  FROM embeddings
+       |), corpus AS (
+       |  SELECT vec_id, emb, ($bucketExpr) AS bucket FROM corpus0
+       |), probes AS (
+       |  SELECT vec_id AS query_id, emb AS qv,
+       |    xor(bucket, m.mask)::BIGINT AS bucket
+       |  FROM corpus, (SELECT unnest($masksSql::BIGINT[]) AS mask) m
+       |), scored AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    ${fxSql(cosineSql("c.emb", "p.qv"))} AS score
+       |  FROM corpus c JOIN probes p USING (bucket)
+       |  WHERE c.vec_id <> p.query_id
+       |), ranked AS (
+       |  SELECT query_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id AS vec_id, CAST(rank AS BIGINT) AS rank,
+       |  vec_id AS neighbor_id, score
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** IVF cell stride: centroids are every `IvfStride`-th vector — the
     * reference's deterministic strided k-means init
     * (src/index.rs:442), used directly as data-point centroids so

@@ -147,6 +147,40 @@ class VectorSearchSpec extends GraftSuite {
     assert(lshRecall >= 0.6, f"lsh recall $lshRecall%.3f under floor")
   }
 
+  test("knn graph: hash-exact within probes, recall floor vs the brute graph") {
+    val out = VectorSearch.annKnnGraph(spark, sf).collect()
+    // shape: ranks 1..k contiguous per vector, no self-edges
+    out.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq, s"vec $v ranks")
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != v), s"vec $v self-edge")
+    }
+    // exact brute-force graph, driver-side (500 x 500 at suite SF)
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val k = VectorSearch.KnnGraphK
+    val brute = embs.map { case (v, e) =>
+      v -> embs.filter(_._1 != v)
+        .map { case (u, f) => (u, cos(e, f)) }
+        .sortBy { case (u, s) => (-s, u) }.take(k).map(_._1).toSet
+    }.toMap
+    val got = out.groupBy(_.getAs[Long]("vec_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val recall = embs.map { case (v, _) =>
+      (brute(v) intersect got.getOrElse(v, Set.empty)).size.toDouble / k
+    }.sum / embs.length
+    info(f"knn-graph recall@$k = $recall%.3f (radius ${VectorSearch.KnnGraphRadius})")
+    println(f"[knn-graph-recall] $recall%.3f")
+    assert(recall >= 0.5,
+      f"knn-graph recall $recall%.3f under floor on the near-random synthetic corpus")
+  }
+
   test("multi-probe LSH recovers true neighbors from the probed buckets") {
     val rows = VectorSearch.annLsh(spark, sf).collect()
     assert(rows.nonEmpty)
