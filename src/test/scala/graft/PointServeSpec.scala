@@ -174,4 +174,23 @@ class PointServeSpec extends GraftSuite {
       assert(perQueryMs < 50.0, f"per-query $perQueryMs%.2f ms")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("replica-routed embedded serving answers identically and balances load") {
+    // the deployment shape distributed/load_balancer.rs routes for:
+    // N identical serving replicas behind a router — every routed
+    // answer must be bit-identical to a direct query, and round-robin
+    // must spread queries evenly
+    val replicas = IndexedSeq(PointServe.loadEmbedded(spark, sf),
+                              PointServe.loadEmbedded(spark, sf))
+    val router = new graft.sources.ReplicaRouter(replicas, graft.sources.Router.RoundRobin)
+    val direct = replicas.head.bm25(operators.Bm25.DefaultQuery)
+    (1 to 6).foreach { _ =>
+      assert(router.route(_.bm25(operators.Bm25.DefaultQuery)) == direct)
+    }
+    assert(router.stats(0).routed == 3L && router.stats(1).routed == 3L)
+    // a dead replica is routed around without changing any answer
+    router.markHealthy(0, ok = false)
+    assert(router.route(_.bm25(operators.Bm25.DefaultQuery)) == direct)
+    assert(router.stats(1).routed == 4L)
+  }
 }
