@@ -405,27 +405,66 @@ object VectorSearch {
     * with the bounded map-side [[rankTopK]] heaps. Each (vector,
     * candidate) pair arises in exactly one bucket (a candidate has
     * one signature), so no dedup pass is needed. Cost is
-    * probes × corpus/2^planes per vector — at a bigger corpus the
-    * plane count grows as log2(n/bucket-target) and dense hot regions
-    * extend the same deterministic plane family exactly as
-    * [[graft.operators.Dedup.embeddingPairs]] salts over-cap buckets.
-    * The DuckDB oracle replays the identical bucketing, so this is
-    * hash-exact, not recall-gated; the spec separately floors recall
-    * against the brute-force graph.
+    * probes × corpus/2^planes per vector; buckets over
+    * [[KnnBucketCap]] salt-subdivide on [[KnnSaltPlanes]] extra
+    * planes, so no dense region ever goes quadratic (see
+    * [[annKnnGraphFromVecs]]). The DuckDB oracle replays the
+    * identical bucketing AND salting, so this is hash-exact, not
+    * recall-gated; the spec separately floors recall against the
+    * brute-force graph and drives a synthetic hot-bucket corpus
+    * through the capped path.
     */
+  /** Salt planes subdividing over-cap knn-graph buckets (extends the
+    * same deterministic family as the base signature), and the bucket
+    * population cap that trips the subdivision. Inside an over-cap
+    * bucket, candidates are restricted to the query's salt sub-bucket:
+    * per-bucket work drops 2^8-fold while dense regions — where any
+    * sub-bucket still holds plenty of close candidates — keep filling
+    * their top-k; degrades to higher precision, never to unbounded
+    * work (the [[graft.operators.Dedup.embeddingPairsFromVecs]]
+    * strategy, adapted to the probe join).
+    */
+  val KnnSaltPlanes = 8
+  val KnnBucketCap = 500
+
   def annKnnGraph(spark: SparkSession, dir: String,
-                  k: Int = KnnGraphK, radius: Int = KnnGraphRadius): DataFrame = {
-    val planes = lshPlanes(64, AnnLshPlanes)
+                  k: Int = KnnGraphK, radius: Int = KnnGraphRadius): DataFrame =
+    annKnnGraphFromVecs(embCorpus(spark, dir), k, radius, KnnBucketCap)
+
+  /** Graph build over a prepared (vec_id, emb) relation — split out so
+    * specs can drive synthetic hot-bucket corpora through the exact
+    * production path with a small cap.
+    *
+    * The bucket-size relation is AT MOST 2^[[AnnLshPlanes]] rows by
+    * construction — genuinely bounded at any corpus scale — so it is
+    * the one legitimate broadcast here; corpus and probe sides stay
+    * shuffle_hash. A probed bucket's over-cap test uses the PROBING
+    * vector's own salt (its near neighbors in that bucket share its
+    * salt signature with high probability — the same locality the
+    * base signature exploits).
+    */
+  private[graft] def annKnnGraphFromVecs(vecs: DataFrame, k: Int,
+                                         radius: Int, cap: Int): DataFrame = {
+    val all = lshPlanes(64, AnnLshPlanes + KnnSaltPlanes)
     val masks = lshProbeMasks(AnnLshPlanes, radius)
-    val corpus = embCorpus(spark, dir)
-      .withColumn("bucket", lshBucket(col("emb"), planes))
+    val corpus = vecs
+      .withColumn("bucket", lshBucket(col("emb"), all.take(AnnLshPlanes)))
+      .withColumn("salt", lshBucket(col("emb"), all.drop(AnnLshPlanes)))
+    val sizes = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+    val keyed = corpus.join(broadcast(sizes), Seq("bucket"))
+      .withColumn("skey", when(col("bn") > cap, col("salt")).otherwise(lit(0L)))
+      .select(col("vec_id"), col("emb"), col("bucket"), col("skey"))
     val probes = corpus
-      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"), col("salt"),
         explode(lit(masks)).as("mask"), col("bucket"))
-      .select(col("query_id"), col("qv"),
+      .select(col("query_id"), col("qv"), col("salt"),
         col("bucket").bitwiseXOR(col("mask")).as("bucket"))
-    val scored = corpus
-      .join(probes.hint("shuffle_hash"), Seq("bucket"))
+      .join(broadcast(sizes), Seq("bucket"), "left")
+      .withColumn("skey",
+        when(coalesce(col("bn"), lit(0L)) > cap, col("salt")).otherwise(lit(0L)))
+      .select(col("query_id"), col("qv"), col("bucket"), col("skey"))
+    val scored = keyed
+      .join(probes.hint("shuffle_hash"), Seq("bucket", "skey"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
@@ -434,27 +473,39 @@ object VectorSearch {
         col("vec_id").as("neighbor_id"), col("score"))
   }
 
-  def annKnnGraphSql(k: Int = KnnGraphK, radius: Int = KnnGraphRadius): String = {
-    val planes = lshPlanes(64, AnnLshPlanes)
-    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+  def annKnnGraphSql(k: Int = KnnGraphK, radius: Int = KnnGraphRadius,
+                     cap: Int = KnnBucketCap): String = {
+    val all = lshPlanes(64, AnnLshPlanes + KnnSaltPlanes)
+    val planesSql = all.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
     val masksSql = lshProbeMasks(AnnLshPlanes, radius).mkString("[", ", ", "]")
-    val bucketExpr =
-      (0 until AnnLshPlanes).map { j =>
-        s"(CASE WHEN list_dot_product(emb, planes[${j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
-      }.mkString(" + ")
+    def sigExpr(from: Int, n: Int): String = (0 until n).map { j =>
+      s"(CASE WHEN list_dot_product(emb, planes[${from + j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
     s"""WITH corpus0 AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes
        |  FROM embeddings
        |), corpus AS (
-       |  SELECT vec_id, emb, ($bucketExpr) AS bucket FROM corpus0
+       |  SELECT vec_id, emb, (${sigExpr(0, AnnLshPlanes)}) AS bucket,
+       |    (${sigExpr(AnnLshPlanes, KnnSaltPlanes)}) AS salt
+       |  FROM corpus0
+       |), sizes AS (
+       |  SELECT bucket, COUNT(*)::BIGINT AS bn FROM corpus GROUP BY bucket
+       |), keyed AS (
+       |  SELECT c.vec_id, c.emb, c.bucket,
+       |    CASE WHEN s.bn > $cap THEN c.salt ELSE 0::BIGINT END AS skey
+       |  FROM corpus c JOIN sizes s USING (bucket)
        |), probes AS (
-       |  SELECT vec_id AS query_id, emb AS qv,
-       |    xor(bucket, m.mask)::BIGINT AS bucket
-       |  FROM corpus, (SELECT unnest($masksSql::BIGINT[]) AS mask) m
+       |  SELECT query_id, qv, bucket,
+       |    CASE WHEN COALESCE(s.bn, 0) > $cap THEN salt ELSE 0::BIGINT END AS skey
+       |  FROM (
+       |    SELECT vec_id AS query_id, emb AS qv, salt,
+       |      xor(bucket, m.mask)::BIGINT AS bucket
+       |    FROM corpus, (SELECT unnest($masksSql::BIGINT[]) AS mask) m
+       |  ) p LEFT JOIN sizes s USING (bucket)
        |), scored AS (
        |  SELECT p.query_id, c.vec_id,
        |    ${fxSql(cosineSql("c.emb", "p.qv"))} AS score
-       |  FROM corpus c JOIN probes p USING (bucket)
+       |  FROM keyed c JOIN probes p USING (bucket, skey)
        |  WHERE c.vec_id <> p.query_id
        |), ranked AS (
        |  SELECT query_id, vec_id, score,

@@ -181,6 +181,64 @@ class VectorSearchSpec extends GraftSuite {
       f"knn-graph recall $recall%.3f under floor on the near-random synthetic corpus")
   }
 
+  test("knn graph hot buckets salt-subdivide: capped path matches a full driver replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val dim = 64
+    val n = 600
+    val vecs = (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val (k, radius, cap) = (3, 1, 4)
+    val out = VectorSearch
+      .annKnnGraphFromVecs(vecs.toDF("vec_id", "emb"), k, radius, cap)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("score"))).toSeq
+    // independent driver replay of signature, salting and ranking,
+    // bit-matching the native kernels' accumulation order
+    val planes = VectorSearch.lshPlanes(dim,
+      VectorSearch.AnnLshPlanes + VectorSearch.KnnSaltPlanes)
+    def sig(v: Array[Double], ps: Array[Array[Int]]): Long = {
+      var s = 0L; var j = 0
+      while (j < ps.length) {
+        var dot = 0.0; var d = 0
+        while (d < dim) { dot += v(d) * ps(j)(d).toDouble; d += 1 }
+        if (dot > 0.0) s |= 1L << j
+        j += 1
+      }
+      s
+    }
+    def cosFx(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dim) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000L + 0.5).toLong
+    }
+    val bucket = vecs.map { case (id, v) =>
+      id -> sig(v, planes.take(VectorSearch.AnnLshPlanes)) }.toMap
+    val salt = vecs.map { case (id, v) =>
+      id -> sig(v, planes.drop(VectorSearch.AnnLshPlanes)) }.toMap
+    val bn = bucket.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(bn.values.exists(_ > cap), "synthetic corpus must contain over-cap buckets")
+    val masks = VectorSearch.lshProbeMasks(VectorSearch.AnnLshPlanes, radius)
+    val byId = vecs.toMap
+    val expected = vecs.flatMap { case (q, qv) =>
+      val cands = vecs.collect { case (c, _) if c != q &&
+        masks.exists { m =>
+          val b = bucket(q) ^ m
+          bucket(c) == b && {
+            val probeKey = if (bn.getOrElse(b, 0L) > cap) salt(q) else 0L
+            val candKey = if (bn(bucket(c)) > cap) salt(c) else 0L
+            candKey == probeKey
+          }
+        } => c
+      }
+      cands.map(c => (c, cosFx(qv, byId(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(k).zipWithIndex
+        .map { case ((c, s), i) => (q, (i + 1).toLong, c, s) }
+    }
+    assert(out.sorted == expected.sorted,
+      "capped knn graph must equal the driver replay of the salted candidate rule")
+  }
+
   test("multi-probe LSH recovers true neighbors from the probed buckets") {
     val rows = VectorSearch.annLsh(spark, sf).collect()
     assert(rows.nonEmpty)
