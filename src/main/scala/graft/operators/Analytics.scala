@@ -502,6 +502,71 @@ object Analytics {
        |FROM daily JOIN st USING (event_type)
        |ORDER BY event_type, day""".stripMargin
 
+  /** Time-series regularization: the daily event-count series per
+    * type with every missing calendar day FILLED (zero count, gap
+    * flag, and the preceding observed day carried forward) — the
+    * resample step every downstream window/rolling/anomaly consumer
+    * assumes, since a gap day silently vanishing from a trailing mean
+    * shifts the whole frame. One corpus-sized aggregate to daily
+    * grain; everything after operates on the (types × days)-bounded
+    * series: per-type bounds ride the same aggregate output,
+    * `sequence`+explode synthesizes the full calendar, the left join
+    * back is (type, day)-keyed on bounded relations, and the
+    * carry-forward is a last-non-null `lag` window over per-type
+    * partitions of days — nothing corpus-sized past the first
+    * exchange.
+    */
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    resampleDaily(Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("n")))
+  }
+
+  /** Gap-fill over a prepared (event_type, day, n) daily relation —
+    * split out so specs can force gapped series (the driver corpus
+    * has none).
+    */
+  private[graft] def resampleDaily(daily: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val calendar = daily
+      .groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    calendar
+      .join(daily.hint("shuffle_hash"), Seq("event_type", "day"), "left")
+      .withColumn("n_events", coalesce(col("n"), lit(0L)))
+      .withColumn("is_gap", col("n").isNull.cast("long"))
+      .withColumn("last_active_day",
+        last(when(col("n").isNotNull, col("day")), ignoreNulls = true).over(w))
+      .select(col("event_type"), col("day"), col("n_events"), col("is_gap"),
+        col("last_active_day"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val eventsResampleSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+       |    COUNT(*)::BIGINT AS n
+       |  FROM events GROUP BY 1, 2
+       |), cal AS (
+       |  SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+       |  FROM (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+       |        FROM daily GROUP BY 1)
+       |)
+       |SELECT c.event_type, c.day,
+       |  COALESCE(d.n, 0)::BIGINT AS n_events,
+       |  (d.n IS NULL)::BIGINT AS is_gap,
+       |  MAX(CASE WHEN d.n IS NOT NULL THEN c.day END) OVER (
+       |    PARTITION BY c.event_type ORDER BY c.day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_active_day
+       |FROM cal c LEFT JOIN daily d USING (event_type, day)
+       |ORDER BY 1, 2""".stripMargin
+
   /** Top-N per group — the leaderboard shape (top 3 users by event
     * count per event type) the rest of the analytics core doesn't
     * exercise. The textbook formulation is

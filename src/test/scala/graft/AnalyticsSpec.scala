@@ -225,4 +225,28 @@ class AnalyticsSpec extends GraftSuite {
     assert(out.toSeq.map(_.toSeq) == windowed,
       "TopKAgg plan must reproduce the window plan's rows exactly")
   }
+
+  test("events_resample fills gaps with zeros and carries the last active day") {
+    import spark.implicits._
+    val daily = Seq(("a", 1L, 3L), ("a", 2L, 1L), ("a", 5L, 2L),
+                    ("b", 10L, 7L)).toDF("event_type", "day", "n")
+    val out = Analytics.resampleDaily(daily).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      ("a", 1L, 3L, 0L, 1L),
+      ("a", 2L, 1L, 0L, 2L),
+      ("a", 3L, 0L, 1L, 2L),
+      ("a", 4L, 0L, 1L, 2L),
+      ("a", 5L, 2L, 0L, 5L),
+      ("b", 10L, 7L, 0L, 10L)))
+    // the real corpus series: contiguous per type, totals conserved
+    val full = Analytics.eventsResample(spark, sf).collect()
+    full.groupBy(_.getString(0)).foreach { case (tpe, rows) =>
+      val days = rows.map(_.getLong(1)).sorted
+      assert(days.zip(days.tail).forall { case (a, b) => b == a + 1 },
+        s"$tpe calendar not contiguous")
+    }
+    val total = Tables.events(spark, sf).count()
+    assert(full.map(_.getLong(2)).sum == total, "gap filling must not change mass")
+  }
 }
