@@ -145,6 +145,36 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   /** (hits, misses) of the embedding cache (cache_manager.rs:83). */
   def getEmbeddingCacheStats: (Long, Long) = embeddingCache.stats
 
+  private val shutdownHooks = scala.collection.mutable.Buffer.empty[() => Unit]
+  @volatile private var closed = false
+
+  /** Register a teardown action (embedded.rs:159 add_shutdown_hook);
+    * hooks run LIFO on [[close]], mirroring resource-acquisition
+    * order.
+    */
+  def addShutdownHook(hook: () => Unit): Unit =
+    synchronized { shutdownHooks += hook }
+
+  def isClosed: Boolean = closed
+
+  /** Graceful shutdown (embedded.rs:422 close, :167
+    * execute_shutdown_hooks): run hooks LIFO, release both caches'
+    * entries (the query cache unpersists its distributed blocks), and
+    * optionally stop the session — off by default because the JVM's
+    * one SparkContext is routinely shared across handles. Idempotent:
+    * a second close is a no-op.
+    */
+  def close(stopSession: Boolean = false): Unit = synchronized {
+    if (!closed) {
+      closed = true
+      shutdownHooks.reverseIterator.foreach(h => h())
+      shutdownHooks.clear()
+      queryCache.clear()
+      embeddingCache.clear()
+      if (stopSession) spark.stop()
+    }
+  }
+
   def cachedQuery(build: => DataFrame): DataFrame = queryCache.getOrRun(build)
 
   /** query_engine.rs:214 clear_cache. */

@@ -250,6 +250,25 @@ class GraftDBSpec extends GraftSuite {
     assert(db3.embeddingCache.size == 0)
   }
 
+  test("close runs shutdown hooks LIFO once and releases the caches") {
+    val db4 = GraftDB(spark, sf)
+    val order = scala.collection.mutable.Buffer.empty[String]
+    db4.addShutdownHook(() => order += "first-registered")
+    db4.addShutdownHook(() => order += "second-registered")
+    db4.embedQuery("warm the cache")
+    db4.cachedQuery(db4.getStats)
+    assert(db4.embeddingCache.size == 1 && db4.queryCache.size == 1)
+    db4.close()
+    assert(order.toSeq == Seq("second-registered", "first-registered"),
+      "hooks must run LIFO")
+    assert(db4.isClosed)
+    assert(db4.embeddingCache.size == 0 && db4.queryCache.size == 0)
+    db4.close() // idempotent: hooks must not re-run
+    assert(order.size == 2)
+    assert(!spark.sparkContext.isStopped,
+      "close() must not stop a shared session unless asked")
+  }
+
   test("embedding cache: LRU bound and TTL expiry") {
     var now = 0L
     val c = new EmbeddingCache(maxEntries = 2, ttlMs = 100, clock = () => now)
