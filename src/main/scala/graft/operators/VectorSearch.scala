@@ -447,9 +447,19 @@ object VectorSearch {
                                          radius: Int, cap: Int): DataFrame = {
     val all = lshPlanes(64, AnnLshPlanes + KnnSaltPlanes)
     val masks = lshProbeMasks(AnnLshPlanes, radius)
+    // THREE consumers read the signed corpus (candidate side, probe
+    // side, bucket census) and signing is the expensive 16-plane
+    // kernel pass — without the persist the plan signs the corpus
+    // once PER consumer (audited: four full Scan+HyperplaneSig
+    // chains). Spillable storage level; entry lifecycle rides the
+    // session cache LRU like tfidfKeywords' shared subtree (at real
+    // scale the signed relation is the persisted LSH layout
+    // VectorIndex already materializes once per corpus, not a
+    // per-query cache).
     val corpus = vecs
       .withColumn("bucket", lshBucket(col("emb"), all.take(AnnLshPlanes)))
       .withColumn("salt", lshBucket(col("emb"), all.drop(AnnLshPlanes)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = corpus.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
     val keyed = corpus.join(broadcast(sizes), Seq("bucket"))
       .withColumn("skey", when(col("bn") > cap, col("salt")).otherwise(lit(0L)))
