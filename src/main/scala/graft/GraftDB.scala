@@ -254,6 +254,13 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   /** Batch of text queries in one job (parallel_search.rs
     * parallel_text_search); rows keyed by position in `queries`.
     */
+  /** Learned-sparse retrieval with caller-supplied term weights
+    * (types.rs SparseVector scoring — the contract a SPLADE/uniCOIL
+    * query encoder plugs into).
+    */
+  def sparseSearch(query: Seq[(String, Long)], k: Int = 20): DataFrame =
+    Bm25.sparseSearch(spark, dir, query, k)
+
   def bm25SearchBatch(queries: Seq[String], k: Int = 10): DataFrame =
     Bm25.searchBatch(spark, dir, queries, k)
 

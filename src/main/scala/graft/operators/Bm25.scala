@@ -378,6 +378,76 @@ object Bm25 {
       .orderBy(col("doc_id"), col("term_id"))
   }
 
+  /** Fixed demo sparse query: (term, integer weight) — the shape a
+    * learned-sparse encoder (SPLADE / uniCOIL) emits for a query.
+    */
+  val SparseQuery: Seq[(String, Long)] =
+    Seq("spark" -> 4L, "vector" -> 3L, "stream" -> 2L, "window" -> 1L)
+
+  /** Weighted sparse dot-product retrieval — learned-sparse (SPLADE /
+    * uniCOIL-style) search over the [[sparseVectors]] representation:
+    * score(doc) = Σ_t q_w(t) · tf_weight(doc, t), top-k. BM25 fixes
+    * the query-side weighting to IDF; here the caller supplies the
+    * weights, which is exactly the contract a learned sparse encoder
+    * needs (types.rs SparseVector / sparse.rs the index half — the
+    * reference scores its sparse index with caller-provided vectors).
+    * Arithmetic is integer query weight × fixed-point tf weight, so
+    * both engines rank bit-identically.
+    *
+    * Scale shape: the per-doc sparse rows are the zero-shuffle native
+    * [[graft.functions.expressions.TermFreqs]] sketch; the query's
+    * term_id set is a handful of literals, so the match is an IN
+    * filter evaluated map-side (at 100 TB over the bucketed posting
+    * layout the same filter prunes to the query's term buckets);
+    * ranking is TakeOrdered. No join — the query side is folded into
+    * the predicate and a CASE sum.
+    */
+  def sparseSearch(spark: SparkSession, dir: String,
+                   query: Seq[(String, Long)] = SparseQuery,
+                   k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val qIds: Map[Long, Long] = query.map { case (t, w) =>
+      graft.functions.expressions.Tok.hash60(t) -> w
+    }.toMap
+    val tfs = column(graft.functions.expressions.TermFreqs(expression(col("text"))))
+    val rows = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tfs).as("e"))
+      .select(col("doc_id"), col("e.term_id").as("term_id"),
+        col("e.weight").as("weight"))
+      .filter(col("term_id").isin(qIds.keys.toSeq: _*))
+    val contrib = qIds.foldLeft(lit(0L)) { case (acc, (id, w)) =>
+      acc + when(col("term_id") === id, col("weight") * w).otherwise(0L)
+    }
+    rows
+      .groupBy(col("doc_id"))
+      .agg(sum(contrib).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def sparseSearchSql(query: Seq[(String, Long)] = SparseQuery,
+                      k: Int = 20): String = {
+    val ids = query.map { case (t, w) => s"(${hash60Sql(s"'$t'")}, ${w}::BIGINT)" }
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), tt AS (
+       |  SELECT doc_id, ${hash60Sql("term")} AS term_id,
+       |    ${fxSql("tf::DOUBLE / SUM(tf) OVER (PARTITION BY doc_id)", 6)} AS weight
+       |  FROM tf
+       |), q AS (
+       |  SELECT * FROM (VALUES ${ids.mkString(", ")}) AS q(term_id, w)
+       |)
+       |SELECT tt.doc_id, SUM(tt.weight * q.w)::BIGINT AS score,
+       |  COUNT(*)::BIGINT AS n_terms
+       |FROM tt JOIN q USING (term_id)
+       |GROUP BY tt.doc_id
+       |ORDER BY score DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   val sparseVectorsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents

@@ -179,4 +179,34 @@ class RetrievalSpec extends GraftSuite {
     val direct = HybridSearch.adaptiveDemo(spark, sf).collect()
     assert(viaMetrics.map(_.toSeq).toSeq == direct.map(_.toSeq).toSeq)
   }
+
+  test("sparse search scores are the weighted dot product of the sparse vectors") {
+    import org.apache.spark.sql.functions.col
+    val out = Bm25.sparseSearch(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // every returned score re-derives from the sparse_vectors rows:
+    // integer query weight x fixed-point tf weight, summed
+    val qIds = Bm25.SparseQuery.map { case (t, w) =>
+      graft.functions.expressions.Tok.hash60(t) -> w }.toMap
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    val sv = Bm25.sparseVectors(spark, sf)
+      .filter(col("doc_id").isin(ids: _*)).collect()
+      .filter(r => qIds.contains(r.getAs[Long]("term_id")))
+      .groupBy(_.getAs[Long]("doc_id"))
+    out.foreach { r =>
+      val rows = sv(r.getAs[Long]("doc_id"))
+      val expected = rows.map(x =>
+        x.getAs[Long]("weight") * qIds(x.getAs[Long]("term_id"))).sum
+      assert(r.getAs[Long]("score") == expected,
+        s"doc ${r.getAs[Long]("doc_id")} score mismatch")
+      assert(r.getAs[Long]("n_terms") == rows.length.toLong)
+    }
+    // descending by score, ties by doc_id
+    val pairs = out.map(r => (r.getAs[Long]("score"), r.getAs[Long]("doc_id")))
+    assert(pairs.zip(pairs.tail).forall { case ((s1, d1), (s2, d2)) =>
+      s1 > s2 || (s1 == s2 && d1 < d2) })
+    // zero-weight/absent query terms cannot score: a query of only an
+    // absent term returns empty
+    assert(Bm25.sparseSearch(spark, sf, Seq("zzzzunseen" -> 9L)).isEmpty)
+  }
 }
