@@ -325,6 +325,10 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def rebuildAnnIndex(): Unit = VectorIndex.rebuildIndexes(spark, dir)
 
+  /** Per-layout index observability (query.rs:271 get_index_stats). */
+  def getIndexStats(kind: String): VectorIndex.IndexStats =
+    VectorIndex.indexStats(spark, dir, kind)
+
   def annSearchLsh(nQueries: Int = 8, k: Int = 5): DataFrame =
     VectorIndex.annLshIndexed(spark, dir, nQueries, k)
 

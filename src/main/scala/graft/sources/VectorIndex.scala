@@ -413,6 +413,49 @@ object VectorIndex {
     }
   }
 
+  /** Index observability snapshot (query.rs:271 get_index_stats /
+    * :414 IndexStats): point count, vector dimension, built flag, an
+    * on-disk size estimate and the maintenance-generation counters
+    * the rebuild heuristic reads. `dimension` is probed from ONE row
+    * (the layouts are uniform by construction); `diskBytes` sums the
+    * layout's file sizes — the honest "memory" figure for a
+    * disk-layout index (the reference reports resident HNSW bytes;
+    * graft's serving tier loads the same layout, so bytes-on-disk
+    * bounds bytes-resident for LSH/IVF and overstates PQ, whose
+    * served form is codes+codebook only).
+    */
+  final case class IndexStats(kind: String, isBuilt: Boolean, pointCount: Long,
+                              dimension: Int, diskBytes: Long,
+                              appendedRows: Long, generations: Long)
+
+  def indexStats(spark: SparkSession, dir: String, kind: String): IndexStats = {
+    val path = indexPath(dir, kind)
+    if (!exists(spark, path))
+      return IndexStats(kind, isBuilt = false, 0L, 0, 0L, 0L, 0L)
+    val layout = spark.read.parquet(path)
+    val hasGen = layout.columns.contains("gen")
+    val r = layout.agg(
+      count(lit(1)).as("n"),
+      (if (hasGen) count(when(col("gen") > 0L, 1)) else lit(0L)).as("appended"),
+      (if (hasGen) countDistinct(when(col("gen") > 0L, col("gen"))) else lit(0L))
+        .as("gens")).head
+    val dim = kind match {
+      case "pq" => layout.columns.count(_.startsWith("code")) // subspace count
+      case _ =>
+        val vecCol = Seq("embedding", "emb").find(layout.columns.contains).get
+        layout.select(size(col(vecCol))).head.getInt(0)
+    }
+    val diskBytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(new java.io.File(path))
+    }
+    IndexStats(kind, isBuilt = true, r.getLong(0), dim, diskBytes,
+      r.getLong(1), r.getLong(2))
+  }
+
   /** Conditional rebuild (index_optimizer.rs should_optimize →
     * optimize_index): staged-rebuild exactly the existing layouts
     * whose maintenance debt trips [[shouldRebuild]]; returns the kinds

@@ -161,4 +161,19 @@ class VectorIndexSpec extends GraftSuite {
         n.contains(".stage-") || n.contains(".old-") || n.contains(".broken-"))
     assert(stray.isEmpty, s"stray index dirs left: ${stray.toSeq}")
   }
+
+  test("indexStats reports points, dimension, disk size and maintenance debt") {
+    VectorIndex.annLshIndexed(spark, sf) // build-if-missing
+    val s = VectorIndex.indexStats(spark, sf, "lsh")
+    assert(s.isBuilt && s.kind == "lsh")
+    assert(s.pointCount == Tables.embeddings(spark, sf).count())
+    assert(s.dimension == 64)
+    assert(s.diskBytes > 0L, "a built layout occupies disk")
+    assert(s.appendedRows == 0L && s.generations == 0L,
+      "a fresh build carries no maintenance debt")
+    val pq = VectorIndex.indexStats(spark, sf, "pq")
+    if (pq.isBuilt) assert(pq.dimension == graft.operators.VectorSearch.PqM)
+    val missing = VectorIndex.indexStats(spark, sf, "nope")
+    assert(!missing.isBuilt && missing.pointCount == 0L && missing.diskBytes == 0L)
+  }
 }
