@@ -254,6 +254,13 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   /** Batch of text queries in one job (parallel_search.rs
     * parallel_text_search); rows keyed by position in `queries`.
     */
+  /** Sliding-window chunking with the handle's configured geometry
+    * (config.rs ContentAnalysisConfig chunk_size/chunk_overlap via
+    * [[GraftConfig.ChunkConfig]]).
+    */
+  def chunkDocuments(): DataFrame =
+    TextAnalysis.textChunkWith(spark, dir, config.chunk.size, config.chunk.overlap)
+
   /** Learned-sparse retrieval with caller-supplied term weights
     * (types.rs SparseVector scoring — the contract a SPLADE/uniCOIL
     * query encoder plugs into).

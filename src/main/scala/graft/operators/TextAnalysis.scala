@@ -213,20 +213,30 @@ object TextAnalysis {
     * chunking happens upstream of the reference, so this operator is
     * the Spark-side feeder for it).
     */
-  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+  def textChunk(spark: SparkSession, dir: String): DataFrame =
+    textChunkWith(spark, dir, ChunkSize, ChunkOverlap)
+
+  /** [[textChunk]] with caller-supplied geometry — what
+    * [[graft.GraftConfig.ChunkConfig]] threads through the facade
+    * (config.rs chunk_size / chunk_overlap).
+    */
+  def textChunkWith(spark: SparkSession, dir: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
     val toks = split(col("text"), " ")
     val n = size(toks)
-    val nChunks = when(n <= ChunkSize, lit(1L))
-      .otherwise(ceil((n - lit(ChunkSize)).cast("double") / ChunkStride) + 1L)
-    val start = col("chunk_ix") * ChunkStride + 1
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - lit(chunkSize)).cast("double") / stride) + 1L)
+    val start = col("chunk_ix") * stride + 1
     Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), toks.as("toks"), n.as("n"), nChunks.as("m"))
       .select(col("doc_id"), col("toks"), col("n"),
         explode(sequence(lit(0L), col("m") - 1L)).as("chunk_ix"))
       .select(col("doc_id"), col("chunk_ix"),
         start.cast("long").as("start_tok"),
-        least(lit(ChunkSize), col("n") - start + 1).cast("long").as("n_chunk_toks"),
-        array_join(slice(col("toks"), start, lit(ChunkSize)), " ").as("chunk_text"))
+        least(lit(chunkSize), col("n") - start + 1).cast("long").as("n_chunk_toks"),
+        array_join(slice(col("toks"), start, lit(chunkSize)), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_ix"))
   }
 

@@ -250,6 +250,19 @@ class GraftDBSpec extends GraftSuite {
     assert(db3.embeddingCache.size == 0)
   }
 
+  test("chunkDocuments follows the configured geometry") {
+    // default config = the oracle-checked textChunk constants
+    assert(rows(db.chunkDocuments()) ==
+      rows(graft.operators.TextAnalysis.textChunk(spark, sf)))
+    // a custom geometry changes the chunk stream accordingly
+    val cfg = GraftConfig(chunk = GraftConfig.ChunkConfig(size = 32, overlap = 0))
+    val out = GraftDB(spark, sf, cfg).chunkDocuments().collect()
+    assert(out.forall(_.getAs[Long]("n_chunk_toks") <= 32L))
+    assert(out.filter(_.getAs[Long]("chunk_ix") > 0L)
+      .forall(r => r.getAs[Long]("start_tok") % 32L == 1L),
+      "zero overlap means starts advance by exactly the chunk size")
+  }
+
   test("close runs shutdown hooks LIFO once and releases the caches") {
     val db4 = GraftDB(spark, sf)
     val order = scala.collection.mutable.Buffer.empty[String]
