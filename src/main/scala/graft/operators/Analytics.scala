@@ -567,6 +567,47 @@ object Analytics {
        |FROM cal c LEFT JOIN daily d USING (event_type, day)
        |ORDER BY 1, 2""".stripMargin
 
+  /** Daily and trailing-7-day distinct active users (DAU/WAU) — the
+    * engagement pair every analytics engine ships. A windowed
+    * COUNT(DISTINCT) doesn't exist in SQL and a per-day 7-day
+    * self-join re-reads each activity row seven times at fact grain;
+    * instead each (user, day) activity — already deduplicated to the
+    * users×days grain by the first aggregate — is EXPLODED into the
+    * seven report days it makes that user active for, and WAU is then
+    * a plain distinct aggregate per report day. Factor-7 blowup of
+    * the reduced grain, never of the fact table; both aggregates take
+    * map-side partials. Report days with no activity of their own are
+    * excluded via the inner DAU join (the gap-filled twin composes
+    * with [[eventsResample]]).
+    */
+  def eventsWau(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("day")).distinct()
+    val dau = userDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDay
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau.hint("shuffle_hash"), Seq("day"))
+      .orderBy(col("day"))
+  }
+
+  val eventsWauSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+       |  FROM events
+       |), dau AS (
+       |  SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY day
+       |), contrib AS (
+       |  SELECT user_id, unnest(range(day, day + 7)) AS day FROM ud
+       |), wau AS (
+       |  SELECT day, COUNT(DISTINCT user_id)::BIGINT AS wau FROM contrib GROUP BY day
+       |)
+       |SELECT day, dau, wau FROM dau JOIN wau USING (day)
+       |ORDER BY day""".stripMargin
+
   /** Top-N per group — the leaderboard shape (top 3 users by event
     * count per event type) the rest of the analytics core doesn't
     * exercise. The textbook formulation is

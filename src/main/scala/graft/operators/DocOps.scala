@@ -106,4 +106,55 @@ object DocOps {
        |FROM documents
        |GROUP BY lang, source
        |ORDER BY lang, source""".stripMargin
+
+  /** One-row corpus report card — the at-a-glance health summary a
+    * curation run opens with (lib.rs:446 get_stats, extended with the
+    * dedup and quality mass the reference's DatabaseStats doesn't
+    * carry): doc/source/lang counts, whitespace-token mass, documents
+    * that are non-canonical members of an exact-duplicate group, and
+    * documents tripping the Gopher repetition gates. Three bounded
+    * branches (a doc-grain aggregate, a hash-grain two-level
+    * aggregate, the zero-shuffle repetition map aggregated) each
+    * reduce to ONE row, then join on a literal key — broadcast hash
+    * joins of one-row relations, deliberately NOT a cross join (the
+    * no-CartesianProduct invariant holds on every plan).
+    */
+  def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val docs = Tables.spread(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source")))
+    val base = docs
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_toks")).as("sum_tokens"))
+      .withColumn("k", lit(1))
+    val dups = docs.select(hash60(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1L).as("n_exact_dup_docs"))
+      .withColumn("k", lit(1))
+    val rep = Curation.textRepetition(spark, dir)
+      .agg(sum(col("is_repetitive")).as("n_repetitive"))
+      .withColumn("k", lit(1))
+    base.join(dups, "k").join(rep, "k")
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("sum_tokens"), col("n_exact_dup_docs"), col("n_repetitive"))
+  }
+
+  lazy val corpusSummarySql: String =
+    s"""SELECT
+       |  (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       |  (SELECT COUNT(DISTINCT source) FROM documents)::BIGINT AS n_sources,
+       |  (SELECT COUNT(DISTINCT lang) FROM documents)::BIGINT AS n_langs,
+       |  (SELECT SUM(len(string_split(text, ' '))) FROM documents)::BIGINT AS sum_tokens,
+       |  (SELECT SUM(c - 1) FROM (
+       |     SELECT COUNT(*) AS c FROM documents
+       |     GROUP BY ${graft.functions.TextFunctions.hash60Sql("text")}))::BIGINT
+       |    AS n_exact_dup_docs,
+       |  (SELECT SUM(is_repetitive) FROM (
+       |     ${Curation.textRepetitionSql.replace("\n", "\n     ")}))::BIGINT
+       |    AS n_repetitive""".stripMargin
 }

@@ -226,6 +226,26 @@ class AnalyticsSpec extends GraftSuite {
       "TopKAgg plan must reproduce the window plan's rows exactly")
   }
 
+  test("events_wau equals a driver-side recount of 7-day distinct actives") {
+    val out = Analytics.eventsWau(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2)
+    assert(out.keySet == byDay.keySet)
+    out.foreach { case (d, (dau, wau)) =>
+      assert(dau == byDay(d).length.toLong, s"day $d dau")
+      val expectedWau = ud.collect {
+        case (u, ad) if ad >= d - 6 && ad <= d => u
+      }.distinct.length.toLong
+      assert(wau == expectedWau, s"day $d wau")
+      assert(wau >= dau, s"day $d: trailing distinct can't undercut the day's own")
+    }
+  }
+
   test("events_resample fills gaps with zeros and carries the last active day") {
     import spark.implicits._
     val daily = Seq(("a", 1L, 3L), ("a", 2L, 1L), ("a", 5L, 2L),

@@ -265,4 +265,22 @@ class CurationSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("n_docs") > 0))
     assert(shares.max < 3L * 10000L / Curation.NumShards)
   }
+
+  test("corpus_summary fields re-derive from their component queries") {
+    import org.apache.spark.sql.functions.col
+    val s = graft.operators.DocOps.corpusSummary(spark, sf).head
+    val docs = Tables.documents(spark, sf)
+    assert(s.getAs[Long]("n_docs") == docs.count())
+    assert(s.getAs[Long]("n_sources") ==
+      docs.select(col("source")).distinct().count())
+    assert(s.getAs[Long]("n_langs") == docs.select(col("lang")).distinct().count())
+    assert(s.getAs[Long]("n_exact_dup_docs") ==
+      docs.count() - docs.selectExpr(
+        "conv(substring(md5(text), 1, 15), 16, 10)").distinct().count(),
+      "dup mass = docs minus distinct content hashes")
+    assert(s.getAs[Long]("n_repetitive") ==
+      Curation.textRepetition(spark, sf)
+        .filter(col("is_repetitive") === 1L).count())
+    assert(s.getAs[Long]("sum_tokens") > 0L)
+  }
 }
