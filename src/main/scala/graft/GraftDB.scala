@@ -134,13 +134,15 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     * (embeddings.rs:222 mock provider; a real provider swaps the
     * kernel behind this same signature).
     */
-  def embedQuery(text: String): Array[Double] =
+  def embedQuery(text: String): Array[Double] = {
+    ensureOpen()
     embeddingCache.getOrCompute(text) { t =>
       graft.functions.expressions.MockEmbedding
         .compute(org.apache.spark.unsafe.types.UTF8String.fromString(t),
                  config.vectorDimension)
         .toDoubleArray()
     }
+  }
 
   /** (hits, misses) of the embedding cache (cache_manager.rs:83). */
   def getEmbeddingCacheStats: (Long, Long) = embeddingCache.stats
@@ -148,12 +150,18 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   private val shutdownHooks = scala.collection.mutable.Buffer.empty[() => Unit]
   @volatile private var closed = false
 
+  // a closed handle must not silently repopulate the caches it just
+  // released (re-persisted blocks would leak past the lifecycle that
+  // claims to own them) or buffer hooks that will never run
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException("GraftDB handle is closed")
+
   /** Register a teardown action (embedded.rs:159 add_shutdown_hook);
     * hooks run LIFO on [[close]], mirroring resource-acquisition
     * order.
     */
   def addShutdownHook(hook: () => Unit): Unit =
-    synchronized { shutdownHooks += hook }
+    synchronized { ensureOpen(); shutdownHooks += hook }
 
   def isClosed: Boolean = closed
 
@@ -175,7 +183,10 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     }
   }
 
-  def cachedQuery(build: => DataFrame): DataFrame = queryCache.getOrRun(build)
+  def cachedQuery(build: => DataFrame): DataFrame = {
+    ensureOpen()
+    queryCache.getOrRun(build)
+  }
 
   /** query_engine.rs:214 clear_cache. */
   def clearCache(): Unit = queryCache.clear()
@@ -245,15 +256,19 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def updateDocumentMetadata(store: DataFrame, updates: DataFrame): DataFrame =
     Ingest.updateMetadata(store, updates)
 
+  /** QueryConfig.max_limit, enforced on EVERY facade search entry —
+    * the handle never returns more rows than the configured ceiling
+    * (query_engine.rs LimitMaxResults).
+    */
+  private def capped(k: Int): Int = math.min(k, config.query.maxLimit)
+
   def textSearch(query: String, k: Int = 20): DataFrame =
-    Bm25.textSearch(spark, dir, query, k)
+    Bm25.textSearch(spark, dir, query, capped(k))
 
   def bm25Search(query: String, k: Int = 20): DataFrame =
-    Bm25.search(spark, dir, query, k)
+    Bm25.search(spark, dir, query, capped(k),
+      config.hybridSearch.bm25.k1, config.hybridSearch.bm25.b)
 
-  /** Batch of text queries in one job (parallel_search.rs
-    * parallel_text_search); rows keyed by position in `queries`.
-    */
   /** Sliding-window chunking with the handle's configured geometry
     * (config.rs ContentAnalysisConfig chunk_size/chunk_overlap via
     * [[GraftConfig.ChunkConfig]]).
@@ -266,19 +281,22 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     * query encoder plugs into).
     */
   def sparseSearch(query: Seq[(String, Long)], k: Int = 20): DataFrame =
-    Bm25.sparseSearch(spark, dir, query, k)
+    Bm25.sparseSearch(spark, dir, query, capped(k))
 
+  /** Batch of text queries in one job (parallel_search.rs
+    * parallel_text_search); rows keyed by position in `queries`.
+    */
   def bm25SearchBatch(queries: Seq[String], k: Int = 10): DataFrame =
-    Bm25.searchBatch(spark, dir, queries, k)
+    Bm25.searchBatch(spark, dir, queries, capped(k))
 
   /** Batch of hybrid RRF queries in one job — query i pairs vector
     * vec_id = i with text `queries(i)`.
     */
   def hybridSearchBatch(queries: Seq[String], limit: Int = 20): DataFrame =
-    HybridSearch.rrfBatch(spark, dir, queries, limit)
+    HybridSearch.rrfBatch(spark, dir, queries, capped(limit))
 
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
-    VectorSearch.semanticTopK(spark, dir, queryVecId, k)
+    VectorSearch.semanticTopK(spark, dir, queryVecId, capped(k))
 
   /** Threshold-gated vector search (query_engine.rs vector_search
     * with a similarity floor).
@@ -286,11 +304,11 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def semanticSearchThreshold(queryVecId: Long,
                               threshold: Double = config.query.similarityThreshold,
                               k: Int = 20): DataFrame =
-    VectorSearch.semanticTopKThreshold(spark, dir, queryVecId, threshold, k)
+    VectorSearch.semanticTopKThreshold(spark, dir, queryVecId, threshold, capped(k))
 
   def semanticSearchFiltered(queryVecId: Long, labels: Seq[Int],
                              k: Int = 20): DataFrame =
-    VectorSearch.semanticTopKFiltered(spark, dir, queryVecId, labels, k)
+    VectorSearch.semanticTopKFiltered(spark, dir, queryVecId, labels, capped(k))
 
   /** Fusion search by strategy name — the reference's
     * FusionStrategy-keyed hybrid_search_enhanced.
@@ -298,17 +316,16 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def hybridSearch(query: String, queryVecId: Long = 0,
                    strategy: String = config.hybridSearch.fusionStrategy,
                    limit: Int = config.query.defaultLimit): DataFrame = {
-    // query_engine.rs LimitMaxResults / QueryConfig.max_limit: the
-    // handle never returns more than the configured ceiling
-    val k = math.min(limit, config.query.maxLimit)
+    val k = capped(limit)
+    val mc = config.hybridSearch.maxCandidates
     val w = config.hybridSearch.weights
     strategy match {
-      case "rrf"        => HybridSearch.rrf(spark, dir, queryVecId, query, k)
+      case "rrf"        => HybridSearch.rrf(spark, dir, queryVecId, query, k, mc)
       case "linear"     => HybridSearch.linear(spark, dir, queryVecId, query, k,
-                                               w.dense, w.sparse, w.text)
+                                               w.dense, w.sparse, w.text, mc)
       case "normalized" => HybridSearch.normalized(spark, dir, queryVecId, query, k,
-                                                   w.dense, w.sparse, w.text)
-      case "learned"    => HybridSearch.learned(spark, dir, queryVecId, query, k)
+                                                   w.dense, w.sparse, w.text, mc)
+      case "learned"    => HybridSearch.learned(spark, dir, queryVecId, query, k, mc)
       case other => throw new IllegalArgumentException(
         s"unknown fusion strategy '$other' (rrf|linear|normalized|learned; " +
           "adaptive needs a history — use HybridSearch.adaptive)")
@@ -320,7 +337,7 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def searchDocuments(query: String, queryVecId: Long = 0,
                       limit: Int = 10): DataFrame =
-    HybridSearch.searchSnippets(spark, dir, queryVecId, query, limit)
+    HybridSearch.searchSnippets(spark, dir, queryVecId, query, capped(limit))
 
   /** Batch ingest into a content-hash-deduped, lang-partitioned store
     * (lib.rs:317 batch_add_documents).
@@ -335,6 +352,16 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   /** Per-layout index observability (query.rs:271 get_index_stats). */
   def getIndexStats(kind: String): VectorIndex.IndexStats =
     VectorIndex.indexStats(spark, dir, kind)
+
+  /** Conditional index maintenance with the handle's configured
+    * thresholds — the SAME thresholds [[healthCheck]] reports debt
+    * against, so health output and maintenance behavior can't
+    * disagree (performance/index_optimizer.rs should_optimize →
+    * optimize_index). Returns the layouts rebuilt.
+    */
+  def optimizeIndexes(): Seq[String] =
+    VectorIndex.rebuildIfNeeded(spark, dir,
+      config.index.rebuildAppendedFraction, config.index.rebuildMaxGenerations)
 
   def annSearchLsh(nQueries: Int = 8, k: Int = 5): DataFrame =
     VectorIndex.annLshIndexed(spark, dir, nQueries, k)

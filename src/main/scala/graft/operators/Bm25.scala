@@ -42,8 +42,9 @@ object Bm25 {
   val DefaultQuery = "spark vector join stream window"
 
   def search(spark: SparkSession, dir: String,
-             query: String = DefaultQuery, k: Int = 20): DataFrame =
-    searchDocs(spark, Tables.documents(spark, dir), query, k)
+             query: String = DefaultQuery, k: Int = 20,
+             k1: Double = K1, b: Double = B): DataFrame =
+    searchDocs(spark, Tables.documents(spark, dir), query, k, k1, b)
 
   /** [[search]] over an arbitrary `(doc_id, text, ...)` corpus frame.
     *
@@ -61,7 +62,8 @@ object Bm25 {
     * row).
     */
   def searchDocs(spark: SparkSession, docs: DataFrame,
-                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
+                 query: String = DefaultQuery, k: Int = 20,
+                 k1: Double = K1, b: Double = B): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val terms = tokenizeQuery(query)
     // a stopword-only / too-short query has no searchable terms: the
@@ -89,8 +91,8 @@ object Bm25 {
     val termScores = terms.indices.map { j =>
       val tf = col("c").getItem(j + 1).cast("double")
       val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
-      idf * (tf * lit(K1 + 1.0)) /
-        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl / col("avgdl"))))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / col("avgdl"))))
     }
     counts
       .filter(terms.indices.map(j => col("c").getItem(j + 1)).reduce(_ + _) > 0)

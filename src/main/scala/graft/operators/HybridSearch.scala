@@ -59,8 +59,9 @@ object HybridSearch {
     * contributes 1/(k + rank); docs appearing in more branches rise.
     */
   def rrf(spark: SparkSession, dir: String, qid: Long = 0,
-          query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
-    val n = limit * 2
+          query: String = Bm25.DefaultQuery, limit: Int = 20,
+          maxCandidates: Int = 100): DataFrame = {
+    val n = math.min(limit * 2, maxCandidates)
     val branches = denseRanked(spark, dir, qid, n)
       .unionByName(sparseRanked(spark, dir, query, n))
       .unionByName(textRanked(spark, dir, query, n))
@@ -304,8 +305,8 @@ object HybridSearch {
   def normalized(spark: SparkSession, dir: String, qid: Long = 0,
                  query: String = Bm25.DefaultQuery, limit: Int = 20,
                  dw: Double = DenseWeight, sw: Double = SparseWeight,
-                 tw: Double = TextWeight): DataFrame = {
-    val n = limit * 2
+                 tw: Double = TextWeight, maxCandidates: Int = 100): DataFrame = {
+    val n = math.min(limit * 2, maxCandidates)
     def norm(df0: DataFrame, idCol: String): DataFrame = {
       // min/max via an unpartitioned window: the input is the branch's
       // TakeOrdered output (<= 2*limit rows at ANY corpus size), so the
@@ -366,8 +367,8 @@ object HybridSearch {
   def linear(spark: SparkSession, dir: String, qid: Long = 0,
              query: String = Bm25.DefaultQuery, limit: Int = 20,
              dw: Double = DenseWeight, sw: Double = SparseWeight,
-             tw: Double = TextWeight): DataFrame = {
-    val n = limit * 2
+             tw: Double = TextWeight, maxCandidates: Int = 100): DataFrame = {
+    val n = math.min(limit * 2, maxCandidates)
     val dense = VectorSearch.semanticTopK(spark, dir, qid, n)
       .select(col("vec_id").as("doc_id"), (col("score") / 1e4).as("dense_s"))
     val sparse = Bm25.search(spark, dir, query, n)
@@ -396,8 +397,9 @@ object HybridSearch {
     * the fused rows.
     */
   def learned(spark: SparkSession, dir: String, qid: Long = 0,
-              query: String = Bm25.DefaultQuery, limit: Int = 20): DataFrame = {
-    val n = limit * 2
+              query: String = Bm25.DefaultQuery, limit: Int = 20,
+              maxCandidates: Int = 100): DataFrame = {
+    val n = math.min(limit * 2, maxCandidates)
     // Single pipeline over the tagged UNION of the three branch top-Ns
     // (<= 6*limit rows total at any corpus size): per-branch quality
     // stats ride as window aggregates instead of persist() + scalar

@@ -59,16 +59,15 @@ final class ReplicaRouter[A](replicas: IndexedSeq[A],
   private val inFlight = new Array[Int](n)
   private val routed = new Array[Long](n)
   private val emaMs = new Array[Double](n)
+  private val emaSamples = new Array[Long](n)
   private val currentWeight = new Array[Double](n) // smooth-WRR state
   private var rrCounter = 0
   private val EmaAlpha = 0.3
 
   private def healthyIdx: Seq[Int] = (0 until n).filter(healthy)
 
-  /** Select a replica index by the configured strategy over healthy
-    * replicas only (load_balancer.rs:298 route_request dispatch).
-    */
-  def pick(): Int = synchronized {
+  // caller must hold the monitor
+  private def pickLocked(): Int = {
     val live = healthyIdx
     if (live.isEmpty) throw new NoHealthyReplicas
     val i = strategy match {
@@ -92,19 +91,32 @@ final class ReplicaRouter[A](replicas: IndexedSeq[A],
     i
   }
 
+  /** Select a replica index by the configured strategy over healthy
+    * replicas only (load_balancer.rs:298 route_request dispatch).
+    */
+  def pick(): Int = synchronized { pickLocked() }
+
   /** Route one call: pick a replica, track it in-flight, feed its
-    * latency EMA on completion. In-flight is released on ANY exit —
-    * a throwing replica must not leak connection count.
+    * latency EMA on completion. Pick + in-flight acquisition is ONE
+    * atomic step — a separate increment would let two concurrent
+    * routes both observe a replica as idle and stampede it, exactly
+    * the imbalance LeastConnections/LoadBased exist to prevent.
+    * In-flight is released on ANY exit — a throwing replica must not
+    * leak connection count.
     */
   def route[T](f: A => T): T = {
-    val i = pick()
-    synchronized { inFlight(i) += 1 }
+    val i = synchronized { val j = pickLocked(); inFlight(j) += 1; j }
     val t0 = clockNanos()
     try f(replicas(i))
     finally synchronized {
       inFlight(i) -= 1
       val ms = (clockNanos() - t0) / 1e6
-      emaMs(i) = if (routed(i) <= 1L) ms else EmaAlpha * ms + (1 - EmaAlpha) * emaMs(i)
+      // first COMPLETED sample seeds the EMA (a pick()-only call or a
+      // still-in-flight overlap must not blend a real latency with the
+      // zero-initialized state)
+      emaMs(i) =
+        if (emaSamples(i) == 0L) ms else EmaAlpha * ms + (1 - EmaAlpha) * emaMs(i)
+      emaSamples(i) += 1
     }
   }
 

@@ -463,7 +463,9 @@ object VectorIndex {
     * often, rebuilds only when the heuristic says the debt is worth
     * folding.
     */
-  def rebuildIfNeeded(spark: SparkSession, dir: String): Seq[String] = {
+  def rebuildIfNeeded(spark: SparkSession, dir: String,
+                      maxAppendedFraction: Double = 0.2,
+                      maxGenerations: Int = 64): Seq[String] = {
     val kinds: Seq[(String, Seq[String], String => Unit)] = Seq(
       ("lsh", Seq(""), buildLshIndex(spark, dir, _)),
       ("ivf", Seq("_centroids", ""), buildIvfIndex(spark, dir, _)),
@@ -471,7 +473,8 @@ object VectorIndex {
     kinds.collect {
       case (kind, sfx, build)
         if exists(spark, indexPath(dir, kind)) &&
-          shouldRebuild(spark, indexPath(dir, kind)) =>
+          shouldRebuild(spark, indexPath(dir, kind),
+            maxAppendedFraction, maxGenerations) =>
         rebuildStaged(indexPath(dir, kind), sfx)(build)
         kind
     }

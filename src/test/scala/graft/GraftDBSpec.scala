@@ -222,12 +222,29 @@ class GraftDBSpec extends GraftSuite {
     assert(rows(db2.hybridSearch(Bm25.DefaultQuery)) !=
       rows(HybridSearch.linear(spark, sf)),
       "0.7/0.2/0.1 must rank differently from the 0.5/0.3/0.2 defaults")
-    // QueryConfig.max_limit caps the result height
+    // QueryConfig.max_limit caps the result height on EVERY search entry
     val capped = GraftDB(spark, sf,
       GraftConfig(query = GraftConfig.QueryConfig(defaultLimit = 5, maxLimit = 8)))
     assert(capped.hybridSearch(Bm25.DefaultQuery, 0, "rrf", limit = 50).count() == 8)
     assert(capped.hybridSearch(Bm25.DefaultQuery).count() == 5,
       "defaultLimit drives the no-argument call")
+    assert(capped.bm25Search(Bm25.DefaultQuery, k = 50).count() == 8)
+    assert(capped.textSearch(Bm25.DefaultQuery, k = 50).count() == 8)
+    assert(capped.semanticSearch(0, k = 50).count() == 8)
+    assert(capped.sparseSearch(Bm25.SparseQuery, k = 50).count() == 8)
+    // Bm25Config parameters reach the scoring arithmetic
+    val tuned = GraftDB(spark, sf, GraftConfig(hybridSearch =
+      GraftConfig.HybridSearchConfig(bm25 = GraftConfig.Bm25Config(k1 = 0.4, b = 0.1))))
+    assert(rows(tuned.bm25Search(Bm25.DefaultQuery, 10)) ==
+      rows(Bm25.search(spark, sf, Bm25.DefaultQuery, 10, 0.4, 0.1)))
+    assert(rows(tuned.bm25Search(Bm25.DefaultQuery, 10)) !=
+      rows(Bm25.search(spark, sf, Bm25.DefaultQuery, 10)),
+      "k1=0.4/b=0.1 must score differently from 1.2/0.75")
+    // maxCandidates narrows every fusion branch
+    val narrow = GraftDB(spark, sf, GraftConfig(hybridSearch =
+      GraftConfig.HybridSearchConfig(maxCandidates = 3)))
+    assert(rows(narrow.hybridSearch(Bm25.DefaultQuery, 0, "rrf")) ==
+      rows(HybridSearch.rrf(spark, sf, 0, Bm25.DefaultQuery, 20, maxCandidates = 3)))
   }
 
   test("embedding cache: memoized query embedding matches the distributed kernel") {
@@ -280,6 +297,12 @@ class GraftDBSpec extends GraftSuite {
     assert(order.size == 2)
     assert(!spark.sparkContext.isStopped,
       "close() must not stop a shared session unless asked")
+    // a closed handle refuses to repopulate the released caches or
+    // buffer hooks that would never run
+    intercept[IllegalStateException](db4.cachedQuery(db4.getStats))
+    intercept[IllegalStateException](db4.embedQuery("late"))
+    intercept[IllegalStateException](db4.addShutdownHook(() => ()))
+    assert(db4.queryCache.size == 0 && db4.embeddingCache.size == 0)
   }
 
   test("embedding cache: LRU bound and TTL expiry") {

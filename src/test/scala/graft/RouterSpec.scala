@@ -60,6 +60,17 @@ class RouterSpec extends AnyFunSuite {
     assert(r.stats(0).emaLatencyMs == 50.0)
   }
 
+  test("EMA seeds from the first completed route even after bare picks") {
+    var now = 0L
+    val r = new ReplicaRouter[Int](IndexedSeq(0), Router.LoadBased,
+      clockNanos = () => now)
+    r.pick() // a routing-stat-only pick records no latency...
+    r.route { _ => now += 80L * 1000000L }
+    // ...so the first completed call must SEED the EMA, not blend
+    // 80ms with the zero-initialized state (0.3*80 = 24)
+    assert(r.stats(0).emaLatencyMs == 80.0)
+  }
+
   test("in-flight is released when the replica throws; no healthy replicas raises") {
     val r = router(Router.LeastConnections, n = 2)
     intercept[RuntimeException](r.route[Int](_ => throw new RuntimeException("boom")))
