@@ -593,6 +593,31 @@ object Analytics {
       .orderBy(col("day"))
   }
 
+  /** The runnable 100 TB DAU/WAU path: [[eventsWau]] with
+    * approx_count_distinct (HLL++, rsd 2%) behind the same column
+    * shape. The explode trick already bounds the exact form to 7× the
+    * users×days grain; the sketch drops the second distinct aggregate
+    * to fixed-size mergeable registers per day — the shuffle carries
+    * O(days) registers instead of every (user, report-day) pair. No
+    * cross-engine sketch agreement exists, so the driver records a
+    * rows-only check; AnalyticsSpec pins both cardinalities within 5%
+    * of the exact form.
+    */
+  def eventsWauSketch(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("day")).distinct()
+    val dau = userDay.groupBy(col("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("dau"))
+    val wau = userDay
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6L)).as("day"))
+      .groupBy(col("day"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("wau"))
+    dau.join(wau.hint("shuffle_hash"), Seq("day"))
+      .orderBy(col("day"))
+  }
+
   val eventsWauSql: String =
     s"""WITH ud AS (
        |  SELECT DISTINCT user_id,

@@ -246,6 +246,19 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("events_wau_sketch cardinalities land within 5% of exact") {
+    val exact = Analytics.eventsWau(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val sketch = Analytics.eventsWauSketch(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sketch.keySet == exact.keySet)
+    sketch.foreach { case (d, (dau, wau)) =>
+      val (ed, ew) = exact(d)
+      assert(math.abs(dau - ed) <= math.max(1L, (0.05 * ed).toLong), s"day $d dau")
+      assert(math.abs(wau - ew) <= math.max(1L, (0.05 * ew).toLong), s"day $d wau")
+    }
+  }
+
   test("events_resample fills gaps with zeros and carries the last active day") {
     import spark.implicits._
     val daily = Seq(("a", 1L, 3L), ("a", 2L, 1L), ("a", 5L, 2L),
