@@ -55,4 +55,24 @@ class PlanHygieneSpec extends GraftSuite {
         "FRACTION — forcing it through the driver is an OOM at scale")
     assert(hintCount(curate, SHUFFLE_HASH) == subShuffleHash + 4)
   }
+
+  test("ann_knn_graph broadcasts only the 256-row-bounded bucket census") {
+    val df = operators.VectorSearch.annKnnGraph(spark, sf)
+    // exactly the two keyed/probe joins against `sizes` — a relation
+    // bounded at 2^AnnLshPlanes rows BY CONSTRUCTION at any corpus
+    // scale; corpus and probe sides (both corpus-sized) must meet in
+    // a shuffle_hash join, never through the driver
+    assert(hintCount(df, BROADCAST) == 2,
+      "only the bounded bucket-size relation may broadcast")
+    assert(hintCount(df, SHUFFLE_HASH) == 1,
+      "the corpus↔probes candidate join rides shuffle_hash")
+  }
+
+  test("dedup_span and events_wau force no broadcast anywhere") {
+    // dup-gram starts are corpus-fraction-sized; (user, report-day)
+    // contributions are users×days×7-sized — neither may be hinted
+    // through the driver
+    assert(hintCount(operators.Dedup.spanCoverage(spark, sf), BROADCAST) == 0)
+    assert(hintCount(operators.Analytics.eventsWau(spark, sf), BROADCAST) == 0)
+  }
 }
