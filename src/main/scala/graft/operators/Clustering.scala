@@ -137,6 +137,61 @@ object Clustering {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space health diagnostics — the one-row report an
+    * embedding pipeline checks before trusting similarity search:
+    * squared-norm distribution (collapsed or exploding norms break
+    * cosine ranking) and the squared norm of the MEAN vector, the
+    * standard anisotropy proxy (Ethayarajh 2019: E[cos(u,v)] ≈
+    * ‖mean‖²/E[‖v‖²] for random pairs — a large value means the space
+    * has a dominant shared direction and cosine scores compress).
+    * Every figure is exact integer arithmetic over the milli-unit
+    * quantization: per-row squared norms are integer sums, per-dim
+    * sums are integer, and the mean vector uses `div` — no
+    * corpus-wide float sum whose ordering could split the engines.
+    * One corpus pass per branch (a row-local HOF for norms, a
+    * posexplode + 64-group aggregate for dims), everything after is
+    * one-row/64-row relations joined on a literal key.
+    */
+  def embedStats(spark: SparkSession, dir: String): DataFrame = {
+    val q = quantized(spark, dir)
+    val sq = aggregate(col("qe"), lit(0L), (acc, x) => acc + x * x)
+    val normAgg = q.select(col("vec_id"), sq.as("sqn"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sqn")).as("sum_sq_norm"),
+        min(col("sqn")).as("min_sq_norm"), max(col("sqn")).as("max_sq_norm"))
+      .withColumn("k", lit(1))
+    val meanSq = q.select(posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("s"))
+      .withColumn("k", lit(1))
+      .join(normAgg.select(col("k"), col("n_vecs")), "k")
+      .select(expr("(s div n_vecs) * (s div n_vecs)").as("msq"))
+      .agg(sum(col("msq")).as("mean_vec_sq"))
+      .withColumn("k", lit(1))
+    normAgg.join(meanSq, "k")
+      .select(col("n_vecs"), col("sum_sq_norm"), col("min_sq_norm"),
+        col("max_sq_norm"), col("mean_vec_sq"))
+  }
+
+  val embedStatsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], v -> CAST(FLOOR(v*$QScale + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |), d AS (
+       |  SELECT vec_id, pos, qe[pos] AS v
+       |  FROM (SELECT vec_id, qe, unnest(range(1, len(qe) + 1)) AS pos FROM q)
+       |), norms AS (
+       |  SELECT vec_id, SUM(v * v)::BIGINT AS sqn FROM d GROUP BY vec_id
+       |), dims AS (
+       |  SELECT pos, SUM(v)::BIGINT AS s FROM d GROUP BY pos
+       |)
+       |SELECT
+       |  (SELECT COUNT(*) FROM q)::BIGINT AS n_vecs,
+       |  (SELECT SUM(sqn) FROM norms)::BIGINT AS sum_sq_norm,
+       |  (SELECT MIN(sqn) FROM norms)::BIGINT AS min_sq_norm,
+       |  (SELECT MAX(sqn) FROM norms)::BIGINT AS max_sq_norm,
+       |  (SELECT SUM((s // (SELECT COUNT(*) FROM q)) * (s // (SELECT COUNT(*) FROM q)))
+       |   FROM dims)::BIGINT AS mean_vec_sq""".stripMargin
+
   /** The Lloyd pipeline as shared DuckDB CTEs ending in `a2` =
     * (vec_id, cluster, dist).
     */

@@ -80,4 +80,25 @@ class ClusteringSpec extends GraftSuite {
     // both classes must be populated at test scale or the spec is vacuous
     assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L))
   }
+
+  test("embed_stats re-derives from a driver-side integer recount") {
+    val s = Clustering.embedStats(spark, sf).head
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(_.getSeq[Float](1).map(v => math.floor(v * 1000.0 + 0.5).toLong).toArray)
+    val sqns = embs.map(_.map(x => x * x).sum)
+    assert(s.getAs[Long]("n_vecs") == embs.length.toLong)
+    assert(s.getAs[Long]("sum_sq_norm") == sqns.sum)
+    assert(s.getAs[Long]("min_sq_norm") == sqns.min)
+    assert(s.getAs[Long]("max_sq_norm") == sqns.max)
+    val dim = embs.head.length
+    val meanSq = (0 until dim).map { d =>
+      val m = embs.map(_(d)).sum / embs.length // JVM long div == `div`
+      m * m
+    }.sum
+    assert(s.getAs[Long]("mean_vec_sq") == meanSq)
+    // near-random unit-ish embeddings: the anisotropy proxy must sit
+    // far below the average squared norm
+    assert(s.getAs[Long]("mean_vec_sq") <
+      s.getAs[Long]("sum_sq_norm") / s.getAs[Long]("n_vecs") / 10L)
+  }
 }
