@@ -450,6 +450,79 @@ object Bm25 {
        |LIMIT $k""".stripMargin
   }
 
+  /** "More like this": top-k documents by SPARSE COSINE similarity to
+    * an anchor document's TF vector (types.rs:79
+    * SparseVector::cosine_similarity, :53 norm, :58 dot_product — the
+    * reference's related-documents primitive). Dot products and
+    * squared norms are INTEGER sums over the fixed-point weights
+    * (exact at any corpus size); only the final
+    * dot/√(‖a‖²·‖d‖²) touches floats, computed from identical exact
+    * integers on both engines, so the fx-quantized score is
+    * bit-stable cross-engine.
+    *
+    * Scale shape: the anchor's term vector is ONE document's
+    * vocabulary — genuinely bounded, the legitimate broadcast — so
+    * the dot product is a map-side join over the sparse rows followed
+    * by a doc-keyed aggregate; per-doc norms ride the same sparse
+    * relation; the dots↔norms join is doc_id-keyed shuffle_hash
+    * (docs sharing any anchor term are a corpus FRACTION, never
+    * broadcast). Top-k is TakeOrdered.
+    */
+  def docSimilar(spark: SparkSession, dir: String,
+                 anchorId: Long = 7L, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tfs = column(graft.functions.expressions.TermFreqs(expression(col("text"))))
+    val sv = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tfs).as("e"))
+      .select(col("doc_id"), col("e.term_id").as("term_id"),
+        col("e.weight").as("w"))
+    val anchor = sv.filter(col("doc_id") === anchorId)
+      .select(col("term_id"), col("w").as("aw"))
+    val norms = sv.groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("w")).as("nsq"))
+    val anchorNorm = norms.filter(col("doc_id") === anchorId)
+      .select(col("nsq").as("ansq"))
+    val dots = sv.join(broadcast(anchor), Seq("term_id"))
+      .filter(col("doc_id") =!= anchorId)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("aw")).as("dot"), count(lit(1)).as("n_shared"))
+    dots.join(norms.hint("shuffle_hash"), Seq("doc_id"))
+      .crossJoin(broadcast(anchorNorm))
+      .select(col("doc_id"), col("n_shared"),
+        fx(col("dot").cast("double") /
+           sqrt(col("nsq").cast("double") * col("ansq").cast("double")), 6)
+          .as("cosine", graft.plans.ScoreTag.metadata))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def docSimilarSql(anchorId: Long = 7L, k: Int = 10): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+       |), sv AS (
+       |  SELECT doc_id, ${hash60Sql("term")} AS term_id,
+       |    ${fxSql("tf::DOUBLE / SUM(tf) OVER (PARTITION BY doc_id)", 6)} AS w
+       |  FROM tf
+       |), anchor AS (
+       |  SELECT term_id, w AS aw FROM sv WHERE doc_id = $anchorId
+       |), norms AS (
+       |  SELECT doc_id, SUM(w * w)::BIGINT AS nsq FROM sv GROUP BY doc_id
+       |), dots AS (
+       |  SELECT sv.doc_id, SUM(sv.w * a.aw)::BIGINT AS dot,
+       |    COUNT(*)::BIGINT AS n_shared
+       |  FROM sv JOIN anchor a USING (term_id)
+       |  WHERE sv.doc_id <> $anchorId
+       |  GROUP BY sv.doc_id
+       |)
+       |SELECT d.doc_id, d.n_shared,
+       |  ${fxSql("d.dot::DOUBLE / sqrt(n.nsq::DOUBLE * (SELECT nsq FROM norms WHERE doc_id = " + anchorId + ")::DOUBLE)", 6)} AS cosine
+       |FROM dots d JOIN norms n USING (doc_id)
+       |ORDER BY cosine DESC, d.doc_id
+       |LIMIT $k""".stripMargin
+
   val sparseVectorsSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents

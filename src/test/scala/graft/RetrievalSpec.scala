@@ -209,4 +209,26 @@ class RetrievalSpec extends GraftSuite {
     // absent term returns empty
     assert(Bm25.sparseSearch(spark, sf, Seq("zzzzunseen" -> 9L)).isEmpty)
   }
+
+  test("doc_similar ranks by sparse cosine; an exact duplicate scores 1.0") {
+    import org.apache.spark.sql.functions.col
+    val anchor = 7L
+    val out = Bm25.docSimilar(spark, sf, anchor, k = 10).collect()
+    assert(out.nonEmpty && out.forall(_.getAs[Long]("doc_id") != anchor))
+    val cs = out.map(_.getAs[Long]("cosine"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "descending")
+    assert(cs.forall(c => c >= 0L && c <= 1000000L), "cosine in [0, 1] at fx6")
+    // a doc with the same text as the anchor has the same TF vector:
+    // cosine exactly 1.0 (the corpus carries injected duplicates; if
+    // doc 7 has one it must top the list — verify via content hash)
+    val txt = Tables.documents(spark, sf).filter(col("doc_id") === anchor)
+      .head.getAs[String]("text")
+    val dupIds = Tables.documents(spark, sf)
+      .filter(col("text") === txt && col("doc_id") =!= anchor)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    if (dupIds.nonEmpty)
+      assert(out.take(dupIds.size).forall(r =>
+        dupIds.contains(r.getAs[Long]("doc_id")) &&
+          r.getAs[Long]("cosine") == 1000000L))
+  }
 }
