@@ -283,6 +283,12 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def sparseSearch(query: Seq[(String, Long)], k: Int = 20): DataFrame =
     Bm25.sparseSearch(spark, dir, query, capped(k))
 
+  /** "More like this" — top-k documents by sparse cosine to an anchor
+    * document (types.rs SparseVector::cosine_similarity).
+    */
+  def moreLikeThis(anchorId: Long, k: Int = 10): DataFrame =
+    Bm25.docSimilar(spark, dir, anchorId, capped(k))
+
   /** Batch of text queries in one job (parallel_search.rs
     * parallel_text_search); rows keyed by position in `queries`.
     */

@@ -41,6 +41,7 @@ class GraftDBSpec extends GraftSuite {
       rows(HybridSearch.rrfBatch(spark, sf, Bm25.BatchQueries.take(2), 5)))
     assert(rows(db.semanticSearchThreshold(0, 0.2, 10)) ==
       rows(VectorSearch.semanticTopKThreshold(spark, sf, 0, 0.2, 10)))
+    assert(rows(db.moreLikeThis(7L, 5)) == rows(Bm25.docSimilar(spark, sf, 7L, 5)))
     assert(rows(db.hybridSearch(Bm25.DefaultQuery, 0, "normalized")) ==
       rows(HybridSearch.normalized(spark, sf)))
     assert(rows(db.searchDocuments(HybridSearch.SnippetQuery)) ==
