@@ -71,6 +71,30 @@ class RouterSpec extends AnyFunSuite {
     assert(r.stats(0).emaLatencyMs == 80.0)
   }
 
+  test("concurrent least-connections routes never stampede one replica") {
+    // 8 threads x 50 routes over 4 replicas, each call holding its
+    // replica briefly: with atomic pick+acquire the in-flight counts
+    // keep concurrent calls spread out, so per-replica totals stay
+    // balanced and nothing leaks
+    val r = new ReplicaRouter[Int]((0 until 4).toIndexedSeq, Router.LeastConnections)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 8).map { _ =>
+        pool.submit(new Runnable {
+          def run(): Unit = (1 to 50).foreach { _ =>
+            r.route { _ => Thread.sleep(1) }
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val counts = r.stats.values.map(_.routed)
+    assert(counts.sum == 400L)
+    assert(r.stats.values.forall(_.inFlight == 0), "no in-flight leak")
+    assert(counts.max <= 2 * counts.min + 8,
+      s"stampede: per-replica counts $counts should stay balanced")
+  }
+
   test("in-flight is released when the replica throws; no healthy replicas raises") {
     val r = router(Router.LeastConnections, n = 2)
     intercept[RuntimeException](r.route[Int](_ => throw new RuntimeException("boom")))
