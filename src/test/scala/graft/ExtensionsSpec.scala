@@ -17,6 +17,38 @@ class ExtensionsSpec extends GraftSuite {
     }
   }
 
+  test("the full native-kernel surface registers as SQL functions") {
+    TestSpark.withExtensionsSession { s2 =>
+      // every SQL call must equal its DataFrame/kernel twin
+      val txt = "Spark Vector engines stream spark vector data"
+      val r = s2.sql(
+        s"""SELECT simhash64('$txt') AS sh,
+           |  gram_fingerprint('$txt') AS fp,
+           |  repetition_stats('$txt') AS rs,
+           |  term_freqs('$txt') AS tf,
+           |  shingles('$txt', 2) AS sg,
+           |  mock_embed('$txt', 8) AS me,
+           |  byte_features(encode('$txt', 'utf-8')) AS bf""".stripMargin).head
+      import org.apache.spark.unsafe.types.UTF8String
+      val u = UTF8String.fromString(txt)
+      assert(r.getSeq[Long](r.fieldIndex("sh")) ==
+        graft.functions.expressions.SimHashWords.compute(u).toLongArray().toSeq)
+      assert(r.getSeq[Long](r.fieldIndex("fp")) ==
+        graft.functions.expressions.GramFingerprint.compute(u).toLongArray().toSeq)
+      assert(r.getSeq[Long](r.fieldIndex("rs")) ==
+        graft.functions.expressions.RepetitionStats.compute(u).toLongArray().toSeq)
+      assert(r.getSeq[String](r.fieldIndex("sg")).contains("spark vector"))
+      val me = r.getSeq[Double](r.fieldIndex("me"))
+      assert(me.length == 8 &&
+        math.abs(me.map(x => x * x).sum - 1.0) < 1e-9, "unit-normalized")
+      assert(r.getSeq[Long](r.fieldIndex("bf")).nonEmpty)
+      // literal-arg guard: a non-literal dim is a clear error
+      val err = intercept[Exception](
+        s2.sql("SELECT mock_embed('x', CAST(rand()*4 AS INT))").head)
+      assert(err.getMessage.contains("literal"))
+    }
+  }
+
   test("CapResultLimit optimizer rule caps literal limits above the ceiling") {
     TestSpark.withExtensionsSession { s2 =>
       import s2.implicits._
