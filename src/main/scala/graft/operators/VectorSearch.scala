@@ -792,6 +792,118 @@ object VectorSearch {
        |ORDER BY dist, e.vec_id
        |LIMIT $k""".stripMargin
 
+  /** IVF-PQ — the canonical billion-scale index shape (FAISS
+    * IndexIVFPQ; reference index.rs FaissIndexType::IvfPq): the
+    * two-level IVF probe routes the query to `nprobe` cells, and only
+    * the candidates IN those cells are ADC-scored against the
+    * broadcast per-query distance table, then the ADC front is
+    * exactly L2-rescored. Composes [[annIvf]]'s probe machinery with
+    * [[annPq]]'s codebook/ADC scoring unchanged — at 100 TB the scan
+    * fraction is nprobe/nlist (file-level with the persisted cell
+    * layout) AND each scanned vector costs 16 table lookups instead
+    * of a 64-dim float kernel, which is exactly why IVF-PQ is the
+    * shape billion-vector deployments run. Every stage is
+    * deterministic (strided centroids, argmin tie-breaks, ordered
+    * ADC fold), so the DuckDB oracle replays it hash-exactly.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 10,
+               stride: Int = IvfStride, nprobe: Int = IvfNprobe,
+               coarseK: Int = PqCoarseK): DataFrame = {
+    val corpus = embCorpus(spark, dir)
+    def sub(m: Int, e: Column): Column = slice(e, m * PqSubDim + 1, PqSubDim)
+    // ---- IVF probe (identical machinery to annIvf) ----
+    val coarseArr = corpus.filter(col("vec_id") % (stride.toLong * IvfCoarse) === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
+    val fine = corpus.filter(col("vec_id") % stride === 0)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        nearestCentroid(col("emb"), col("carr")).as("ccid"))
+    val fineByCoarse = fine.groupBy(col("ccid"))
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+    val qcoarse = coarseArr.crossJoin(broadcast(queryVec(spark, dir, qid)))
+      .select(
+        transform(
+          slice(array_sort(transform(col("carr"), c => l2Struct(col("qv"), c))), 1, IvfProbeCoarse),
+          p => p.getField("cid")).as("pccids"),
+        col("qv"))
+    val probed = fine.crossJoin(broadcast(qcoarse))
+      .filter(array_contains(col("pccids"), col("ccid")))
+      .select(col("cid"), l2DistanceSq(col("cemb"), col("qv")).as("dist"), col("qv"))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .agg(collect_list(col("cid")).as("pcids"), first(col("qv")).as("qv"))
+    val candidates = corpus.crossJoin(broadcast(coarseArr))
+      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
+      .join(broadcast(fineByCoarse), Seq("ccid"))
+      .withColumn("acid", nearestCentroid(col("emb"), col("fcents")))
+      .crossJoin(broadcast(probed))
+      .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("emb"), col("qv"))
+    // ---- PQ ADC over the probed fraction only ----
+    val bookCols = (0 until PqM).map { m =>
+      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
+        sub(m, col("emb")).as("cemb"))).as(s"book$m")
+    }
+    val books = corpus
+      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
+      .agg(bookCols.head, bookCols.tail: _*)
+    val adcCols = (0 until PqM).map { m =>
+      transform(array_sort(col(s"book$m")),
+        c => l2DistanceSq(sub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
+    }
+    val adc = queryVec(spark, dir, qid).crossJoin(broadcast(books)).select(adcCols: _*)
+    val encoded = candidates.crossJoin(broadcast(books))
+      .select(col("vec_id") +: col("emb") +: col("qv") +: (0 until PqM).map(m =>
+        nearestCentroid(sub(m, col("emb")), col(s"book$m")).as(s"code$m")): _*)
+    val adcDist = (0 until PqM).map(m =>
+      element_at(col(s"adc$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+    val ranked = encoded.crossJoin(broadcast(adc))
+      .select(col("vec_id"), col("emb"), col("qv"), fx(adcDist).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(coarseK)
+    ranked
+      .select(col("vec_id"), fx(l2DistanceSq(col("emb"), col("qv"))).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def annIvfPqSql(qid: Long = 0, k: Int = 10, stride: Int = IvfStride,
+                  nprobe: Int = IvfNprobe, coarseK: Int = PqCoarseK): String =
+    s"""${ivfProbeSqlPrefix(qid, stride, nprobe)},
+       |cand AS (
+       |  SELECT a.vec_id, a.emb
+       |  FROM assigned a, probed
+       |  WHERE list_contains(pcids, acid) AND a.vec_id <> $qid
+       |), subs AS (SELECT unnest(range(0, $PqM)) AS m),
+       |books AS (
+       |  SELECT m, vec_id // $PqStride AS cid,
+       |    emb[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS cemb
+       |  FROM corpus, subs
+       |  WHERE vec_id % $PqStride = 0 AND vec_id < ${PqK.toLong * PqStride}
+       |), codes AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT c.vec_id, b.m, b.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id, b.m
+       |        ORDER BY ${l2SubSql(s"c.emb[b.m * $PqSubDim + 1 : b.m * $PqSubDim + $PqSubDim]", "b.cemb")}, b.cid) AS rn
+       |    FROM cand c, books b
+       |  ) WHERE rn = 1
+       |), adctab AS (
+       |  SELECT b.m, b.cid,
+       |    ${l2SubSql(s"q.qv[b.m * $PqSubDim + 1 : b.m * $PqSubDim + $PqSubDim]", "b.cemb")} AS d
+       |  FROM books b, q
+       |), adcranked AS (
+       |  SELECT c.vec_id, ${fxSql("list_sum(list(a.d ORDER BY a.m))")} AS adc_dist
+       |  FROM codes c JOIN adctab a ON c.m = a.m AND c.code = a.cid
+       |  GROUP BY c.vec_id
+       |  ORDER BY adc_dist, c.vec_id
+       |  LIMIT $coarseK
+       |)
+       |SELECT e.vec_id,
+       |  ${fxSql("list_sum(list_transform(range(1, 65), i -> (e.emb[i] - q.qv[i]) * (e.emb[i] - q.qv[i])))")} AS dist
+       |FROM adcranked r JOIN cand e USING (vec_id), q
+       |ORDER BY dist, e.vec_id
+       |LIMIT $k""".stripMargin
+
   def annLshSql(nQueries: Int = 8, k: Int = 5, radius: Int = LshProbeRadius): String = {
     val planes = lshPlanes(64, AnnLshPlanes)
     // same plane matrix inlined as a DuckDB list-of-lists literal
