@@ -89,7 +89,7 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     val session = GraftDB.CheckResult(!spark.sparkContext.isStopped,
       if (spark.sparkContext.isStopped) "SparkContext stopped" else s"master=${spark.sparkContext.master}")
     val index = {
-      val kinds = Seq("lsh", "ivf", "pq").filter { k =>
+      val kinds = Seq("lsh", "ivf", "pq", "ivfpq").filter { k =>
         new java.io.File(VectorIndex.indexPath(dir, k), "_SUCCESS").exists()
       }
       val debt =

@@ -381,6 +381,8 @@ object VectorIndex {
       buildIvfIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "pq"), Seq("_books", ""))(
       buildPqIndex(spark, dir, _))
+    rebuildStaged(indexPath(dir, "ivfpq"), Seq("_centroids", "_books", ""))(
+      buildIvfPqIndex(spark, dir, _))
   }
 
   /** Auto-optimize heuristic (reference
@@ -469,7 +471,8 @@ object VectorIndex {
     val kinds: Seq[(String, Seq[String], String => Unit)] = Seq(
       ("lsh", Seq(""), buildLshIndex(spark, dir, _)),
       ("ivf", Seq("_centroids", ""), buildIvfIndex(spark, dir, _)),
-      ("pq", Seq("_books", ""), buildPqIndex(spark, dir, _)))
+      ("pq", Seq("_books", ""), buildPqIndex(spark, dir, _)),
+      ("ivfpq", Seq("_centroids", "_books", ""), buildIvfPqIndex(spark, dir, _)))
     kinds.collect {
       case (kind, sfx, build)
         if exists(spark, indexPath(dir, kind)) &&
@@ -495,6 +498,127 @@ object VectorIndex {
     buildIfMissing(path, Seq("_centroids", ""))(buildIvfIndex(spark, dir, _))
     path
   }
+
+  /** Build (or rebuild) the IVF-PQ layout — the on-disk form of the
+    * billion-scale index ([[VectorSearch.annIvfPq]]; FAISS stores
+    * exactly this: PQ CODES bucketed per IVF cell): each corpus row is
+    * routed to its fine cell (identical two-level assignment to the
+    * IVF layout) and stored as its 16 sub-centroid codes,
+    * `partitionBy(cell)` — so a query's probe both file-prunes to
+    * nprobe directories AND reads ~10 bytes per candidate. Centroid
+    * relation and codebook saved alongside.
+    */
+  def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
+                      stride: Int = VectorSearch.IvfStride): Unit = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import VectorSearch.{PqM, PqSubDim, PqK, PqStride}
+    def nearestCentroid(emb: org.apache.spark.sql.Column,
+                        cents: org.apache.spark.sql.Column) =
+      column(graft.functions.expressions.NearestCentroid(
+        expression(emb), expression(cents)))
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+    def sub(m: Int, e: org.apache.spark.sql.Column) =
+      slice(e, m * PqSubDim + 1, PqSubDim)
+    // cell routing — identical machinery to buildIvfIndex
+    val coarseArr = corpus
+      .filter(col("vec_id") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
+    val fine = corpus.filter(col("vec_id") % stride === 0)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        nearestCentroid(col("emb"), col("carr")).as("ccid"))
+    fine.write.mode("overwrite").parquet(path + "_centroids")
+    val fineByCoarse = fine.groupBy(col("ccid"))
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+    // codebook — identical machinery to buildPqIndex
+    val bookCols = (0 until PqM).map { m =>
+      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
+        sub(m, col("emb")).as("cemb"))).as(s"book$m")
+    }
+    val books = corpus
+      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
+      .agg(bookCols.head, bookCols.tail: _*)
+    books.coalesce(1).write.mode("overwrite").parquet(path + "_books")
+    corpus.crossJoin(broadcast(coarseArr))
+      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
+      .join(broadcast(fineByCoarse), Seq("ccid"))
+      .withColumn("cell", nearestCentroid(col("emb"), col("fcents")).cast("int"))
+      .crossJoin(broadcast(books))
+      .select(col("vec_id") +: lit(0L).as("gen") +: col("cell") +:
+        (0 until PqM).map(m =>
+          nearestCentroid(sub(m, col("emb")), col(s"book$m")).cast("int")
+            .as(s"code$m")): _*)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  def ivfPqIndexReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "ivfpq")
+    buildIfMissing(path, Seq("_centroids", "_books", ""))(buildIvfPqIndex(spark, dir, _))
+    path
+  }
+
+  /** IVF-PQ served from the persisted layout: identical results to
+    * [[VectorSearch.annIvfPq]]. The probe resolves its nprobe cells
+    * from the saved centroid relation (KB reads), the cell equi-join
+    * dynamic-prunes the codes scan to those directories, ADC scoring
+    * reads codes only, and the exact rescore reads back
+    * [[VectorSearch.PqCoarseK]] full vectors by id from the flat
+    * table — at 100 TB a query touches nprobe/nlist of the CODES
+    * (already ~25x smaller than the vectors) plus 100 rescore rows.
+    */
+  def annIvfPqFromIndex(spark: SparkSession, dir: String, path: String,
+                        queries: DataFrame, qid: Long = 0, k: Int = 10,
+                        stride: Int = VectorSearch.IvfStride,
+                        nprobe: Int = VectorSearch.IvfNprobe,
+                        coarseK: Int = VectorSearch.PqCoarseK): DataFrame = {
+    import VectorSearch.{PqM, PqSubDim}
+    val fine = spark.read.parquet(path + "_centroids")
+    val books = spark.read.parquet(path + "_books")
+    val codes = spark.read.parquet(path)
+    val qv = queries.filter(col("query_id") === qid).select(col("qv"))
+    def sub(m: Int, e: org.apache.spark.sql.Column) =
+      slice(e, m * PqSubDim + 1, PqSubDim)
+    // probe selection — identical to annIvfFromIndex
+    val coarse = fine.filter(col("cid") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
+      .select(col("cid").as("pccid"), col("cemb").as("coarse_emb"))
+    val qcoarse = coarse.crossJoin(broadcast(qv))
+      .select(col("pccid"), l2DistanceSq(col("coarse_emb"), col("qv")).as("dist"), col("qv"))
+      .orderBy(col("dist"), col("pccid"))
+      .limit(VectorSearch.IvfProbeCoarse)
+    val probeCells = fine.join(broadcast(qcoarse), col("ccid") === col("pccid"))
+      .select(col("cid"), l2DistanceSq(col("cemb"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").cast("int").as("cell"))
+    val adcCols = (0 until PqM).map { m =>
+      transform(array_sort(col(s"book$m")),
+        c => l2DistanceSq(sub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
+    }
+    val adc = qv.crossJoin(broadcast(books)).select(adcCols: _*)
+    val adcDist = (0 until PqM).map(m =>
+      element_at(col(s"adc$m"), col(s"code$m") + 1)).reduce(_ + _)
+    val ranked = codes.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(adc))
+      .select(col("vec_id"), fx(adcDist).as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(coarseK)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .join(broadcast(ranked), Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), fx(l2DistanceSq(col("emb"), col("qv"))).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** Driver entry: build-if-missing (rebuild_index), then serve. */
+  def annIvfPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
+                      k: Int = 10): DataFrame =
+    annIvfPqFromIndex(spark, dir, ivfPqIndexReady(spark, dir),
+      queryBatch(spark, dir, qid.toInt + 1), qid, k)
 
   def pqIndexReady(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir, "pq")

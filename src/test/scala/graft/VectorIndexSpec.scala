@@ -45,6 +45,22 @@ class VectorIndexSpec extends GraftSuite {
     assert(plan.contains("dynamicpruning"), s"no DPP on cell join:\n$plan")
   }
 
+  test("IVF-PQ layout serves the exact annIvfPq results from pruned code directories") {
+    val path = tmpDir("graft_ivfpq_idx")
+    VectorIndex.buildIvfPqIndex(spark, sf, path)
+    val served = VectorIndex.annIvfPqFromIndex(spark, sf, path,
+      VectorIndex.queryBatch(spark, sf, 1))
+    assert(rows(served) == rows(VectorSearch.annIvfPq(spark, sf)),
+      "the persisted layout must reproduce the batch IVF-PQ bit-for-bit")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP on the cell join:\n$plan")
+    // the layout stores codes, never vectors: ~10 bytes a row
+    val layout = spark.read.parquet(path)
+    assert(layout.columns.count(_.startsWith("code")) == VectorSearch.PqM)
+    assert(!layout.columns.exists(c => c == "embedding" || c == "emb"),
+      "full vectors must not be in the codes layout")
+  }
+
   test("label-gated IVF search filters the probed candidates before the top-k") {
     val labels = Seq(1, 3, 5)
     val filtered = VectorIndex.annIvfFilteredIndexed(spark, sf, labels = labels)
