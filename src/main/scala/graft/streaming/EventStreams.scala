@@ -279,6 +279,54 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintenance of the persisted IVF-PQ codes layout:
+    * each micro-batch is routed through the SAVED centroids (the
+    * [[ivfIndexStream]] cell assignment) AND encoded through the
+    * SAVED codebook (the [[pqIndexStream]] codes), appended into the
+    * cell directories the probe dynamic-prunes to — every persisted
+    * layout keeps its generation-keyed, replay-safe upkeep path.
+    */
+  def ivfPqIndexStream(vecs: DataFrame, path: String, baseGen: Long = 1L,
+                       stride: Int = graft.operators.VectorSearch.IvfStride)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        import graft.operators.VectorSearch.{PqM, PqSubDim}
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        def nearest(emb: org.apache.spark.sql.Column,
+                    cents: org.apache.spark.sql.Column) =
+          column(graft.functions.expressions.NearestCentroid(
+            expression(emb), expression(cents)))
+        if (!generationPresent(spark.read.parquet(path), gen)) {
+          val fine = spark.read.parquet(path + "_centroids")
+          val books = spark.read.parquet(path + "_books")
+          val coarseArr = fine
+            .filter(col("cid") %
+              (stride.toLong * graft.operators.VectorSearch.IvfCoarse) === 0)
+            .agg(collect_list(struct(col("cid"), col("cemb"))).as("carr"))
+          val fineByCoarse = fine.groupBy(col("ccid"))
+            .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+          batch
+            .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+            .crossJoin(broadcast(coarseArr))
+            .withColumn("ccid", nearest(col("emb"), col("carr")))
+            .join(broadcast(fineByCoarse), Seq("ccid"))
+            .crossJoin(broadcast(books))
+            .select(col("vec_id") +: lit(gen).as("gen") +:
+              nearest(col("emb"), col("fcents")).cast("int").as("cell") +:
+              (0 until PqM).map { m =>
+                nearest(slice(col("emb"), m * PqSubDim + 1, PqSubDim),
+                  col(s"book$m")).cast("int").as(s"code$m")
+              }: _*)
+            .repartition(col("cell"))
+            .write.mode("append").partitionBy("cell").parquet(path)
+        }
+      }
+      .start()
+
   def vectorIndexStream(vecs: DataFrame, path: String,
                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream

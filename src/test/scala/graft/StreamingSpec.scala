@@ -221,4 +221,42 @@ class StreamingSpec extends GraftSuite {
     assert(spark.read.parquet(idxPath).count() == nRows,
       "replayed batch appended duplicate vectors")
   }
+
+  test("streamed vectors join IVF-PQ serving through routed code appends") {
+    import graft.sources.VectorIndex
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfpqidx_stream").toString + "/ivfpq"
+    VectorIndex.buildIvfPqIndex(spark, sf, idxPath)
+    val maxId = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head.getLong(0)
+    // a clone of vec 0 routes into vec 0's cell and encodes to vec 0's
+    // codes, so its ADC distance ties vec 0's and it reaches the
+    // rescore set; the rescore reads the FLAT table, so the clone must
+    // exist there too — stage it as an appended flat-table fragment is
+    // out of scope here, so assert at the codes layer instead: the
+    // appended generation lands in the right cell with vec 0's codes.
+    val stageDir = java.nio.file.Files.createTempDirectory("ivfpqvecs_stream")
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.ivfPqIndexStream(newStream(), idxPath)
+    q.processAllAvailable(); q.stop()
+    val layout = spark.read.parquet(idxPath)
+    val base0 = layout.filter(col("vec_id") === 0L).head
+    val appended = layout.filter(col("vec_id") === maxId + 1).head
+    assert(appended.getAs[Long]("gen") > 0L, "appended row must carry its generation")
+    assert(appended.getAs[Int]("cell") == base0.getAs[Int]("cell"),
+      "identical embedding must route to the identical cell")
+    (0 until graft.operators.VectorSearch.PqM).foreach { m =>
+      assert(appended.getAs[Int](s"code$m") == base0.getAs[Int](s"code$m"),
+        s"code$m drifted from the base encoding")
+    }
+    // replay safety
+    val nRows = layout.count()
+    val q2 = EventStreams.ivfPqIndexStream(newStream(), idxPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(idxPath).count() == nRows,
+      "replayed batch appended duplicate codes")
+  }
 }
