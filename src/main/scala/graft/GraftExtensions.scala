@@ -18,11 +18,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
-    case l: Literal if l.foldable => l.eval().asInstanceOf[Number].intValue()
-    case _ => throw new IllegalArgumentException(
-      s"$fn expects a literal integer argument")
-  }
+  private def intArg(e: Expression, fn: String): Int =
+    if (e.foldable) e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a constant integer argument, got $other")
+    } else throw new IllegalArgumentException(
+      s"$fn expects a constant integer argument")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     def register(name: String, clazz: Class[_])(

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * integer milli-units up front, so every centroid accumulation is
   * EXACT integer arithmetic — no float summation-order jitter can
   * flip a borderline assignment. Centroid updates divide with an
-  * explicit FLOOR on a double quotient (|sum| is far inside 2^53)
-  * because Spark's `div` truncates toward zero while DuckDB's `//`
-  * floors — the one place the engines' integer semantics disagree.
+  * explicit FLOOR on a double quotient (|sum| is far inside 2^53) so
+  * the rounding rule is spelled out rather than inherited: DuckDB
+  * 1.0's integer `//` truncates toward zero exactly like Spark's
+  * `div` (verified: (-7)//2 = -3 on the pinned oracle engine; older
+  * DuckDB releases floored), and [[embedStats]] relies on that
+  * equivalence directly.
   * Ties in the argmin break toward the lower cluster id in both
   * engines (lexicographic (dist, cluster) minimum).
   *
@@ -159,16 +162,20 @@ object Clustering {
       .agg(count(lit(1)).as("n_vecs"), sum(col("sqn")).as("sum_sq_norm"),
         min(col("sqn")).as("min_sq_norm"), max(col("sqn")).as("max_sq_norm"))
       .withColumn("k", lit(1))
-    val meanSq = q.select(posexplode(col("qe")).as(Seq("pos", "v")))
+    val dims = q.select(posexplode(col("qe")).as(Seq("pos", "v")))
       .groupBy(col("pos")).agg(sum(col("v")).as("s"))
       .withColumn("k", lit(1))
-      .join(normAgg.select(col("k"), col("n_vecs")), "k")
-      .select(expr("(s div n_vecs) * (s div n_vecs)").as("msq"))
-      .agg(sum(col("msq")).as("mean_vec_sq"))
-      .withColumn("k", lit(1))
-    normAgg.join(meanSq, "k")
+    // ONE evaluation of the norms aggregate: the 1-row norm stats join
+    // the 64-row dim sums, the per-dim mean squares fold in a second
+    // bounded aggregate — referencing normAgg twice (once for n_vecs,
+    // once for the output row) re-ran the corpus norms pass
+    normAgg.join(dims, "k")
       .select(col("n_vecs"), col("sum_sq_norm"), col("min_sq_norm"),
-        col("max_sq_norm"), col("mean_vec_sq"))
+        col("max_sq_norm"),
+        expr("(s div n_vecs) * (s div n_vecs)").as("msq"))
+      .groupBy(col("n_vecs"), col("sum_sq_norm"), col("min_sq_norm"),
+        col("max_sq_norm"))
+      .agg(sum(col("msq")).as("mean_vec_sq"))
   }
 
   val embedStatsSql: String =

@@ -54,6 +54,52 @@ import org.apache.spark.sql.functions._
   */
 object VectorIndex {
 
+  /** Shared bridge to the native argmin kernel — ONE definition so
+    * build, rebuild and streaming paths cannot drift apart.
+    */
+  private[graft] def nearestCentroidCol(
+      emb: org.apache.spark.sql.Column,
+      cents: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    column(graft.functions.expressions.NearestCentroid(
+      expression(emb), expression(cents)))
+  }
+
+  /** The two-level IVF routing relations from a (…, emb) corpus
+    * frame: (coarse centroid array, fine-centroid relation,
+    * fine-by-coarse groups). Shared by the IVF and IVF-PQ builders so
+    * their cell assignments are bit-identical by construction.
+    */
+  private def ivfRouting(corpus: org.apache.spark.sql.DataFrame, stride: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val coarseArr = corpus
+      .filter(col("vec_id") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
+      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
+    val fine = corpus.filter(col("vec_id") % stride === 0)
+      .crossJoin(broadcast(coarseArr))
+      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
+        nearestCentroidCol(col("emb"), col("carr")).as("ccid"))
+    val fineByCoarse = fine.groupBy(col("ccid"))
+      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
+    (coarseArr, fine, fineByCoarse)
+  }
+
+  /** The one-row PQ codebook from a (vec_id, emb) corpus frame —
+    * shared by the PQ and IVF-PQ builders.
+    */
+  private def pqCodebook(corpus: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import VectorSearch.{PqM, PqSubDim, PqK, PqStride}
+    val bookCols = (0 until PqM).map { m =>
+      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
+        slice(col("emb"), m * PqSubDim + 1, PqSubDim).as("cemb"))).as(s"book$m")
+    }
+    corpus
+      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
+      .agg(bookCols.head, bookCols.tail: _*)
+  }
+
   /** Build (or rebuild, mode=overwrite) the LSH-partitioned layout.
     * `gen` 0 marks base-build rows; streaming maintenance
     * ([[graft.streaming.EventStreams.vectorIndexStream]]) appends
@@ -126,30 +172,17 @@ object VectorIndex {
     */
   def buildIvfIndex(spark: SparkSession, dir: String, path: String,
                     stride: Int = VectorSearch.IvfStride): Unit = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def nearestCentroid(emb: org.apache.spark.sql.Column,
-                        cents: org.apache.spark.sql.Column) =
-      column(graft.functions.expressions.NearestCentroid(
-        expression(emb), expression(cents)))
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"), toDouble(col("embedding")).as("emb"))
-    val coarseArr = corpus
-      .filter(col("vec_id") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
-    val fine = corpus.filter(col("vec_id") % stride === 0)
-      .crossJoin(broadcast(coarseArr))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        nearestCentroid(col("emb"), col("carr")).as("ccid"))
+    val (coarseArr, fine, fineByCoarse) = ivfRouting(corpus, stride)
     fine.write.mode("overwrite").parquet(path + "_centroids")
-    val fineByCoarse = fine.groupBy(col("ccid"))
-      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
     corpus.crossJoin(broadcast(coarseArr))
-      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
+      .withColumn("ccid", nearestCentroidCol(col("emb"), col("carr")))
       .join(broadcast(fineByCoarse), Seq("ccid"))
       // gen 0 = base build; ivfIndexStream appends later generations
       // into the same cell directories
       .select(col("vec_id"), col("embedding"), lit(0L).as("gen"),
-        nearestCentroid(col("emb"), col("fcents")).cast("int").as("cell"))
+        nearestCentroidCol(col("emb"), col("fcents")).cast("int").as("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
@@ -231,28 +264,17 @@ object VectorIndex {
     * query read back from the flat table.
     */
   def buildPqIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import VectorSearch.{PqM, PqSubDim, PqK, PqStride}
-    def nearestCentroid(emb: org.apache.spark.sql.Column,
-                        cents: org.apache.spark.sql.Column) =
-      column(graft.functions.expressions.NearestCentroid(
-        expression(emb), expression(cents)))
+    import VectorSearch.{PqM, PqSubDim}
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     def sub(m: Int, e: org.apache.spark.sql.Column) =
       slice(e, m * PqSubDim + 1, PqSubDim)
-    val bookCols = (0 until PqM).map { m =>
-      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
-        sub(m, col("emb")).as("cemb"))).as(s"book$m")
-    }
-    val books = corpus
-      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
-      .agg(bookCols.head, bookCols.tail: _*)
+    val books = pqCodebook(corpus)
     books.coalesce(1).write.mode("overwrite").parquet(path + "_books")
     // gen 0 = base build; pqIndexStream appends later generations
     corpus.crossJoin(broadcast(books))
       .select(col("vec_id") +: lit(0L).as("gen") +: (0 until PqM).map(m =>
-        nearestCentroid(sub(m, col("emb")), col(s"book$m")).cast("int").as(s"code$m")): _*)
+        nearestCentroidCol(sub(m, col("emb")), col(s"book$m")).cast("int").as(s"code$m")): _*)
       .write.mode("overwrite").parquet(path)
   }
 
@@ -510,44 +532,25 @@ object VectorIndex {
     */
   def buildIvfPqIndex(spark: SparkSession, dir: String, path: String,
                       stride: Int = VectorSearch.IvfStride): Unit = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    import VectorSearch.{PqM, PqSubDim, PqK, PqStride}
-    def nearestCentroid(emb: org.apache.spark.sql.Column,
-                        cents: org.apache.spark.sql.Column) =
-      column(graft.functions.expressions.NearestCentroid(
-        expression(emb), expression(cents)))
+    import VectorSearch.{PqM, PqSubDim}
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     def sub(m: Int, e: org.apache.spark.sql.Column) =
       slice(e, m * PqSubDim + 1, PqSubDim)
-    // cell routing — identical machinery to buildIvfIndex
-    val coarseArr = corpus
-      .filter(col("vec_id") % (stride.toLong * VectorSearch.IvfCoarse) === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
-    val fine = corpus.filter(col("vec_id") % stride === 0)
-      .crossJoin(broadcast(coarseArr))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        nearestCentroid(col("emb"), col("carr")).as("ccid"))
+    // cell routing and codebook come from the SAME helpers the IVF and
+    // PQ builders use, so the three layouts can never drift apart
+    val (coarseArr, fine, fineByCoarse) = ivfRouting(corpus, stride)
     fine.write.mode("overwrite").parquet(path + "_centroids")
-    val fineByCoarse = fine.groupBy(col("ccid"))
-      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
-    // codebook — identical machinery to buildPqIndex
-    val bookCols = (0 until PqM).map { m =>
-      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
-        sub(m, col("emb")).as("cemb"))).as(s"book$m")
-    }
-    val books = corpus
-      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
-      .agg(bookCols.head, bookCols.tail: _*)
+    val books = pqCodebook(corpus)
     books.coalesce(1).write.mode("overwrite").parquet(path + "_books")
     corpus.crossJoin(broadcast(coarseArr))
-      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
+      .withColumn("ccid", nearestCentroidCol(col("emb"), col("carr")))
       .join(broadcast(fineByCoarse), Seq("ccid"))
-      .withColumn("cell", nearestCentroid(col("emb"), col("fcents")).cast("int"))
+      .withColumn("cell", nearestCentroidCol(col("emb"), col("fcents")).cast("int"))
       .crossJoin(broadcast(books))
       .select(col("vec_id") +: lit(0L).as("gen") +: col("cell") +:
         (0 until PqM).map(m =>
-          nearestCentroid(sub(m, col("emb")), col(s"book$m")).cast("int")
+          nearestCentroidCol(sub(m, col("emb")), col(s"book$m")).cast("int")
             .as(s"code$m")): _*)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
@@ -567,6 +570,13 @@ object VectorIndex {
     * [[VectorSearch.PqCoarseK]] full vectors by id from the flat
     * table — at 100 TB a query touches nprobe/nlist of the CODES
     * (already ~25x smaller than the vectors) plus 100 rescore rows.
+    *
+    * CONTRACT: the rescore joins the flat vector table, so a vector
+    * appended to the codes layout (ivfPqIndexStream) must also land
+    * in the flat store — the same store+index pairing the reference's
+    * add_document maintains by writing both together. A codes-only
+    * vector would win an ADC rescore slot and then vanish at the
+    * join; ingest and index maintenance are two halves of one write.
     */
   def annIvfPqFromIndex(spark: SparkSession, dir: String, path: String,
                         queries: DataFrame, qid: Long = 0, k: Int = 10,

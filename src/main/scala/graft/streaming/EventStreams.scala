@@ -223,9 +223,9 @@ object EventStreams {
             .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
             .crossJoin(broadcast(books))
             .select(col("vec_id") +: lit(gen).as("gen") +: (0 until PqM).map { m =>
-              column(graft.functions.expressions.NearestCentroid(
-                expression(slice(col("emb"), m * PqSubDim + 1, PqSubDim)),
-                expression(col(s"book$m")))).cast("int").as(s"code$m")
+              graft.sources.VectorIndex.nearestCentroidCol(
+                slice(col("emb"), m * PqSubDim + 1, PqSubDim),
+                col(s"book$m")).cast("int").as(s"code$m")
             }: _*)
             .write.mode("append").parquet(path)
         }
@@ -252,11 +252,9 @@ object EventStreams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val gen = baseGen + batchId
-        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
         def nearest(emb: org.apache.spark.sql.Column,
                     cents: org.apache.spark.sql.Column) =
-          column(graft.functions.expressions.NearestCentroid(
-            expression(emb), expression(cents)))
+          graft.sources.VectorIndex.nearestCentroidCol(emb, cents)
         if (!generationPresent(spark.read.parquet(path), gen)) {
           val fine = spark.read.parquet(path + "_centroids")
           val coarseArr = fine
@@ -285,6 +283,10 @@ object EventStreams {
     * SAVED codebook (the [[pqIndexStream]] codes), appended into the
     * cell directories the probe dynamic-prunes to — every persisted
     * layout keeps its generation-keyed, replay-safe upkeep path.
+    * Pair with the flat-store append for the same vectors: the
+    * serving rescore reads full vectors by id from the flat table
+    * (see annIvfPqFromIndex's contract note), so index upkeep and
+    * store ingest are two halves of one logical write.
     */
   def ivfPqIndexStream(vecs: DataFrame, path: String, baseGen: Long = 1L,
                        stride: Int = graft.operators.VectorSearch.IvfStride)
@@ -295,11 +297,9 @@ object EventStreams {
         val spark = batch.sparkSession
         val gen = baseGen + batchId
         import graft.operators.VectorSearch.{PqM, PqSubDim}
-        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
         def nearest(emb: org.apache.spark.sql.Column,
                     cents: org.apache.spark.sql.Column) =
-          column(graft.functions.expressions.NearestCentroid(
-            expression(emb), expression(cents)))
+          graft.sources.VectorIndex.nearestCentroidCol(emb, cents)
         if (!generationPresent(spark.read.parquet(path), gen)) {
           val fine = spark.read.parquet(path + "_centroids")
           val books = spark.read.parquet(path + "_books")

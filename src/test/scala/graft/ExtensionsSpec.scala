@@ -42,10 +42,16 @@ class ExtensionsSpec extends GraftSuite {
       assert(me.length == 8 &&
         math.abs(me.map(x => x * x).sum - 1.0) < 1e-9, "unit-normalized")
       assert(r.getSeq[Long](r.fieldIndex("bf")).nonEmpty)
-      // literal-arg guard: a non-literal dim is a clear error
+      // constant-arg guard: a non-constant dim is a clear error, a
+      // NULL constant too (not an NPE), and a foldable expression is
+      // accepted like a bare literal
       val err = intercept[Exception](
         s2.sql("SELECT mock_embed('x', CAST(rand()*4 AS INT))").head)
-      assert(err.getMessage.contains("literal"))
+      assert(err.getMessage.contains("constant"))
+      val errNull = intercept[Exception](s2.sql("SELECT shingles('x', NULL)").head)
+      assert(errNull.getMessage.contains("constant"))
+      assert(s2.sql("SELECT mock_embed('x', 2+6) AS e").head
+        .getSeq[Double](0).length == 8)
     }
   }
 
