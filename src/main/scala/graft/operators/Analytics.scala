@@ -757,4 +757,188 @@ object Analytics {
            count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
   }
+
+  /** Predicate-only revenue scan (TPC-H Q6 shape): a single parquet
+    * scan with every predicate pushed to the reader and ONE global
+    * aggregate — the cheapest possible plan shape, and the purest
+    * test that pushdown actually happens (`.explain` must show all
+    * three ranges in PushedFilters and a 3-column ReadSchema). At
+    * 100 TB this is the query where pushdown is the whole game:
+    * row-group min/max statistics skip most of the corpus before a
+    * single byte of l_extendedprice is decoded.
+    */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(fx(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  val q6Sql: String =
+    s"""SELECT ${fxSql("SUM(l_extendedprice * l_discount)", 2)} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24""".stripMargin
+
+  /** Returned-item report (TPC-H Q10 shape): revenue lost to returns
+    * per customer, top 20. The fact-fact lineitem⋈orders join shuffles
+    * on orderkey; the join to customer is keyed on custkey and hinted
+    * shuffle_hash — customer is corpus-proportional (millions of rows
+    * per TB), NOT broadcast-sized, so hinting broadcast here would be
+    * the same driver-OOM class the r4 verdict flagged in
+    * events_retention. nation (25 rows, constant-bounded) is the only
+    * broadcast. Top-20 is TakeOrderedAndProject — per-partition heaps,
+    * never a global sort.
+    */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(fx(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${fxSql("SUM(l_extendedprice * (1.0 - l_discount))", 2)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1996-07-01'
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** Market-share series (TPC-H Q8 shape): each supplier-nation's
+    * share of total revenue per order year. Two corpus-sized relations
+    * join on their natural keys (lineitem⋈orders on orderkey shuffles;
+    * supplier is corpus-proportional → shuffle_hash on suppkey; nation
+    * broadcast). The share is a window over the POST-AGGREGATE
+    * relation — years × nations rows, constant-bounded at any corpus
+    * scale, so the `sum over (partition by year)` sort is free. Share
+    * is fixed-pointed at 1e-6 (basis-point-ish precision) since it is
+    * a ratio of two rounded revenues.
+    */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val rev = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(s.hint("shuffle_hash"), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    rev
+      .select(col("o_year"), col("n_name"), fx(col("rev"), 2).as("revenue"),
+        fx(col("rev") / sum(col("rev")).over(Window.partitionBy(col("o_year"))), 6)
+          .as("share"))
+      .orderBy(col("o_year"), col("n_name"))
+  }
+
+  val q8Sql: String =
+    s"""WITH rev AS (
+       |  SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year, n_name,
+       |    SUM(l_extendedprice * (1.0 - l_discount)) AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1, 2
+       |)
+       |SELECT o_year, n_name, ${fxSql("rev", 2)} AS revenue,
+       |  ${fxSql("rev / SUM(rev) OVER (PARTITION BY o_year)", 6)} AS share
+       |FROM rev
+       |ORDER BY o_year, n_name""".stripMargin
+
+  /** Daily event-type matrix (pivot): one row per day, one count
+    * column per event type. The type domain is passed EXPLICITLY —
+    * event vocabularies are application-defined constants, and the
+    * explicit list both fixes the output schema (a requirement for any
+    * downstream table) and saves the extra corpus-wide distinct job
+    * Spark's two-argument pivot would run. One shuffle to daily grain
+    * with map-side partials; the pivot itself is a zero-shuffle
+    * projection of the grouped aggregate.
+    */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(spark, dir)
+      .groupBy(day.as("day"))
+      .pivot("event_type", EventTypes)
+      .count()
+      .na.fill(0L, EventTypes)
+      .orderBy(col("day"))
+  }
+
+  /** The fixed application-level event vocabulary (see TESTDATA). */
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  val eventsPivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n  ")
+    s"""SELECT date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+       |  $cols
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin
+  }
+
+  /** CUBE over (event_type, day-of-week): every subtotal combination
+    * in ONE pass — the OLAP cube the reference's get_stats rollups
+    * generalize to. Spark plans cube as a single Expand (4 grouping
+    * sets) feeding one hash aggregate, so the corpus is scanned once
+    * and shuffled once regardless of how many subtotal planes the
+    * cube adds. Rolled-up keys are disambiguated by `grouping_id()`
+    * (bit per column, first column = MSB — verified identical to
+    * DuckDB's GROUPING()) and coalesced to sentinel values so the
+    * output is null-free. Day-of-week is `day mod 7` in integer
+    * arithmetic — engine-neutral, no locale-dependent DOW function.
+    */
+  def eventsCube(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    Tables.events(spark, dir)
+      .select(col("event_type"), (day % 7).as("dow"), col("value"))
+      .cube(col("event_type"), col("dow"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
+        fx(sum(col("value")), 2).as("sum_value"))
+      .select(col("gid"),
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("dow"), lit(-1L)).as("dow"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("gid"), col("event_type"), col("dow"))
+  }
+
+  val eventsCubeSql: String =
+    s"""WITH base AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT % 7 AS dow,
+       |    value
+       |  FROM events
+       |)
+       |SELECT GROUPING(event_type, dow)::BIGINT AS gid,
+       |  COALESCE(event_type, 'ALL') AS event_type,
+       |  COALESCE(dow, -1) AS dow,
+       |  COUNT(*) AS n_events, ${fxSql("SUM(value)", 2)} AS sum_value
+       |FROM base
+       |GROUP BY CUBE (event_type, dow)
+       |ORDER BY gid, event_type, dow""".stripMargin
 }

@@ -282,4 +282,61 @@ class AnalyticsSpec extends GraftSuite {
     val total = Tables.events(spark, sf).count()
     assert(full.map(_.getLong(2)).sum == total, "gap filling must not change mass")
   }
+
+  test("q6 is a single-row predicate-gated revenue scan with full pushdown") {
+    val df = Analytics.q6(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("revenue") > 0)
+    // pushdown is the whole point of this plan: all three predicates
+    // must reach the parquet reader
+    val scan = df.queryExecution.executedPlan.toString()
+    assert(scan.contains("PushedFilters") && scan.contains("l_discount") &&
+      scan.contains("l_quantity"), "predicates not pushed to the scan")
+  }
+
+  test("q8 shares sum to 1 within rounding per order year") {
+    val rows = Analytics.q8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (yr, nr) =>
+      val s = nr.map(_.getAs[Long]("share")).sum
+      // each share is floor-rounded at 1e-6: the sum can fall short by
+      // at most one ulp per nation
+      assert(s <= 1000000L + nr.length && s > 1000000L - nr.length, s"year $yr share sum $s")
+    }
+  }
+
+  test("q10 ranks returned-item revenue, top-20 descending") {
+    val rows = Analytics.q10(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val revs = rows.map(_.getAs[Long]("revenue")).toSeq
+    assert(revs == revs.sortBy(-_))
+    assert(rows.forall(_.getAs[Long]("n_items") > 0))
+  }
+
+  test("events_pivot conserves event mass across the type columns") {
+    val rows = Analytics.eventsPivot(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val typeCols = Seq("click", "error", "purchase", "signup", "view")
+    val mass = rows.map(r => typeCols.map(c => r.getAs[Long](c)).sum).sum
+    assert(mass == Tables.events(spark, sf).count())
+    val days = rows.map(_.getAs[Long]("day")).toSeq
+    assert(days == days.sorted)
+  }
+
+  test("events_cube planes are mutually consistent") {
+    val rows = Analytics.eventsCube(spark, sf).collect()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    val leaf = rows.filter(_.getAs[Long]("gid") == 0L)
+    val byType = rows.filter(_.getAs[Long]("gid") == 1L)
+    val byDow = rows.filter(_.getAs[Long]("gid") == 2L)
+    assert(grand.length == 1 && leaf.nonEmpty && byType.nonEmpty && byDow.nonEmpty)
+    val total = grand.head.getAs[Long]("n_events")
+    assert(total == Tables.events(spark, sf).count())
+    assert(leaf.map(_.getAs[Long]("n_events")).sum == total)
+    assert(byType.map(_.getAs[Long]("n_events")).sum == total)
+    assert(byDow.map(_.getAs[Long]("n_events")).sum == total)
+    // rolled keys carry the sentinels, never null
+    assert(byType.forall(_.getAs[Long]("dow") == -1L))
+    assert(byDow.forall(_.getAs[String]("event_type") == "ALL"))
+  }
 }

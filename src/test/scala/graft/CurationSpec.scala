@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Analytics, Curation}
+import graft.operators.{Analytics, Curation, Dedup}
 import graft.functions.expressions.Tok
 import org.apache.spark.sql.functions._
 
@@ -282,5 +282,25 @@ class CurationSpec extends GraftSuite {
       Curation.textRepetition(spark, sf)
         .filter(col("is_repetitive") === 1L).count())
     assert(s.getAs[Long]("sum_tokens") > 0L)
+  }
+
+  test("dup_rate_by_source partitions the corpus and agrees with exact dedup") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.dupRateBySource(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count(),
+      "every doc counted under exactly one source")
+    rows.foreach { r =>
+      val (n, d, bp) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup"),
+        r.getAs[Long]("dup_bp"))
+      assert(d >= 0 && d <= n)
+      assert(bp == 10000L * d / n, s"rate not floored bp for ${r.getString(0)}")
+    }
+    // total duplicate mass agrees with the corpus-wide exact dedup view:
+    // every member of a >1-copy content group counts as a duplicate
+    val expected = docs.count() -
+      docs.select(graft.functions.TextFunctions.hash60(col("text"))).distinct().count() +
+      Dedup.exact(spark, sf).filter(col("n_copies") > 1).count()
+    assert(rows.map(_.getAs[Long]("n_dup")).sum == expected)
   }
 }
