@@ -868,6 +868,46 @@ object Analytics {
        |FROM rev
        |ORDER BY o_year, n_name""".stripMargin
 
+  /** Large-volume customer report (TPC-H Q18 shape): orders whose
+    * total line quantity clears a threshold, with their customer, top
+    * 20 by order value. The HAVING gate runs FIRST as a map-side
+    * partial aggregate on the fact table — at 100 TB the >200 filter
+    * keeps a sub-percent fraction, so the two join probes downstream
+    * carry a tiny relation instead of the corpus. Joins stay keyed
+    * (orderkey rides the aggregate's own partitioning; customer is
+    * corpus-proportional → shuffle_hash, never broadcast). Quantity
+    * sums are exact: quantities are integral-valued, so the double
+    * sum is exact well past any real order size.
+    */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .filter(col("qty") > 200.0)
+    big.join(o, big("l_orderkey") === o("o_orderkey"))
+      .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("l_orderkey").as("o_orderkey"),
+        col("o_orderdate"), fx(col("o_totalprice"), 2).as("total_price"),
+        fx(col("qty")).as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       |  ${fxSql("o_totalprice", 2)} AS total_price,
+       |  ${fxSql("qty")} AS sum_qty
+       |FROM (
+       |  SELECT l_orderkey, SUM(l_quantity) AS qty
+       |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+       |) big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY total_price DESC, o_orderkey
+       |LIMIT 20""".stripMargin
+
   /** Daily event-type matrix (pivot): one row per day, one count
     * column per event type. The type domain is passed EXPLICITLY —
     * event vocabularies are application-defined constants, and the

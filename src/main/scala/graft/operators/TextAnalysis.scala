@@ -530,4 +530,59 @@ object TextAnalysis {
        |GROUP BY ngram
        |ORDER BY n_occurrences DESC, ngram
        |LIMIT $NgramTopK""".stripMargin
+
+  /** Per-document lexical-diversity signals: token-distribution
+    * Shannon entropy (nats) and type-token ratio — the standard
+    * gibberish/boilerplate detectors a quality pipeline runs next to
+    * [[quality]] (low entropy = repeated-token spam; low TTR =
+    * template text; both survive the stopword-stripped tokenizer the
+    * whole engine shares). ZERO shuffles: the per-doc (term, tf)
+    * distribution is the one-pass native [[expressions.TermCounts]]
+    * sketch and the entropy folds over it with a higher-order
+    * `aggregate` — H = ln(n) − Σ tf·ln(tf) / n needs only the doc's
+    * own counts, so unlike [[tfidfKeywords]] nothing leaves the map
+    * stage. The only job structure is scan → project → sort-for-output.
+    */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tfs = column(graft.functions.expressions.TermCounts(
+      expression(col("text"))))
+    Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tfs.as("tfs"))
+      .select(col("doc_id"),
+        size(col("tfs")).cast("long").as("n_types"),
+        aggregate(col("tfs"), lit(0L), (acc, e) => acc + e.getField("tf"))
+          .as("n_tokens"),
+        aggregate(col("tfs"), lit(0.0d),
+          (acc, e) => acc + e.getField("tf").cast("double") *
+            log(e.getField("tf").cast("double"))).as("sum_tlnt"))
+      .select(col("doc_id"), col("n_types"), col("n_tokens"),
+        fx(when(col("n_tokens") > 0,
+            log(col("n_tokens").cast("double")) -
+              col("sum_tlnt") / col("n_tokens")).otherwise(0.0)).as("entropy"),
+        fx(when(col("n_tokens") > 0,
+            col("n_types").cast("double") / col("n_tokens")).otherwise(0.0))
+          .as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textEntropySql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), agg AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_types,
+       |    CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       |    SUM(tf::DOUBLE * ln(tf::DOUBLE)) AS sum_tlnt
+       |  FROM tf GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_types, 0) AS n_types,
+       |  COALESCE(a.n_tokens, 0) AS n_tokens,
+       |  COALESCE(${fxSql("ln(a.n_tokens::DOUBLE) - a.sum_tlnt / a.n_tokens")}, 0) AS entropy,
+       |  COALESCE(${fxSql("a.n_types::DOUBLE / a.n_tokens")}, 0) AS ttr
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -313,6 +313,19 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("n_items") > 0))
   }
 
+  test("q18 keeps exactly the >200-quantity orders, ranked by order value") {
+    val rows = Analytics.q18(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(_.getAs[Long]("sum_qty") > 200L * 10000L), "HAVING gate")
+    val prices = rows.map(_.getAs[Long]("total_price")).toSeq
+    assert(prices == prices.sortBy(-_))
+    // gate agrees with a direct recount
+    val expect = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(org.apache.spark.sql.functions.sum(col("l_quantity")).as("q"))
+      .filter(col("q") > 200.0).count()
+    assert(rows.length == math.min(20L, expect))
+  }
+
   test("events_pivot conserves event mass across the type columns") {
     val rows = Analytics.eventsPivot(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -218,4 +218,29 @@ class TextAnalysisSpec extends GraftSuite {
     assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
       "every document lands in exactly one bucket")
   }
+
+  test("text_entropy matches a driver-side recount per doc") {
+    import graft.functions.expressions.Tok
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    val rows = TextAnalysis.textEntropy(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(50).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val toks = Tok.tokens(texts(id)); import scala.jdk.CollectionConverters._
+      val tf = toks.asScala.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = tf.values.sum
+      assert(r.getAs[Long]("n_types") == tf.size, s"doc $id types")
+      assert(r.getAs[Long]("n_tokens") == n, s"doc $id tokens")
+      val h = if (n == 0) 0.0
+        else math.log(n.toDouble) - tf.values.map(c => c * math.log(c.toDouble)).sum / n
+      assert(r.getAs[Long]("entropy") == fx4(h), s"doc $id entropy")
+      assert(r.getAs[Long]("ttr") ==
+        (if (n == 0) 0L else fx4(tf.size.toDouble / n)), s"doc $id ttr")
+      // entropy of an n-token doc is bounded by ln(n_types)
+      assert(r.getAs[Long]("entropy") <= fx4(math.log(math.max(1, tf.size).toDouble)) + 1)
+    }
+  }
 }
