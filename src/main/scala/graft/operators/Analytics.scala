@@ -868,6 +868,81 @@ object Analytics {
        |FROM rev
        |ORDER BY o_year, n_name""".stripMargin
 
+  /** A/B cohort comparison: split users into two cohorts by id parity
+    * (the deterministic stand-in for an assignment column) and run a
+    * two-proportion z-test per event type on "fraction of cohort users
+    * who fired the event" — the experiment-readout every product
+    * analytics stack bolts onto an event stream. All inputs are exact
+    * integer cardinalities (two distinct aggregates: corpus→users,
+    * corpus→(type,user)); z² is then SCALAR double arithmetic over
+    * those integers with a fixed operation order, so both engines
+    * produce bit-identical doubles (the cross-engine float hazard is
+    * aggregation-order jitter, absent here) and the fx'd value plus
+    * the ≥3.8415 (p<0.05) flag agree exactly. Everything after the
+    * two distinct aggregates operates on types×2-bounded relations;
+    * the one-row cohort-totals relation rides a broadcast.
+    */
+  def eventsAb(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val grp = (col("user_id") % 2).as("grp")
+    val totals = ev.select(col("user_id")).distinct()
+      .select((col("user_id") % 2).as("grp"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"))
+    val hits = ev.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), grp)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("x_a"),
+           sum(when(col("grp") === 1, 1L).otherwise(0L)).as("x_b"))
+    val bigN = col("n_a") + col("n_b")
+    val dNum = ((col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast("double") *
+      (col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast("double")) *
+      bigN.cast("double")
+    val dDen = col("n_a").cast("double") * col("n_b").cast("double") *
+      (col("x_a") + col("x_b")).cast("double") *
+      (bigN - col("x_a") - col("x_b")).cast("double")
+    val z2 = when(dDen > 0.0, dNum / dDen).otherwise(0.0)
+    hits.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+        fx(col("x_a").cast("double") / col("n_a")).as("rate_a"),
+        fx(col("x_b").cast("double") / col("n_b")).as("rate_b"),
+        fx(z2).as("z2"),
+        (fx(z2) >= 38415L).cast("long").as("significant"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAbSql: String =
+    s"""WITH t AS (
+       |  SELECT
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+       |  FROM (SELECT DISTINCT user_id FROM events)
+       |), h AS (
+       |  SELECT event_type,
+       |    SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS x_a,
+       |    SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS x_b
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events)
+       |  GROUP BY event_type
+       |), j AS (
+       |  SELECT h.*, t.n_a, t.n_b,
+       |    CASE WHEN (n_a::DOUBLE * n_b::DOUBLE
+       |               * (x_a + x_b)::DOUBLE
+       |               * ((n_a + n_b) - x_a - x_b)::DOUBLE) > 0
+       |      THEN ((x_a * n_b - x_b * n_a)::DOUBLE * (x_a * n_b - x_b * n_a)::DOUBLE)
+       |             * (n_a + n_b)::DOUBLE
+       |           / (n_a::DOUBLE * n_b::DOUBLE * (x_a + x_b)::DOUBLE
+       |              * ((n_a + n_b) - x_a - x_b)::DOUBLE)
+       |      ELSE 0.0 END AS z2
+       |  FROM h, t
+       |)
+       |SELECT event_type, n_a, x_a, n_b, x_b,
+       |  ${fxSql("x_a::DOUBLE / n_a")} AS rate_a,
+       |  ${fxSql("x_b::DOUBLE / n_b")} AS rate_b,
+       |  ${fxSql("z2")} AS z2,
+       |  (${fxSql("z2")} >= 38415)::BIGINT AS significant
+       |FROM j
+       |ORDER BY event_type""".stripMargin
+
   /** Large-volume customer report (TPC-H Q18 shape): orders whose
     * total line quantity clears a threshold, with their customer, top
     * 20 by order value. The HAVING gate runs FIRST as a map-side

@@ -1188,4 +1188,49 @@ object Dedup {
        |         ELSE 0 END) >= $SpanFlagBp)::BIGINT AS is_span_dup
        |FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
        |ORDER BY b.doc_id""".stripMargin
+
+  // ---- cross-source overlap matrix ----
+
+  /** Source-pair near-duplication matrix: the verified MinHash
+    * near-dup pairs aggregated to (source_a, source_b) cells — the
+    * inter-domain contamination heat map a curation run reads to
+    * decide which crawler/dump pairs share pipeline ancestry (a hot
+    * off-diagonal cell means one source republishes another; a hot
+    * diagonal cell is within-source boilerplate). Rides the whole
+    * [[minhash]] machinery unchanged, then joins each endpoint's
+    * source with a doc_id-keyed shuffle_hash (the pair relation is
+    * corpus-fraction-sized — never broadcast) and aggregates to the
+    * sources² -bounded matrix. Cells are unordered pairs
+    * (least/greatest) so A→B and B→A land together.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhash(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val s1 = src.select(col("doc_id").as("id1"), col("source").as("src1"))
+    val s2 = src.select(col("doc_id").as("id2"), col("source").as("src2"))
+    pairs
+      .join(s1.hint("shuffle_hash"), Seq("id1"))
+      .join(s2.hint("shuffle_hash"), Seq("id2"))
+      .select(least(col("src1"), col("src2")).as("src_a"),
+        greatest(col("src1"), col("src2")).as("src_b"),
+        col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceOverlapSql(): String =
+    s"""WITH pairs AS (
+       |${minhashSql().replace("\n", "\n  ")}
+       |), s AS (
+       |  SELECT doc_id, source FROM documents
+       |)
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b,
+       |  COUNT(*) AS n_pairs, MAX(p.jaccard) AS max_jaccard
+       |FROM pairs p
+       |JOIN s a ON p.id1 = a.doc_id
+       |JOIN s b ON p.id2 = b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
 }

@@ -313,6 +313,31 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("n_items") > 0))
   }
 
+  test("events_ab recomputes from driver-side cohort counts") {
+    val rows = Analytics.eventsAb(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf).select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val users = ev.map(_._2).distinct
+    val (nA, nB) = (users.count(_ % 2 == 0).toLong, users.count(_ % 2 == 1).toLong)
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val hit = ev.filter(_._1 == t).map(_._2).distinct
+      val (xA, xB) = (hit.count(_ % 2 == 0).toLong, hit.count(_ % 2 == 1).toLong)
+      assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")) == ((nA, nB)), s"$t totals")
+      assert((r.getAs[Long]("x_a"), r.getAs[Long]("x_b")) == ((xA, xB)), s"$t hits")
+      val bigN = nA + nB
+      val den = nA.toDouble * nB.toDouble * (xA + xB).toDouble * (bigN - xA - xB).toDouble
+      val z2 = if (den > 0) {
+        val d = (xA * nB - xB * nA).toDouble
+        d * d * bigN.toDouble / den
+      } else 0.0
+      assert(r.getAs[Long]("z2") == fx4(z2), s"$t z2")
+      assert(r.getAs[Long]("significant") == (if (fx4(z2) >= 38415L) 1L else 0L))
+    }
+  }
+
   test("q18 keeps exactly the >200-quantity orders, ranked by order value") {
     val rows = Analytics.q18(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -233,4 +233,26 @@ class DedupSpec extends GraftSuite {
     // injected near-duplicates in the corpus guarantee a nonzero signal
     assert(cov.exists(_.getAs[Long]("dup_toks") > 0L))
   }
+
+  test("source_overlap cells conserve the pair graph and canonicalize order") {
+    val cells = Dedup.sourceOverlap(spark, sf).collect()
+    val pairs = Dedup.minhash(spark, sf).collect()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == pairs.length,
+      "every verified pair lands in exactly one cell")
+    cells.foreach { c =>
+      assert(c.getAs[String]("src_a") <= c.getAs[String]("src_b"), "unordered-pair canon")
+      assert(c.getAs[Long]("max_jaccard") >= 5000L, "pairs passed the 0.5 gate")
+    }
+    // cross-check one cell against a direct recount
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = pairs.map { p =>
+      val (a, b) = (srcOf(p.getAs[Long]("id1")), srcOf(p.getAs[Long]("id2")))
+      if (a <= b) (a, b) else (b, a)
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    cells.foreach { c =>
+      val k = (c.getAs[String]("src_a"), c.getAs[String]("src_b"))
+      assert(c.getAs[Long]("n_pairs") == expect(k), s"cell $k")
+    }
+  }
 }
