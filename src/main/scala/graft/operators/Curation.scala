@@ -143,24 +143,32 @@ object Curation {
     * whole operator is a zero-shuffle map (the trailing sort is
     * oracle-only).
     */
+  /** The three Gopher repetition ratios (fx'd) from a MATERIALIZED
+    * RepetitionStats column — shared by [[textRepetition]] and the
+    * streaming curation gate so the thresholds can never drift apart.
+    */
+  def repetitionRatioCols(st: Column): (Column, Column, Column) = {
+    val n = st.getItem(0).cast("double")
+    val nd = st.getItem(1).cast("double")
+    val mx = st.getItem(2).cast("double")
+    val nb = st.getItem(3).cast("double")
+    val nbd = st.getItem(4).cast("double")
+    (fx(when(n > 0.0, (n - nd) / n).otherwise(0.0)),
+     fx(when(n > 0.0, mx / n).otherwise(0.0)),
+     fx(when(nb > 0.0, (nb - nbd) / nb).otherwise(0.0)))
+  }
+
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val st = column(graft.functions.expressions.RepetitionStats(expression(col("text"))))
-    val n = col("st").getItem(0).cast("double")
-    val nd = col("st").getItem(1).cast("double")
-    val mx = col("st").getItem(2).cast("double")
-    val nb = col("st").getItem(3).cast("double")
-    val nbd = col("st").getItem(4).cast("double")
-    val dupTok = when(n > 0.0, (n - nd) / n).otherwise(0.0)
-    val topTf  = when(n > 0.0, mx / n).otherwise(0.0)
-    val dupBi  = when(nb > 0.0, (nb - nbd) / nb).otherwise(0.0)
+    val (dupTok, topTf, dupBi) = repetitionRatioCols(col("st"))
     Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), st.as("st"))
       .select(col("doc_id"),
         col("st").getItem(0).as("n_tokens"),
-        fx(dupTok).as("dup_token_ratio"),
-        fx(topTf).as("top_tf_ratio"),
-        fx(dupBi).as("dup_bigram_ratio"))
+        dupTok.as("dup_token_ratio"),
+        topTf.as("top_tf_ratio"),
+        dupBi.as("dup_bigram_ratio"))
       .withColumn("is_repetitive",
         (col("dup_token_ratio") > DupTokenMax || col("top_tf_ratio") > TopTfMax)
           .cast("long"))
@@ -472,19 +480,25 @@ object Curation {
     * size, exactly like the reference's per-document scoring hooks
     * (lib.rs add_document runs per-doc transforms inline).
     */
-  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
-    val text = col("text")
+  /** The logistic-gate margin z over a text column — shared by
+    * [[qualityLogit]] and the streaming curation gate.
+    */
+  def qualityZ(text: Column): Column = {
     val nChars = length(text).cast("double")
     val nTokens = size(split(text, " ")).cast("double")
     val rawToks = transform(split(lower(text), " "), t => regexp_replace(t, "[^a-z0-9]", ""))
     val stopToks = size(filter(rawToks, t => t.isin(StopWords: _*))).cast("double")
     val alnumSpace = length(regexp_replace(lower(text), "[^a-z0-9 ]", "")).cast("double")
     val digits = nChars - length(regexp_replace(text, "[0-9]", "")).cast("double")
-    val z = lit(QBias) +
+    lit(QBias) +
       lit(QwLen) * least(lit(1.0), nTokens / 50.0) +
       lit(QwPunct) * ((nChars - alnumSpace) / nChars) +
       lit(QwStop) * least(lit(1.0), (stopToks / greatest(nTokens, lit(1.0))) * 5.0) +
       lit(QwDigit) * (digits / nChars)
+  }
+
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val z = qualityZ(col("text"))
     Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), fx(z, 6).as("margin"),
         fx(lit(1.0) / (lit(1.0) + exp(-z)), 4).as("score"),

@@ -129,6 +129,39 @@ object EventStreams {
       .drop("sh")
   }
 
+  /** Curate-on-ingest: the streaming composition of every batch
+    * [[graft.operators.Curation.curateCorpus]] gate that is
+    * stream-expressible, in the batch pipeline's own precedence —
+    * watermark-horizon exact dedup ([[dedupStream]] state), then the
+    * three STATELESS per-document gates: eval-shingle contamination
+    * ([[decontaminateStream]] broadcast literal), Gopher repetition
+    * and the logistic quality margin, both reusing the batch
+    * operators' exact column formulas (extracted helpers, so the
+    * thresholds cannot drift between tiers). The near-dup-cluster
+    * gate is deliberately absent: minhash clustering is a
+    * corpus-global iterative computation, which is exactly the
+    * periodic batch job of the lambda split that already catches
+    * later-than-horizon exact duplicates. State stays one hash per
+    * in-horizon distinct content; everything else is a map — the
+    * stream sustains any rate the sink sustains.
+    */
+  def curateStream(docs: DataFrame, evalShingles: Array[Long]): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.operators.Curation
+    val st = column(graft.functions.expressions.RepetitionStats(
+      expression(col("text"))))
+    val withSt = decontaminateStream(dedupStream(docs), evalShingles)
+      .withColumn("rep_st", st)
+    val (dupTok, topTf, _) = Curation.repetitionRatioCols(col("rep_st"))
+    withSt
+      .withColumn("dup_token_ratio", dupTok)
+      .withColumn("top_tf_ratio", topTf)
+      .filter(!(col("dup_token_ratio") > Curation.DupTokenMax ||
+                col("top_tf_ratio") > Curation.TopTfMax))
+      .filter(Curation.qualityZ(col("text")) >= 0.0)
+      .drop("rep_st", "dup_token_ratio", "top_tf_ratio")
+  }
+
   /** The eval-set shingle hashes for [[decontaminateStream]], from the
     * same split + sketch the batch operator uses.
     */

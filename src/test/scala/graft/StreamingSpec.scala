@@ -150,6 +150,52 @@ class StreamingSpec extends GraftSuite {
       q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
   }
 
+  test("streaming curation keeps exactly the batch gates' survivors") {
+    import graft.operators.Curation
+    val stageDir = java.nio.file.Files.createTempDirectory("docs_curate_stream")
+    Tables.documents(spark, sf)
+      .select(timestamp_micros((col("doc_id") + 86400L) * 1000000L).as("ts"),
+        col("doc_id"), col("text"))
+      .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+    val stream = spark.readStream.schema("ts TIMESTAMP, doc_id BIGINT, text STRING")
+      .parquet(stageDir.toString)
+    val q = EventStreams.curateStream(stream, EventStreams.evalShingleHashes(spark, sf))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curate_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val kept = spark.table("curate_out").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    // content-level expectation: the gates depend only on text, and
+    // dedup keeps one representative per distinct in-horizon content —
+    // so the kept TEXTS must be exactly the distinct texts that clear
+    // contamination + repetition + quality in the batch operators
+    val flagged = Curation.decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val evalWithShingles = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Curation.EvalMod === 0)
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= Curation.DecontN)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val repetitive = Curation.textRepetition(spark, sf)
+      .filter(col("is_repetitive") === 1L).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val lowQuality = Curation.qualityLogit(spark, sf)
+      .filter(col("keep") === 0L).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val expectTexts = Tables.documents(spark, sf).collect()
+      .filter { r =>
+        val id = r.getAs[Long]("doc_id")
+        !flagged(id) && !evalWithShingles(id) && !repetitive(id) && !lowQuality(id)
+      }
+      .map(_.getAs[String]("text")).distinct.toSet
+    assert(kept.map(_._2).toSet == expectTexts, "kept contents differ from batch gates")
+    assert(kept.map(_._2).distinct.length == kept.length, "dedup emitted a content twice")
+    // only the dedup operator holds state (one row per distinct content)
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows > 0 && stateRows <= Tables.documents(spark, sf).count())
+  }
+
   test("stateful sessionization closes sessions on 30-min gaps") {
     import spark.implicits._
     val events = Tables.events(spark, sf).as[EventStreams.Event]
