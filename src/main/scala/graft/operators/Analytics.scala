@@ -868,6 +868,108 @@ object Analytics {
        |FROM rev
        |ORDER BY o_year, n_name""".stripMargin
 
+  /** Daily-volume trend per event type: ordinary-least-squares slope
+    * and intercept of the daily count series — the "is this event
+    * growing" readout next to [[eventsAnomaly]]'s outlier flags. The
+    * five OLS moments (n, Σd, Σc, Σdc, Σd²) are EXACT: the day×count
+    * products are summed as DECIMAL(38,0) because at 100 TB rates
+    * Σdc overflows BIGINT (3650 days × 1e12 events/day × day index),
+    * while DuckDB's HUGEINT sums are cast to the same type; the
+    * closed-form slope/intercept then divide those exact integers in
+    * scalar double arithmetic with a fixed operation order — no
+    * aggregation-order jitter, both engines produce identical
+    * doubles. Two bounded aggregates: corpus → daily grain, daily →
+    * types; nothing corpus-sized past the first exchange.
+    */
+  def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val dec = "decimal(38,0)"
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), day.as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("day")).as("sd"),
+        sum(col("c")).as("sc"),
+        sum((col("day") * col("c")).cast(dec)).as("sdc"),
+        sum((col("day") * col("day")).cast(dec)).as("sd2"))
+    val num = col("n").cast(dec) * col("sdc") - col("sd").cast(dec) * col("sc").cast(dec)
+    val den = col("n").cast(dec) * col("sd2") - col("sd").cast(dec) * col("sd").cast(dec)
+    val slope = when(den =!= 0, num.cast("double") / den.cast("double")).otherwise(0.0)
+    m.select(col("event_type"), col("n").as("n_days"), col("sc").as("n_events"),
+        fx(slope).as("slope"),
+        fx(col("sc").cast("double") / col("n") -
+           slope * (col("sd").cast("double") / col("n"))).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day,
+       |    COUNT(*)::BIGINT AS c
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n,
+       |    CAST(SUM(day) AS BIGINT) AS sd, CAST(SUM(c) AS BIGINT) AS sc,
+       |    CAST(SUM(day * c) AS DECIMAL(38,0)) AS sdc,
+       |    CAST(SUM(day * day) AS DECIMAL(38,0)) AS sd2
+       |  FROM daily GROUP BY 1
+       |), s AS (
+       |  SELECT *, CASE WHEN (CAST(n AS DECIMAL(38,0)) * sd2
+       |                       - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0))) <> 0
+       |    THEN CAST(CAST(n AS DECIMAL(38,0)) * sdc
+       |              - CAST(sd AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0)) AS DOUBLE)
+       |         / CAST(CAST(n AS DECIMAL(38,0)) * sd2
+       |                - CAST(sd AS DECIMAL(38,0)) * CAST(sd AS DECIMAL(38,0)) AS DOUBLE)
+       |    ELSE 0.0 END AS slope
+       |  FROM m
+       |)
+       |SELECT event_type, n AS n_days, sc AS n_events,
+       |  ${fxSql("slope")} AS slope,
+       |  ${fxSql("sc::DOUBLE / n - slope * (sd::DOUBLE / n)")} AS intercept
+       |FROM s
+       |ORDER BY event_type""".stripMargin
+
+  /** First-order behavioral transition matrix: counts of consecutive
+    * (previous → next) event-type pairs per user timeline, with each
+    * row's share of its source state — the Markov-chain readout that
+    * generalizes [[eventsFunnel]]'s fixed path to every path. One
+    * user-keyed window (the same partitioning sessionization rides)
+    * produces the lag pairs; the aggregate output is types²-bounded,
+    * so the share window is free. Ties inside a timestamp are broken
+    * by event_id — total order, so both engines see identical pairs.
+    */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    pairs.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("share_bp",
+        expr("(10000L * n_transitions) div sum(n_transitions) over (partition by prev_type)"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  val eventsMarkovSql: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), t AS (
+       |  SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n_transitions
+       |  FROM ordered WHERE prev_type IS NOT NULL
+       |  GROUP BY 1, 2
+       |)
+       |SELECT prev_type, next_type, n_transitions,
+       |  CAST((10000 * n_transitions) // (SUM(n_transitions) OVER (PARTITION BY prev_type)) AS BIGINT) AS share_bp
+       |FROM t
+       |ORDER BY prev_type, next_type""".stripMargin
+
   /** A/B cohort comparison: split users into two cohorts by id parity
     * (the deterministic stand-in for an assignment column) and run a
     * two-proportion z-test per event type on "fraction of cohort users

