@@ -762,7 +762,8 @@ object Analytics {
     * scan with every predicate pushed to the reader and ONE global
     * aggregate — the cheapest possible plan shape, and the purest
     * test that pushdown actually happens (`.explain` must show all
-    * three ranges in PushedFilters and a 3-column ReadSchema). At
+    * three ranges in PushedFilters and a 4-column ReadSchema — the
+    * three predicate columns plus l_extendedprice for the sum). At
     * 100 TB this is the query where pushdown is the whole game:
     * row-group min/max statistics skip most of the corpus before a
     * single byte of l_extendedprice is decoded.
@@ -832,8 +833,10 @@ object Analytics {
     * broadcast). The share is a window over the POST-AGGREGATE
     * relation — years × nations rows, constant-bounded at any corpus
     * scale, so the `sum over (partition by year)` sort is free. Share
-    * is fixed-pointed at 1e-6 (basis-point-ish precision) since it is
-    * a ratio of two rounded revenues.
+    * divides the UNROUNDED revenue by the unrounded year total and is
+    * fixed-pointed at 1e-6 only on output (re-deriving it from the
+    * emitted 1e-2 revenue columns reproduces it approximately, not
+    * exactly).
     */
   def q8(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -884,10 +887,18 @@ object Analytics {
   def eventsTrend(spark: SparkSession, dir: String): DataFrame = {
     val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
       .cast("long")
-    val dec = "decimal(38,0)"
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), day.as("day"))
       .agg(count(lit(1)).as("c"))
+    trendFromDaily(daily)
+  }
+
+  /** OLS moments + closed form over a (event_type, day, c) daily
+    * series — split out so the spec can feed a known synthetic line
+    * and assert exact recovery.
+    */
+  def trendFromDaily(daily: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val m = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("day")).as("sd"),
@@ -1126,14 +1137,17 @@ object Analytics {
     * cube adds. Rolled-up keys are disambiguated by `grouping_id()`
     * (bit per column, first column = MSB — verified identical to
     * DuckDB's GROUPING()) and coalesced to sentinel values so the
-    * output is null-free. Day-of-week is `day mod 7` in integer
-    * arithmetic — engine-neutral, no locale-dependent DOW function.
+    * output is null-free. Day-of-week is `floorMod(day, 7)` in integer
+    * arithmetic — engine-neutral, no locale-dependent DOW function,
+    * and always 0..6 even for pre-epoch days (a sign-of-dividend `%`
+    * would emit -1 for a 2023 event and collide with the rolled-up
+    * dow sentinel).
     */
   def eventsCube(spark: SparkSession, dir: String): DataFrame = {
     val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
       .cast("long")
     Tables.events(spark, dir)
-      .select(col("event_type"), (day % 7).as("dow"), col("value"))
+      .select(col("event_type"), pmod(day, lit(7L)).as("dow"), col("value"))
       .cube(col("event_type"), col("dow"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n_events"),
         fx(sum(col("value")), 2).as("sum_value"))
@@ -1147,7 +1161,7 @@ object Analytics {
   val eventsCubeSql: String =
     s"""WITH base AS (
        |  SELECT event_type,
-       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT % 7 AS dow,
+       |    ((date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT % 7) + 7) % 7 AS dow,
        |    value
        |  FROM events
        |)

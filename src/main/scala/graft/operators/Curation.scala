@@ -135,14 +135,6 @@ object Curation {
   val DupTokenMax = 5000L  // fx4 of 0.5
   val TopTfMax = 2000L     // fx4 of 0.2
 
-  /** Repetition-quality signals per document: duplicate-token ratio,
-    * most-common-term ratio and duplicate-bigram ratio, plus the
-    * keep/drop flag the curation pipeline filters on. The five raw
-    * counts come from the one-pass native
-    * [[graft.functions.expressions.RepetitionStats]] sketch — the
-    * whole operator is a zero-shuffle map (the trailing sort is
-    * oracle-only).
-    */
   /** The three Gopher repetition ratios (fx'd) from a MATERIALIZED
     * RepetitionStats column — shared by [[textRepetition]] and the
     * streaming curation gate so the thresholds can never drift apart.
@@ -158,6 +150,14 @@ object Curation {
      fx(when(nb > 0.0, (nb - nbd) / nb).otherwise(0.0)))
   }
 
+  /** Repetition-quality signals per document: duplicate-token ratio,
+    * most-common-term ratio and duplicate-bigram ratio, plus the
+    * keep/drop flag the curation pipeline filters on. The five raw
+    * counts come from the one-pass native
+    * [[graft.functions.expressions.RepetitionStats]] sketch — the
+    * whole operator is a zero-shuffle map (the trailing sort is
+    * oracle-only).
+    */
   def textRepetition(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val st = column(graft.functions.expressions.RepetitionStats(expression(col("text"))))

@@ -288,10 +288,14 @@ class AnalyticsSpec extends GraftSuite {
     val rows = df.collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("revenue") > 0)
     // pushdown is the whole point of this plan: all three predicates
-    // must reach the parquet reader
-    val scan = df.queryExecution.executedPlan.toString()
-    assert(scan.contains("PushedFilters") && scan.contains("l_discount") &&
-      scan.contains("l_quantity"), "predicates not pushed to the scan")
+    // must appear INSIDE the scan's PushedFilters list (the label
+    // alone always prints, even when the list is empty)
+    val plan = df.queryExecution.executedPlan.toString()
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(pushed.contains(c), s"$c not in PushedFilters [$pushed]")
+    }
   }
 
   test("q8 shares sum to 1 within rounding per order year") {
@@ -315,7 +319,14 @@ class AnalyticsSpec extends GraftSuite {
 
   test("events_trend recovers an injected linear series exactly") {
     import spark.implicits._
-    // synthetic series c = 7 + 3*day through the same moments math
+    // ground truth: a perfect line c = 7 + 3*day must come back as
+    // slope 3, intercept 7 exactly (the OLS of a perfect fit)
+    val line = (0L until 40L).map(d => ("syn", d, 7L + 3L * d))
+      .toDF("event_type", "day", "c")
+    val syn = Analytics.trendFromDaily(line).collect()
+    assert(syn.length == 1)
+    assert(syn.head.getAs[Long]("slope") == 30000L, "slope 3.0 at fx4")
+    assert(syn.head.getAs[Long]("intercept") == 70000L, "intercept 7.0 at fx4")
     val rows = Analytics.eventsTrend(spark, sf).collect()
     assert(rows.nonEmpty)
     // real-corpus sanity: moments re-derived driver-side
