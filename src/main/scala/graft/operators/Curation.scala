@@ -570,6 +570,58 @@ object Curation {
        |FROM s
        |ORDER BY shard""".stripMargin
 
+  /** CCNet-style perplexity bucketing: label every document head /
+    * middle / tail by where its bigram-LM surprise
+    * ([[TextAnalysis.lmScore]]) falls against its OWN source's
+    * surprise distribution (per-source terciles — a fluent domain's
+    * "tail" is judged by that domain's norms, the detail that makes
+    * CCNet's filtering work across mixed corpora). The tercile
+    * thresholds are exact interpolated percentiles over the fx'd
+    * integer scores — per-source sorted state, the oracle-comparable
+    * form exactly like events_quantiles, with approx_percentile as
+    * the documented 100 TB swap behind the same column shape — and
+    * the thresholds relation is sources-ary, joined back shuffle_hash
+    * on source (riding the score relation's own partitioning; never
+    * broadcast — a web corpus can carry 1e6+ domains). Bucket
+    * comparison is integer-vs-fx'd-threshold, deterministic
+    * cross-engine.
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmScore(spark, dir)
+      .select(col("doc_id"), col("mean_surprise_fx"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val docs = scored.join(src.hint("shuffle_hash"), Seq("doc_id"))
+    val qs = percentile(col("mean_surprise_fx"),
+      array(lit(1.0 / 3), lit(2.0 / 3)))
+    val thr = docs.groupBy(col("source"))
+      .agg(fx(element_at(qs, 1), 0).as("p33"), fx(element_at(qs, 2), 0).as("p66"))
+    docs.join(thr.hint("shuffle_hash"), Seq("source"))
+      .select(col("doc_id"), col("source"), col("mean_surprise_fx"),
+        when(col("mean_surprise_fx") <= col("p33"), "head")
+          .when(col("mean_surprise_fx") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  lazy val ccnetBucketsSql: String =
+    s"""WITH lm AS (
+       |${TextAnalysis.lmScoreSql.replace("\n", "\n  ")}
+       |), d AS (
+       |  SELECT lm.doc_id, s.source, lm.mean_surprise_fx
+       |  FROM lm JOIN documents s USING (doc_id)
+       |), thr AS (
+       |  SELECT source,
+       |    ${fxSql("quantile_cont(mean_surprise_fx, 1.0/3)", 0)} AS p33,
+       |    ${fxSql("quantile_cont(mean_surprise_fx, 2.0/3)", 0)} AS p66
+       |  FROM d GROUP BY source
+       |)
+       |SELECT doc_id, source, mean_surprise_fx,
+       |  CASE WHEN mean_surprise_fx <= p33 THEN 'head'
+       |       WHEN mean_surprise_fx <= p66 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM d JOIN thr USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-source duplication report: for each source domain, how many
     * documents are exact-content duplicates (members of a content-hash
     * group with >1 copies) and the basis-point duplicate rate — the

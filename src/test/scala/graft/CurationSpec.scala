@@ -284,6 +284,25 @@ class CurationSpec extends GraftSuite {
     assert(s.getAs[Long]("sum_tokens") > 0L)
   }
 
+  test("ccnet_buckets terciles are per-source and ordered") {
+    import org.apache.spark.sql.functions.col
+    val rows = Curation.ccnetBuckets(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    // within every source, max(head) <= everything in middle <= min(tail)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      def scores(b: String) = rs.filter(_.getAs[String]("bucket") == b)
+        .map(_.getAs[Long]("mean_surprise_fx"))
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      assert(h.nonEmpty, s"$s has no head bucket")
+      if (m.nonEmpty) assert(h.max <= m.min, s"$s head/middle order")
+      if (t.nonEmpty && m.nonEmpty) assert(m.max <= t.min, s"$s middle/tail order")
+      // terciles: no bucket may hold more than ~2/3 of the source
+      // (ties can distort small groups, but never past the next cut)
+      val n = rs.length
+      Seq(h, m, t).foreach(b => assert(b.length <= (2 * n) / 3 + 2, s"$s bucket balance"))
+    }
+  }
+
   test("dup_rate_by_source partitions the corpus and agrees with exact dedup") {
     import org.apache.spark.sql.functions.col
     val rows = Curation.dupRateBySource(spark, sf).collect()
