@@ -139,4 +139,35 @@ object Ingest {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("lang")
       .parquet(outPath)
+
+  /** The documents schema as DDL — pinned for [[importJsonl]] so an
+    * interchange read never pays schema inference (a full extra pass
+    * at corpus scale) and never drifts types on an empty or partial
+    * dump.
+    */
+  val DocumentsDdl: String =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** Interchange export: the store as JSON Lines — the lingua franca
+    * of every external LLM-data tool (Dolma, CCNet, exported crawl
+    * dumps all speak JSONL). A distributed map-only write, one file
+    * per partition; gzip keeps the text payload ~4x smaller on the
+    * wire. The reference's backup surface is covered by
+    * [[snapshot]]; this is the OUTBOUND boundary to non-Spark
+    * consumers.
+    */
+  def exportJsonl(docs: DataFrame, outPath: String): Unit =
+    docs.write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .json(outPath)
+
+  /** Interchange import: read a JSONL document dump against the
+    * pinned store schema (corrupt lines land in a `_corrupt_record`
+    * column under the default PERMISSIVE mode rather than failing the
+    * whole ingest — at a billion lines some WILL be bad); feed the
+    * result through [[prepare]]/[[ingestDocuments]]'s dedup gate to
+    * enter the store proper.
+    */
+  def importJsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocumentsDdl).json(path)
 }

@@ -327,6 +327,11 @@ class AnalyticsSpec extends GraftSuite {
     assert(syn.length == 1)
     assert(syn.head.getAs[Long]("slope") == 30000L, "slope 3.0 at fx4")
     assert(syn.head.getAs[Long]("intercept") == 70000L, "intercept 7.0 at fx4")
+    // degenerate one-day series: zero OLS denominator must not divide
+    val one = Seq(("one", 5L, 42L)).toDF("event_type", "day", "c")
+    val deg = Analytics.trendFromDaily(one).collect()
+    assert(deg.head.getAs[Long]("slope") == 0L)
+    assert(deg.head.getAs[Long]("intercept") == 420000L, "intercept = the mean")
     val rows = Analytics.eventsTrend(spark, sf).collect()
     assert(rows.nonEmpty)
     // real-corpus sanity: moments re-derived driver-side

@@ -171,6 +171,24 @@ class ExtensionsSpec extends GraftSuite {
     assert(spark.read.parquet(compactDir).count() == n0)
   }
 
+  test("JSONL interchange round-trips the documents table exactly") {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = graft.Tables.documents(spark, sf)
+    Ingest.exportJsonl(docs, out)
+    // gzip'd part files, schema-pinned read, no inference pass
+    assert(new java.io.File(out).listFiles().exists(_.getName.endsWith(".json.gz")))
+    val back = Ingest.importJsonl(spark, out)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val orig = docs.collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == orig, "round trip altered rows")
+    // a corrupt line must not fail the read under the pinned schema
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "bad.json"),
+      "{not json at all".getBytes("UTF-8"))
+    assert(Ingest.importJsonl(spark, out).count() >= orig.size)
+  }
+
   test("incremental posting maintenance: upsert/delete visible, probe shuffle-free, compaction folds the log") {
     import graft.operators.Bm25
     import spark.implicits._
