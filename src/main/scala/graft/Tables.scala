@@ -82,4 +82,21 @@ object OracleNum {
   /** DuckDB-side rendering of [[fx]]. */
   def fxSql(e: String, p: Int = 4): String =
     s"CAST(FLOOR(($e) * ${math.pow(10, p).toLong} + 0.5) AS BIGINT)"
+
+  /** ORDER-INDEPENDENT money sum: quantize every term to 6 decimal
+    * places (an exact decimal — a double is essentially never at the
+    * half-ulp tie, so both engines round it to the same 6-dp value)
+    * and sum in exact decimal arithmetic. A plain double SUM depends
+    * on partition/merge order, and on a large enough group the
+    * last-ulp jitter lands exactly on an [[fx]] rounding boundary
+    * (observed on q8 at sf0.1: one group in 175 off by 1 at 1e-2).
+    * Decimal partial sums stay map-side mergeable — scale-free.
+    */
+  def moneySum(c: Column): Column = {
+    import org.apache.spark.sql.functions.sum
+    sum(c.cast("decimal(30,6)"))
+  }
+
+  /** DuckDB-side rendering of [[moneySum]]. */
+  def moneySumSql(e: String): String = s"SUM(CAST(($e) AS DECIMAL(30,6)))"
 }
