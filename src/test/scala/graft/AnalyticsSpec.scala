@@ -283,6 +283,20 @@ class AnalyticsSpec extends GraftSuite {
     assert(full.map(_.getLong(2)).sum == total, "gap filling must not change mass")
   }
 
+  test("moneySum is invariant under partitioning (the double SUM is not guaranteed to be)") {
+    import graft.OracleNum
+    val li = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("m"))
+    def total(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(OracleNum.moneySum(col("m")).as("s")).head.getDecimal(0)
+    val one = total(li.coalesce(1))
+    // different partition counts → different merge orders; the decimal
+    // sum must not move by an ulp
+    Seq(3, 7, 32).foreach { p =>
+      assert(total(li.repartition(p)).compareTo(one) == 0, s"drifted at $p partitions")
+    }
+  }
+
   test("q6 is a single-row predicate-gated revenue scan with full pushdown") {
     val df = Analytics.q6(spark, sf)
     val rows = df.collect()
