@@ -99,4 +99,18 @@ object OracleNum {
 
   /** DuckDB-side rendering of [[moneySum]]. */
   def moneySumSql(e: String): String = s"SUM(CAST(($e) AS DECIMAL(30,6)))"
+
+  /** [[fx]] of a [[moneySum]], with the exact decimal total cast to
+    * double FIRST on BOTH engines. Feeding the decimal straight into
+    * fx diverges: Spark coerces `decimal + 0.5d` to DOUBLE while
+    * DuckDB keeps `DECIMAL * 100 + 0.5` exact, so past ~1e10 group
+    * totals the two sides round a different representation. One
+    * explicit, shared double conversion of the SAME exact decimal is
+    * deterministic everywhere.
+    */
+  def moneyFx(c: Column, p: Int = 2): Column = fx(moneySum(c).cast("double"), p)
+
+  /** DuckDB-side rendering of [[moneyFx]]. */
+  def moneyFxSql(e: String, p: Int = 2): String =
+    fxSql(s"(${moneySumSql(e)})::DOUBLE", p)
 }

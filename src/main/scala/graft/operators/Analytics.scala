@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * dimension joins broadcast.
   */
 object Analytics {
-  import OracleNum.{fx, fxSql, moneySum, moneySumSql}
+  import OracleNum.{fx, fxSql, moneyFx, moneyFxSql, moneySum, moneySumSql}
 
   /** Pricing-summary aggregation (TPC-H Q1 shape): map-side partial
     * aggregation, no join, single shuffle on the 2 low-cardinality keys.
@@ -23,8 +23,8 @@ object Analytics {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         fx(sum(col("l_quantity"))).as("sum_qty"),
-        fx(moneySum(col("l_extendedprice")), 2).as("sum_base_price"),
-        fx(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        moneyFx(col("l_extendedprice")).as("sum_base_price"),
+        moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
         fx(avg(col("l_quantity"))).as("avg_qty"),
         fx(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -34,8 +34,8 @@ object Analytics {
   val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
        |  ${fxSql("SUM(l_quantity)")} AS sum_qty,
-       |  ${fxSql(moneySumSql("l_extendedprice"), 2)} AS sum_base_price,
-       |  ${fxSql(moneySumSql("l_extendedprice * (1.0 - l_discount)"), 2)} AS sum_disc_price,
+       |  ${moneyFxSql("l_extendedprice")} AS sum_base_price,
+       |  ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
        |  ${fxSql("AVG(l_quantity)")} AS avg_qty,
        |  ${fxSql("AVG(l_discount)")} AS avg_disc,
        |  COUNT(*) AS count_order
@@ -56,14 +56,14 @@ object Analytics {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(fx(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
 
   val q3Sql: String =
     s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-       |  ${fxSql(moneySumSql("l_extendedprice * (1.0 - l_discount)"), 2)} AS revenue
+       |  ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -87,13 +87,13 @@ object Analytics {
       .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(fx(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q5Sql: String =
     s"""SELECT n_name,
-       |  ${fxSql(moneySumSql("l_extendedprice * (1.0 - l_discount)"), 2)} AS revenue
+       |  ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -774,10 +774,10 @@ object Analytics {
               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
               col("l_quantity") < 24)
-      .agg(fx(moneySum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(moneyFx(col("l_extendedprice") * col("l_discount")).as("revenue"))
 
   val q6Sql: String =
-    s"""SELECT ${fxSql(moneySumSql("l_extendedprice * l_discount"), 2)} AS revenue
+    s"""SELECT ${moneyFxSql("l_extendedprice * l_discount")} AS revenue
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -805,7 +805,7 @@ object Analytics {
       .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-      .agg(fx(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
@@ -813,7 +813,7 @@ object Analytics {
 
   val q10Sql: String =
     s"""SELECT c_custkey, c_name, n_name,
-       |  ${fxSql(moneySumSql("l_extendedprice * (1.0 - l_discount)"), 2)} AS revenue,
+       |  ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
        |  COUNT(*) AS n_items
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
@@ -850,7 +850,7 @@ object Analytics {
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
       .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     rev
-      .select(col("o_year"), col("n_name"), fx(col("rev"), 2).as("revenue"),
+      .select(col("o_year"), col("n_name"), fx(col("rev").cast("double"), 2).as("revenue"),
         // exact decimal window sum, then ONE scalar double division —
         // deterministic cross-engine (no decimal-division scale rules)
         fx(col("rev").cast("double") /
@@ -869,7 +869,7 @@ object Analytics {
        |  JOIN nation ON s_nationkey = n_nationkey
        |  GROUP BY 1, 2
        |)
-       |SELECT o_year, n_name, ${fxSql("rev", 2)} AS revenue,
+       |SELECT o_year, n_name, ${fxSql("rev::DOUBLE", 2)} AS revenue,
        |  ${fxSql("rev::DOUBLE / (SUM(rev) OVER (PARTITION BY o_year))::DOUBLE", 6)} AS share
        |FROM rev
        |ORDER BY o_year, n_name""".stripMargin

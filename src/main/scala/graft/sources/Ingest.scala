@@ -162,12 +162,23 @@ object Ingest {
       .json(outPath)
 
   /** Interchange import: read a JSONL document dump against the
-    * pinned store schema (corrupt lines land in a `_corrupt_record`
-    * column under the default PERMISSIVE mode rather than failing the
-    * whole ingest — at a billion lines some WILL be bad); feed the
-    * result through [[prepare]]/[[ingestDocuments]]'s dedup gate to
-    * enter the store proper.
+    * pinned store schema and QUARANTINE inadmissible lines. Under
+    * PERMISSIVE mode a corrupt line parses to all-null columns
+    * (silently indistinguishable from data — without a gate the
+    * ingest dedup would admit a ghost all-null document into the
+    * store), so admission is keyed on the store key: any line without
+    * a `doc_id` — corrupt JSON or merely key-less — is dropped, a
+    * row-local map, never a job failure. (Spark's `_corrupt_record`
+    * capture column is deliberately not used: reading it is
+    * disallowed on raw JSON scans without caching the parse —
+    * UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — which a
+    * library read must not impose.) At a billion lines some WILL be
+    * bad; the result is clean store-schema rows, ready for
+    * [[prepare]]/[[ingestDocuments]]'s dedup gate.
     */
   def importJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(DocumentsDdl).json(path)
+    spark.read
+      .schema(DocumentsDdl)
+      .json(path)
+      .filter(col("doc_id").isNotNull)
 }

@@ -296,10 +296,23 @@ class CurationSpec extends GraftSuite {
       assert(h.nonEmpty, s"$s has no head bucket")
       if (m.nonEmpty) assert(h.max <= m.min, s"$s head/middle order")
       if (t.nonEmpty && m.nonEmpty) assert(m.max <= t.min, s"$s middle/tail order")
-      // terciles: no bucket may hold more than ~2/3 of the source
-      // (ties can distort small groups, but never past the next cut)
-      val n = rs.length
-      Seq(h, m, t).foreach(b => assert(b.length <= (2 * n) / 3 + 2, s"$s bucket balance"))
+      // every label reproduces from driver-side interpolated terciles
+      // (ties spanning a cut legitimately inflate a bucket, so a
+      // balance bound would be wrong — the CONTRACT is the thresholds)
+      val sorted = rs.map(_.getAs[Long]("mean_surprise_fx")).sorted
+      def tercile(f: Double): Long = {
+        val pos = (sorted.length - 1) * f
+        val (lo, frac) = (pos.toInt, pos - pos.toInt)
+        val v = sorted(lo) + frac *
+          (sorted(math.min(lo + 1, sorted.length - 1)) - sorted(lo)).toDouble
+        math.floor(v + 0.5).toLong
+      }
+      val (p33, p66) = (tercile(1.0 / 3), tercile(2.0 / 3))
+      rs.foreach { r =>
+        val v = r.getAs[Long]("mean_surprise_fx")
+        val expect = if (v <= p33) "head" else if (v <= p66) "middle" else "tail"
+        assert(r.getAs[String]("bucket") == expect, s"$s doc ${r.getAs[Long]("doc_id")}")
+      }
     }
   }
 

@@ -182,11 +182,14 @@ class ExtensionsSpec extends GraftSuite {
       Seq("doc_id", "text", "lang", "source", "n_chars"))
     val orig = docs.collect().map(_.toSeq).toSet
     assert(back.collect().map(_.toSeq).toSet == orig, "round trip altered rows")
-    // a corrupt line must not fail the read under the pinned schema
+    // a corrupt line is QUARANTINED: dropped, never an all-null row,
+    // and never a job failure
     java.nio.file.Files.write(
       java.nio.file.Paths.get(out, "bad.json"),
       "{not json at all".getBytes("UTF-8"))
-    assert(Ingest.importJsonl(spark, out).count() >= orig.size)
+    val withBad = Ingest.importJsonl(spark, out)
+    assert(withBad.count() == orig.size, "corrupt line leaked or dropped good rows")
+    assert(withBad.filter(col("doc_id").isNull).count() == 0, "all-null ghost row admitted")
   }
 
   test("incremental posting maintenance: upsert/delete visible, probe shuffle-free, compaction folds the log") {
