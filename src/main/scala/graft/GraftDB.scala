@@ -179,8 +179,35 @@ final class GraftDB(val spark: SparkSession, val dir: String,
       shutdownHooks.clear()
       queryCache.clear()
       embeddingCache.clear()
+      warmed.foreach(_.unpersist(blocking = false))
+      warmed = Nil
       if (stopSession) spark.stop()
     }
+  }
+
+  private var warmed: List[DataFrame] = Nil
+
+  /** Staged cache warm-up (advanced_storage.rs:361 warmup_cache —
+    * metadata, hot vectors, index data, hot documents): pull the
+    * document store and embeddings relations into the executor block
+    * cache so first queries pay memory-scan prices instead of cold
+    * parquet decode — the batch analogue of the reference's staged
+    * preheat, where the vector/index stages are covered by the
+    * `pointServe*` loaders (they hold the persisted layouts resident
+    * by construction). Returns total rows preloaded. Idempotent — a
+    * second call is a no-op; [[close]] releases the blocks
+    * (MEMORY_AND_DISK, so an over-RAM corpus degrades to local-disk
+    * blocks instead of evicting or failing).
+    */
+  def warmup(): Long = synchronized {
+    ensureOpen()
+    if (warmed.nonEmpty) return 0L
+    val frames = List(
+      Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+    warmed = frames.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    warmed.map(_.count()).sum
   }
 
   def cachedQuery(build: => DataFrame): DataFrame = {

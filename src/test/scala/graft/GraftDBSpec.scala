@@ -306,6 +306,24 @@ class GraftDBSpec extends GraftSuite {
     assert(db4.queryCache.size == 0 && db4.embeddingCache.size == 0)
   }
 
+  test("warmup preloads the store into the block cache; close releases it") {
+    import org.apache.spark.storage.StorageLevel
+    val db5 = GraftDB(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val n = db5.warmup()
+    assert(n == docs.count() + Tables.embeddings(spark, sf).count(),
+      "total preloaded rows = store + embeddings")
+    // the relations are actually resident (plan-canonical lookup: a
+    // fresh read of the same path resolves to the cached blocks)
+    assert(Tables.documents(spark, sf).storageLevel != StorageLevel.NONE,
+      "documents scan not in the block cache")
+    assert(db5.warmup() == 0L, "second warmup must be a no-op")
+    db5.close()
+    assert(Tables.documents(spark, sf).storageLevel == StorageLevel.NONE,
+      "close must release the warmed blocks")
+    intercept[IllegalStateException](db5.warmup())
+  }
+
   test("embedding cache: LRU bound and TTL expiry") {
     var now = 0L
     val c = new EmbeddingCache(maxEntries = 2, ttlMs = 100, clock = () => now)
