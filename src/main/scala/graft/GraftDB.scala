@@ -38,6 +38,18 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   /** The handle's configuration (lib.rs:555 get_config). */
   def getConfig: GraftConfig = config
 
+  /** Runtime reconfiguration (query_engine.rs:228 update_config), the
+    * immutable-handle form: a NEW handle over the same store and
+    * session with the new validated config (fresh caches sized by it —
+    * cache entries keyed under the old limits must not leak into the
+    * new regime). The old handle stays usable until closed; sharing
+    * the session means the swap costs nothing but the empty caches.
+    */
+  def withConfig(newConfig: GraftConfig): GraftDB = {
+    ensureOpen()
+    GraftDB(spark, dir, newConfig)
+  }
+
   def getDocument(id: Long): DataFrame = DocOps.get(spark, dir, id)
 
   def listDocuments(limit: Int = 50, offset: Int = 0): DataFrame =

@@ -380,6 +380,50 @@ object Bm25 {
       .orderBy(col("doc_id"), col("term_id"))
   }
 
+  /** Corpus vocabulary with DENSE sequential ids (sparse.rs:318
+    * build_vocabulary / hybrid.rs:279 update_vocabulary — the
+    * reference enumerates terms into in-memory u32 ids): one row per
+    * distinct term with document frequency, collection frequency and
+    * a deterministic dense id = rank by (df DESC, term). The
+    * retrieval path deliberately does NOT depend on this (it uses
+    * content-derived hash ids — no global pass), but the dense-id
+    * artifact is what embedding tables and tokenizer exports consume.
+    * Per-doc tf pairs are the zero-shuffle native TermCounts sketch;
+    * the term aggregate shuffles vocabulary-sized rows only. The
+    * rank window is a single-partition sort of the VOCABULARY —
+    * fine to ~1e7 terms, the oracle-comparable form; past that the
+    * same total order feeds a distributed sort + zipWithIndex (two
+    * passes, no single reducer) behind the same output shape.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val tfs = column(graft.functions.expressions.TermCounts(expression(col("text"))))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("text")))
+      .select(explode(tfs).as("e"))
+      .select(col("e.term").as("term"), col("e.tf").as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .withColumn("term_id",
+        row_number().over(Window.orderBy(col("df").desc, col("term"))).cast("long"))
+      .select(col("term_id"), col("term"), col("df"), col("cf"))
+      .orderBy(col("term_id"))
+  }
+
+  val vocabularySql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY doc_id, term
+       |), v AS (
+       |  SELECT term, COUNT(*)::BIGINT AS df, CAST(SUM(tf) AS BIGINT) AS cf
+       |  FROM tf GROUP BY term
+       |)
+       |SELECT row_number() OVER (ORDER BY df DESC, term)::BIGINT AS term_id,
+       |  term, df, cf
+       |FROM v
+       |ORDER BY term_id""".stripMargin
+
   /** Fixed demo sparse query: (term, integer weight) — the shape a
     * learned-sparse encoder (SPLADE / uniCOIL) emits for a query.
     */

@@ -306,6 +306,23 @@ class GraftDBSpec extends GraftSuite {
     assert(db4.queryCache.size == 0 && db4.embeddingCache.size == 0)
   }
 
+  test("withConfig swaps the regime: new limits live, old handle untouched") {
+    val db6 = GraftDB(spark, sf)
+    val tight = db6.withConfig(
+      GraftConfig(query = GraftConfig.QueryConfig(defaultLimit = 3, maxLimit = 4)))
+    assert(tight.bm25Search(Bm25.DefaultQuery, k = 50).count() == 4)
+    assert(tight.hybridSearch(Bm25.DefaultQuery).count() == 3,
+      "defaultLimit drives the no-argument hybrid call")
+    // the originating handle keeps its own config and stays open
+    assert(db6.bm25Search(Bm25.DefaultQuery, k = 50).count() > 4)
+    assert(!db6.isClosed && !tight.isClosed)
+    db6.close()
+    intercept[IllegalStateException](db6.withConfig(GraftConfig()))
+    assert(tight.hybridSearch(Bm25.DefaultQuery).count() == 3,
+      "derived handle must survive the parent's close")
+    tight.close()
+  }
+
   test("warmup preloads the store into the block cache; close releases it") {
     import org.apache.spark.storage.StorageLevel
     val db5 = GraftDB(spark, sf)

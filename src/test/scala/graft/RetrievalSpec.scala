@@ -231,4 +231,31 @@ class RetrievalSpec extends GraftSuite {
         dupIds.contains(r.getAs[Long]("doc_id")) &&
           r.getAs[Long]("cosine") == 1000000L))
   }
+
+  test("vocabulary dense ids are a gapless df-descending enumeration") {
+    import graft.functions.expressions.Tok
+    import scala.jdk.CollectionConverters._
+    val rows = Bm25.vocabulary(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // gapless 1..V enumeration in (df desc, term) order
+    assert(rows.map(_.getAs[Long]("term_id")).toSeq == (1L to rows.length).toSeq)
+    val key = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("term"))).toSeq
+    assert(key == key.sorted, "ids must follow (df desc, term)")
+    // df/cf agree with a driver-side recount through the same tokenizer
+    val docs = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    val cf = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { t =>
+      val toks = Tok.tokens(t).asScala
+      toks.groupBy(identity).foreach { case (w, g) =>
+        df(w) = df.getOrElse(w, 0L) + 1L
+        cf(w) = cf.getOrElse(w, 0L) + g.size
+      }
+    }
+    assert(rows.length == df.size)
+    rows.foreach { r =>
+      val t = r.getAs[String]("term")
+      assert(r.getAs[Long]("df") == df(t) && r.getAs[Long]("cf") == cf(t), t)
+    }
+  }
 }
