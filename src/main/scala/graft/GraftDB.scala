@@ -340,6 +340,19 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def hybridSearchBatch(queries: Seq[String], limit: Int = 20): DataFrame =
     HybridSearch.rrfBatch(spark, dir, queries, capped(limit))
 
+  /** The reference's TEXT-entry semantic search (lib.rs:403
+    * semantic_search: embed the query string with the provider, then
+    * dense-search with the resulting vector): the query embeds
+    * through the cached provider kernel at `config.vectorDimension`
+    * — which must match the corpus embedding dimension, the same
+    * contract the reference's provider config carries — and the raw
+    * vector rides a literal into one corpus scan + TakeOrdered.
+    */
+  def semanticSearchText(text: String, k: Int = 20): DataFrame = {
+    ensureOpen()
+    VectorSearch.semanticTopKVec(spark, dir, embedQuery(text), capped(k))
+  }
+
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
     VectorSearch.semanticTopK(spark, dir, queryVecId, capped(k))
 

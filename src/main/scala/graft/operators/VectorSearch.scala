@@ -45,6 +45,22 @@ object VectorSearch {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
 
+  /** Brute-force cosine top-k for a RAW query vector — the tail of
+    * the reference's embed-then-search text entry (lib.rs:403
+    * semantic_search embeds the query string, then searches with the
+    * resulting vector). The vector rides the plan as a literal (a
+    * few hundred bytes — the one thing that is ALWAYS broadcastable),
+    * so the plan is the same single corpus scan + TakeOrdered as
+    * [[semanticTopK]] with the query-row join removed.
+    */
+  def semanticTopKVec(spark: SparkSession, dir: String, qv: Array[Double],
+                      k: Int = 20): DataFrame =
+    embCorpus(spark, dir)
+      .select(col("vec_id"),
+        fx(cosineSimilarity(col("emb"), lit(qv))).as("score", ScoreTag.metadata))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+
   /** [[semanticTopK]] restricted to an allowed-id relation (one
     * `doc_id` column) — the gate joins BEFORE the top-k, so the k
     * survivors all satisfy the filter (filtered-search semantics, not

@@ -306,6 +306,23 @@ class GraftDBSpec extends GraftSuite {
     assert(db4.queryCache.size == 0 && db4.embeddingCache.size == 0)
   }
 
+  test("semanticSearchText embeds the query and ranks by exact cosine") {
+    val db7 = GraftDB(spark, sf, GraftConfig(vectorDimension = 64))
+    val out = db7.semanticSearchText("spark table scan", k = 10).collect()
+    assert(out.length == 10)
+    // driver-side ground truth: same kernel embedding, exact cosine rank
+    val qv = db7.embedQuery("spark table scan")
+    val all = Tables.embeddings(spark, sf).collect().map { r =>
+      val v = r.getSeq[Float](1).toArray.map(_.toDouble)
+      val dot = v.zip(qv).map { case (a, b) => a * b }.sum
+      val n = math.sqrt(v.map(x => x * x).sum) * math.sqrt(qv.map(x => x * x).sum)
+      (r.getLong(0), math.floor(dot / n * 10000L + 0.5).toLong)
+    }
+    val expect = all.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
+    assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq == expect)
+    db7.close()
+  }
+
   test("withConfig swaps the regime: new limits live, old handle untouched") {
     val db6 = GraftDB(spark, sf)
     val tight = db6.withConfig(
