@@ -104,4 +104,33 @@ class RouterSpec extends AnyFunSuite {
     r.markHealthy(1, ok = false)
     intercept[Router.NoHealthyReplicas](r.pick())
   }
+
+  test("shard ring balances keys and remaps minimally on node removal") {
+    val ring = new graft.sources.ShardRing()
+    Seq("n0", "n1", "n2", "n3", "n4").foreach(ring.addNode(_))
+    val keys = (0 until 10000).map(i => s"key-$i")
+    val before = keys.map(k => k -> ring.nodeFor(k).get).toMap
+    // balance: with 150 vnodes/node, every node holds 10-35% of keys
+    val byNode = before.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byNode.keySet.size == 5, "every node must own some keys")
+    byNode.foreach { case (n, c) =>
+      assert(c > 1000 && c < 3500, s"$n owns $c of 10000 — unbalanced")
+    }
+    // minimal remapping: removing n2 moves ONLY n2's keys
+    ring.removeNode("n2")
+    keys.foreach { k =>
+      val now = ring.nodeFor(k).get
+      if (before(k) != "n2") assert(now == before(k), s"$k moved needlessly")
+      else assert(now != "n2")
+    }
+    // weight scales ownership ~proportionally
+    val ring2 = new graft.sources.ShardRing()
+    ring2.addNode("light", 1); ring2.addNode("heavy", 3)
+    val share = keys.count(k => ring2.nodeFor(k).contains("heavy")).toDouble / keys.size
+    assert(share > 0.6 && share < 0.9, s"weight-3 node owns $share")
+    assert(ring2.stats == Map("light" -> 150, "heavy" -> 450))
+    // empty ring routes nowhere
+    val empty = new graft.sources.ShardRing()
+    assert(empty.nodeFor("k").isEmpty)
+  }
 }
