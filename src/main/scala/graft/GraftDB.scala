@@ -206,20 +206,28 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     * parquet decode — the batch analogue of the reference's staged
     * preheat, where the vector/index stages are covered by the
     * `pointServe*` loaders (they hold the persisted layouts resident
-    * by construction). Returns total rows preloaded. Idempotent — a
-    * second call is a no-op; [[close]] releases the blocks
-    * (MEMORY_AND_DISK, so an over-RAM corpus degrades to local-disk
-    * blocks instead of evicting or failing).
+    * by construction). Returns total rows preloaded; 0 when already
+    * warm. Spark's cache is SESSION-scoped and keyed by canonicalized
+    * plan, not handle-owned — so warmth is probed from the live cache
+    * state (`storageLevel`), never from handle-local bookkeeping:
+    * after another handle over the same store closes and releases the
+    * shared blocks, a surviving handle's `warmup()` re-warms instead
+    * of no-op'ing forever. [[close]] releases whatever this handle
+    * warmed (MEMORY_AND_DISK, so an over-RAM corpus degrades to
+    * local-disk blocks instead of evicting or failing).
     */
   def warmup(): Long = synchronized {
     ensureOpen()
-    if (warmed.nonEmpty) return 0L
     val frames = List(
       Tables.documents(spark, dir),
       Tables.embeddings(spark, dir))
-    warmed = frames.map(
+    val cold = frames.filter(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (cold.isEmpty) return 0L
+    cold.foreach(
       _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    warmed.map(_.count()).sum
+    warmed = cold ::: warmed
+    cold.map(_.count()).sum
   }
 
   def cachedQuery(build: => DataFrame): DataFrame = {
@@ -350,8 +358,24 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def semanticSearchText(text: String, k: Int = 20): DataFrame = {
     ensureOpen()
-    VectorSearch.semanticTopKVec(spark, dir, embedQuery(text), capped(k))
+    val qv = embedQuery(text)
+    // fail fast on a dimension mismatch: the CosineSim kernel scores
+    // over the SHORTER of its two arrays, so an 8-dim query against a
+    // 64-dim corpus would return plausible-looking garbage silently —
+    // the one failure mode worse than an exception
+    require(qv.length == corpusDim,
+      s"config.vectorDimension ${qv.length} != corpus embedding dimension $corpusDim")
+    VectorSearch.semanticTopKVec(spark, dir, qv, capped(k))
   }
+
+  /** Corpus embedding dimension, probed ONCE per handle from a single
+    * pushed-limit row (footer-pruned scan — not a corpus pass).
+    */
+  private lazy val corpusDim: Int =
+    Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")))
+      .head.getInt(0)
 
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
     VectorSearch.semanticTopK(spark, dir, queryVecId, capped(k))

@@ -399,11 +399,14 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val tfs = column(graft.functions.expressions.TermCounts(expression(col("text"))))
-    Tables.spread(spark, Tables.documents(spark, dir).select(col("text")))
-      .select(explode(tfs).as("e"))
-      .select(col("e.term").as("term"), col("e.tf").as("tf"))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(tfs).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
       .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      // df counts distinct DOCUMENTS (the oracle groups by doc_id
+      // first): on a store with duplicate doc_id rows a plain row
+      // count would diverge from the document frequency it claims
+      .agg(countDistinct(col("doc_id")).as("df"), sum(col("tf")).as("cf"))
       .withColumn("term_id",
         row_number().over(Window.orderBy(col("df").desc, col("term"))).cast("long"))
       .select(col("term_id"), col("term"), col("df"), col("cf"))

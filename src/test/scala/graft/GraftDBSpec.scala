@@ -321,6 +321,11 @@ class GraftDBSpec extends GraftSuite {
     val expect = all.sortBy { case (id, s) => (-s, id) }.take(10).toSeq
     assert(out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq == expect)
     db7.close()
+    // a config dimension that mismatches the corpus must FAIL, not
+    // silently score over a truncated prefix
+    val wrong = GraftDB(spark, sf) // default vectorDimension = 8, corpus is 64
+    intercept[IllegalArgumentException](wrong.semanticSearchText("spark", 5))
+    wrong.close()
   }
 
   test("withConfig swaps the regime: new limits live, old handle untouched") {
@@ -352,10 +357,17 @@ class GraftDBSpec extends GraftSuite {
     assert(Tables.documents(spark, sf).storageLevel != StorageLevel.NONE,
       "documents scan not in the block cache")
     assert(db5.warmup() == 0L, "second warmup must be a no-op")
+    // the cache is session-scoped: a sibling handle sees it warm too
+    val sibling = GraftDB(spark, sf)
+    assert(sibling.warmup() == 0L, "sibling must probe the live cache, not its own books")
     db5.close()
     assert(Tables.documents(spark, sf).storageLevel == StorageLevel.NONE,
       "close must release the warmed blocks")
     intercept[IllegalStateException](db5.warmup())
+    // a surviving handle can RE-warm after the releaser closed
+    assert(sibling.warmup() == n, "surviving handle must re-warm cold blocks")
+    sibling.close()
+    assert(Tables.documents(spark, sf).storageLevel == StorageLevel.NONE)
   }
 
   test("embedding cache: LRU bound and TTL expiry") {
