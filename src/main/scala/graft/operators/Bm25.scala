@@ -380,6 +380,141 @@ object Bm25 {
       .orderBy(col("doc_id"), col("term_id"))
   }
 
+  /** Feedback depth / expansion width / original-term weight for
+    * [[prfSearch]]. Expansion term t gets integer weight
+    * `PrfTerms − rank(t) + 1` (rank by feedback mass desc, term asc) —
+    * a data-independent weight SCALE, so the mixing needs no float
+    * normalization; original terms carry `2 × PrfTerms`, keeping the
+    * stated intent dominant.
+    */
+  val PrfDocs = 10
+  val PrfTerms = 8
+  val PrfOrigWeight: Long = 2L * PrfTerms
+
+  /** Pseudo-relevance-feedback BM25 (RM3 shape — Abdul-Jaleel et al.
+    * 2004, integer-weight simplification): run BM25, mine the top
+    * [[PrfDocs]] documents for their heaviest non-query terms, then
+    * re-score the corpus with the EXPANDED weighted query — the
+    * recall-recovery pass for vocabulary-mismatch queries that plain
+    * BM25 (and the reference's sparse search) cannot answer.
+    *
+    * Determinism: every per-(doc, term) BM25 contribution is
+    * fx-quantized at 1e-6 BEFORE the weighted per-doc sum, so the
+    * final aggregation is INTEGER arithmetic — order-independent and
+    * bit-identical cross-engine (the lm_score convention; a raw
+    * double SUM over 13+ terms would be at the mercy of aggregation
+    * order). Expansion selection is integer feedback mass with a
+    * (wfb DESC, term) total order.
+    *
+    * Scale shape: one corpus pass to the (doc, dl, term, tf) posting
+    * (at 100 TB this is the bucketed posting table, already
+    * materialized); the feedback-id and weighted-term relations are
+    * query-bounded (10 ids, ≤13 terms) and ride broadcasts; df is a
+    * term-keyed aggregate of the posting PRE-FILTERED by the
+    * broadcast term set (map-side, never a full-vocabulary pass);
+    * the final score is one doc-keyed aggregate of a ≤13-terms-per-doc
+    * relation + TakeOrdered. No corpus-sized shuffle beyond the
+    * posting aggregate stage one already pays.
+    */
+  def prfSearch(spark: SparkSession, dir: String,
+                query: String = DefaultQuery, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val orig = tokenizeQuery(query)
+    val fbIds = searchDocs(spark, docs, query, PrfDocs).select(col("doc_id"))
+    val toks = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val posting = toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val rankW = Window.orderBy(col("wfb").desc, col("term"))
+    val ranked = posting.join(broadcast(fbIds), Seq("doc_id"))
+      .filter(!col("term").isin(orig: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).cast("long").as("wfb"))
+      .orderBy(col("wfb").desc, col("term")).limit(PrfTerms)
+      .select(col("term"),
+        (lit(PrfTerms + 1).cast("long") - row_number().over(rankW)).as("w"))
+    val weighted = orig.map(t => (t, PrfOrigWeight)).toDF("term", "w")
+      .union(ranked)
+    val stats = toks.select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfs = posting.join(broadcast(weighted.select(col("term"))), Seq("term"))
+      .groupBy(col("term")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    posting
+      .join(broadcast(weighted), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (col("w") * fx(idf * tfPart, 6)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("score", ScoreTag.metadata))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def prfSearchSql(query: String = DefaultQuery, k: Int = 20): String = {
+    val orig = tokenizeQuery(query)
+    val inOrig = orig.map(t => s"'$t'").mkString("(", ", ", ")")
+    val origRows = orig.map(t => s"('$t', $PrfOrigWeight)").mkString(", ")
+    val score1 = fxSql(
+      s"SUM(ln((stats.n_docs - dfs1.df + 0.5) / (dfs1.df + 0.5))" +
+      s" * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * ((1.0 - $B) + $B * (tf.dl / stats.avgdl))))", 6)
+    val contrib = fxSql(
+      s"ln((stats.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))" +
+      s" * (tf.tf * ${K1 + 1.0}) / (tf.tf + $K1 * ((1.0 - $B) + $B * (tf.dl / stats.avgdl)))", 6)
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), lens AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl FROM toks
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+       |), posting AS (
+       |  SELECT doc_id, len(toks)::BIGINT AS dl, unnest(toks) AS term FROM toks
+       |), tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*)::DOUBLE AS tf
+       |  FROM posting GROUP BY doc_id, dl, term
+       |), dfs1 AS (
+       |  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+       |  WHERE term IN $inOrig GROUP BY term
+       |), q1 AS (
+       |  SELECT tf.doc_id, $score1 AS score
+       |  FROM tf JOIN dfs1 USING (term), stats
+       |  WHERE term IN $inOrig
+       |  GROUP BY tf.doc_id
+       |  ORDER BY score DESC, tf.doc_id
+       |  LIMIT $PrfDocs
+       |), ranked AS (
+       |  SELECT term,
+       |    ${PrfTerms + 1} - row_number() OVER (ORDER BY wfb DESC, term) AS w
+       |  FROM (
+       |    SELECT term, CAST(SUM(tf.tf) AS BIGINT) AS wfb
+       |    FROM tf JOIN q1 USING (doc_id)
+       |    WHERE term NOT IN $inOrig
+       |    GROUP BY term
+       |  )
+       |  ORDER BY wfb DESC, term
+       |  LIMIT $PrfTerms
+       |), weighted AS (
+       |  SELECT * FROM (VALUES $origRows) v(term, w)
+       |  UNION ALL SELECT term, w FROM ranked
+       |), dfs AS (
+       |  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf
+       |  WHERE term IN (SELECT term FROM weighted) GROUP BY term
+       |)
+       |SELECT tf.doc_id, CAST(SUM(weighted.w * $contrib) AS BIGINT) AS score
+       |FROM tf
+       |JOIN weighted USING (term)
+       |JOIN dfs USING (term), stats
+       |GROUP BY tf.doc_id
+       |ORDER BY score DESC, tf.doc_id
+       |LIMIT $k""".stripMargin
+  }
+
   /** Corpus vocabulary with DENSE sequential ids (sparse.rs:318
     * build_vocabulary / hybrid.rs:279 update_vocabulary — the
     * reference enumerates terms into in-memory u32 ids): one row per

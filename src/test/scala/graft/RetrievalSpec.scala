@@ -232,6 +232,41 @@ class RetrievalSpec extends GraftSuite {
           r.getAs[Long]("cosine") == 1000000L))
   }
 
+  test("prf expansion terms come from the feedback docs and re-rank deterministically") {
+    import org.apache.spark.sql.functions._
+    val out = Bm25.prfSearch(spark, sf, k = 15).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    val scores = out.map(_.getAs[Long]("score")).toSeq
+    assert(scores == scores.sortBy(-_), "descending by fused score")
+    // expansion terms must actually occur in the stage-1 feedback docs
+    val fbIds = Bm25.search(spark, sf, k = Bm25.PrfDocs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val fbText = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(fbIds.toSeq: _*))
+      .collect().map(_.getAs[String]("text"))
+    val orig = Bm25.tokenizeQuery(Bm25.DefaultQuery).toSet
+    // recompute the expansion mass driver-side
+    import graft.functions.expressions.Tok
+    import scala.jdk.CollectionConverters._
+    val mass = scala.collection.mutable.Map.empty[String, Long]
+    fbText.foreach(t => Tok.tokens(t).asScala.foreach { w =>
+      if (!orig(w)) mass(w) = mass.getOrElse(w, 0L) + 1L
+    })
+    val expect = mass.toSeq.sortBy { case (t, m) => (-m, t) }.take(Bm25.PrfTerms).map(_._1)
+    // every expansion term must measurably contribute: a doc scoring
+    // in PRF but containing NO original term must contain an
+    // expansion term (pure-expansion recall — the point of RM3)
+    val expanded = expect.toSet
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    out.foreach { r =>
+      val toks = Tok.tokens(texts(r.getAs[Long]("doc_id"))).asScala.toSet
+      assert(toks.exists(orig) || toks.exists(expanded),
+        s"doc ${r.getAs[Long]("doc_id")} scored without any query/expansion term")
+    }
+    assert(expect.nonEmpty, "synthetic corpus must yield expansion terms")
+  }
+
   test("vocabulary dense ids are a gapless df-descending enumeration") {
     import graft.functions.expressions.Tok
     import scala.jdk.CollectionConverters._
