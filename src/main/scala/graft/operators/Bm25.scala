@@ -406,53 +406,63 @@ object Bm25 {
     * order). Expansion selection is integer feedback mass with a
     * (wfb DESC, term) total order.
     *
-    * Scale shape: one corpus pass to the (doc, dl, term, tf) posting
-    * (at 100 TB this is the bucketed posting table, already
-    * materialized); the feedback-id and weighted-term relations are
-    * query-bounded (10 ids, ≤13 terms) and ride broadcasts; df is a
-    * term-keyed aggregate of the posting PRE-FILTERED by the
-    * broadcast term set (map-side, never a full-vocabulary pass);
-    * the final score is one doc-keyed aggregate of a ≤13-terms-per-doc
-    * relation + TakeOrdered. No corpus-sized shuffle beyond the
-    * posting aggregate stage one already pays.
+    * Scale shape: the corpus is tokenized ONCE (the stage-1 plan is
+    * analyzed-plan-identical to [[searchDocs]]'s persisted `toks`, so
+    * the cache manager serves every later scan from the same
+    * InMemoryRelation); expansion terms are mined from ONLY the
+    * [[PrfDocs]] feedback documents — the broadcast id join runs
+    * BEFORE the explode, so that aggregate sees 10 documents, not the
+    * corpus, and its result is a bounded literal (≤ [[PrfTerms]]
+    * rows, the eval-shingle-collect class — never a data-sized pull);
+    * the re-score is then the exact [[searchDocs]] shape over the ≤13
+    * expanded terms: one zero-shuffle [[graft.functions.expressions
+    * .TokenTfs]] sketch column, per-term df inside the SAME single
+    * stats aggregate, contributions fx-quantized per term before the
+    * integer weighted sum, TakeOrdered. No corpus-sized shuffle
+    * anywhere — the earlier posting-join form paid the
+    * (doc, dl, term) aggregate shuffle three times.
     */
   def prfSearch(spark: SparkSession, dir: String,
                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val docs = Tables.documents(spark, dir)
     val orig = tokenizeQuery(query)
+    if (orig.isEmpty)
+      return docs.select(col("doc_id"), lit(0L).as("score", ScoreTag.metadata)).filter(lit(false))
     val fbIds = searchDocs(spark, docs, query, PrfDocs).select(col("doc_id"))
     val toks = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val posting = toks
-      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
-        explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-    val rankW = Window.orderBy(col("wfb").desc, col("term"))
-    val ranked = posting.join(broadcast(fbIds), Seq("doc_id"))
+    val expansion = toks.join(broadcast(fbIds), Seq("doc_id"))
+      .select(explode(col("toks")).as("term"))
       .filter(!col("term").isin(orig: _*))
-      .groupBy(col("term")).agg(sum(col("tf")).cast("long").as("wfb"))
+      .groupBy(col("term")).agg(count(lit(1)).as("wfb"))
       .orderBy(col("wfb").desc, col("term")).limit(PrfTerms)
-      .select(col("term"),
-        (lit(PrfTerms + 1).cast("long") - row_number().over(rankW)).as("w"))
-    val weighted = orig.map(t => (t, PrfOrigWeight)).toDF("term", "w")
-      .union(ranked)
-    val stats = toks.select(size(col("toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfs = posting.join(broadcast(weighted.select(col("term"))), Seq("term"))
-      .groupBy(col("term")).agg(countDistinct(col("doc_id")).cast("double").as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-    val tfPart = (col("tf") * lit(K1 + 1.0)) /
-      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
-    posting
-      .join(broadcast(weighted), Seq("term"))
-      .join(broadcast(dfs), Seq("term"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (r.getString(0), (PrfTerms - i).toLong) }
+    val weighted: Seq[(String, Long)] =
+      orig.map(t => (t, PrfOrigWeight)) ++ expansion
+    val terms = weighted.map(_._1)
+    val counts = toks.select(col("doc_id"),
+      column(graft.functions.expressions.TokenTfs(
+        expression(col("toks")), terms)).as("c"))
+    val dl = col("c").getItem(0)
+    val aggExprs = count(lit(1)).as("n_docs") +: avg(dl).as("avgdl") +:
+      terms.indices.map(j =>
+        sum((col("c").getItem(j + 1) > 0).cast("long")).cast("double").as(s"df$j"))
+    val stats = counts.agg(aggExprs.head, aggExprs.tail: _*)
+    val termContribs = weighted.zipWithIndex.map { case ((_, w), j) =>
+      val tf = col("c").getItem(j + 1).cast("double")
+      val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
+      val tfPart = (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl.cast("double") / col("avgdl"))))
+      lit(w) * fx(idf * tfPart, 6)
+    }
+    counts
+      .filter(terms.indices.map(j => col("c").getItem(j + 1)).reduce(_ + _) > 0)
       .crossJoin(broadcast(stats))
-      .select(col("doc_id"), (col("w") * fx(idf * tfPart, 6)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("score", ScoreTag.metadata))
+      .select(col("doc_id"),
+        termContribs.reduce(_ + _).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
