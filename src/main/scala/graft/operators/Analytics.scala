@@ -45,7 +45,9 @@ object Analytics {
        |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** Shipping-priority top-k (TPC-H Q3 shape): two joins then a
-    * revenue top-10. At scale: orders/customer shuffle-join on keys,
+    * revenue top-10. At scale: orders/customer shuffle-join on keys —
+    * customer is corpus-proportional (a fifth of it survives the
+    * segment filter), so it rides a shuffle_hash, never a broadcast;
     * top-k is TakeOrderedAndProject (per-partition heaps, no global
     * sort).
     */
@@ -54,7 +56,7 @@ object Analytics {
     val ord  = Tables.orders(spark, dir)
     val li   = Tables.lineitem(spark, dir)
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(cust.hint("shuffle_hash"), ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -72,9 +74,11 @@ object Analytics {
        |ORDER BY revenue DESC, l_orderkey
        |LIMIT 10""".stripMargin
 
-  /** Multi-way join with broadcast dimension tables (TPC-H Q5 shape).
-    * region/nation/supplier/customer are broadcast; only the
-    * lineitem-orders fact join shuffles.
+  /** Multi-way join (TPC-H Q5 shape). nation is a genuine
+    * constant-bounded dimension (25 rows) and broadcasts; supplier
+    * and customer are corpus-proportional, so they ride key-wise
+    * shuffle_hash joins like the fact tables — the q8/q10
+    * discipline. Only bounded relations ever broadcast.
     */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
@@ -83,8 +87,8 @@ object Analytics {
     val s  = Tables.supplier(spark, dir)
     val n  = Tables.nation(spark, dir)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(s.hint("shuffle_hash"), li("l_suppkey") === s("s_suppkey"))
+      .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
@@ -290,7 +294,7 @@ object Analytics {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey")).distinct()
-    cust.join(broadcast(urgent), cust("c_custkey") === urgent("o_custkey"), "left_anti")
+    cust.join(urgent.hint("shuffle_hash"), cust("c_custkey") === urgent("o_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
            fx(avg(col("c_acctbal")), 2).as("avg_acctbal"))
@@ -317,7 +321,7 @@ object Analytics {
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
-    cust.join(broadcast(urgent), cust("c_custkey") === urgent("o_custkey"), "left_semi")
+    cust.join(urgent.hint("shuffle_hash"), cust("c_custkey") === urgent("o_custkey"), "left_semi")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"),
            fx(avg(col("c_acctbal")), 2).as("avg_acctbal"))
