@@ -590,7 +590,14 @@ object Curation {
     val scored = TextAnalysis.lmScore(spark, dir)
       .select(col("doc_id"), col("mean_surprise_fx"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // the scored relation feeds BOTH the tercile aggregate and the
+    // final labeling join; Catalyst does not dedupe repeated
+    // DataFrame subtrees, so without this persist the whole lmScore
+    // pipeline (instance-bigram shuffle included) runs twice. The
+    // cached relation is three narrow columns, one row per doc,
+    // disk-spillable — the dedup CC label-relation precedent.
     val docs = scored.join(src.hint("shuffle_hash"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = percentile(col("mean_surprise_fx"),
       array(lit(1.0 / 3), lit(2.0 / 3)))
     val thr = docs.groupBy(col("source"))
