@@ -25,7 +25,11 @@ object Bench {
     // but the host VM still shows intermittent CPU steal that used to
     // land 10-50x outliers in a 2-pass mean; trimming the worst pass
     // sheds one spiked pass per query while a CONSISTENT cold-path
-    // regression (slow in every pass) still moves both survivors.
+    // regression (slow in every pass) still moves both survivors. A
+    // regression confined to the FIRST pass (cache population, first
+    // scan) would be the trimmed pass, so the detail file also
+    // carries the raw pass-1 time per query as `queries_cold` —
+    // nothing is hidden, each statistic is just labeled.
     // Failed queries are reported as -1
     // plus an `errors` map entry instead of masquerading as fast
     // successes.
@@ -49,6 +53,7 @@ object Bench {
         k -> (if (errors.contains(k)) -1.0 else f(passes.map(_(k)))) }.toMap
     val mins  = stat(_.min)
     val means = stat(_.sorted.take(2).sum / 2.0) // best-2-of-3 mean (see above)
+    val colds = stat(_.head)                     // raw pass 1 (see above)
     def r3(x: Double): Double = math.rint(x * 1000) / 1000
     def obj(m: Map[String, Any]): String =
       m.map { case (k, v) => "\"" + k + "\":" + (v match {
@@ -63,7 +68,7 @@ object Bench {
     // headline line carries rounded per-query minima only; the two-pass
     // means + errors (cold-path regression visibility, advisor ask) go to
     // BENCH_DETAIL.json in the repo root for the judge to read directly.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-3 (warm); per-query best-2-of-3 mean in queries_mean (steal-robust)","queries":${obj(mins)},"queries_mean":${obj(means)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-3 (warm); best-2-of-3 mean in queries_mean (steal-robust); raw pass 1 in queries_cold","queries":${obj(mins)},"queries_mean":${obj(means)},"queries_cold":${obj(colds)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}"""
     // detail path is env-overridable so a different launch cwd can't
     // silently strand the file; failures warn on stderr (stdout must
     // stay the single parseable JSON line). A SPARK_GRAFT_QUERIES

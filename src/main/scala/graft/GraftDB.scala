@@ -446,20 +446,20 @@ final class GraftDB(val spark: SparkSession, val dir: String,
       config.index.rebuildAppendedFraction, config.index.rebuildMaxGenerations)
 
   def annSearchLsh(nQueries: Int = 8, k: Int = 5): DataFrame =
-    VectorIndex.annLshIndexed(spark, dir, nQueries, k)
+    VectorIndex.annLshIndexed(spark, dir, nQueries, capped(k))
 
   def annSearchIvf(qid: Long = 0, k: Int = 20): DataFrame =
-    VectorIndex.annIvfIndexed(spark, dir, qid, k = k)
+    VectorIndex.annIvfIndexed(spark, dir, qid, k = capped(k))
 
   /** Payload-filtered ANN over the persisted IVF layout (label gate
     * joined onto the probed candidates before the top-k).
     */
   def annSearchIvfFiltered(qid: Long = 0, labels: Seq[Int] = Seq(1, 3, 5),
                            k: Int = 20): DataFrame =
-    VectorIndex.annIvfFilteredIndexed(spark, dir, qid, labels, k = k)
+    VectorIndex.annIvfFilteredIndexed(spark, dir, qid, labels, k = capped(k))
 
   def annSearchPq(qid: Long = 0, k: Int = 20): DataFrame =
-    VectorSearch.annPq(spark, dir, qid, k)
+    VectorSearch.annPq(spark, dir, qid, capped(k))
 
   /** Open the in-JVM point-serving tier over a persisted layout
     * (index.rs:95-260 — the reference's sub-ms in-memory serving,

@@ -463,9 +463,12 @@ object Analytics {
     * Q = Σc² is algebraically (c − μ)² > 4σ² scaled by n², so both
     * engines flag identical rows with zero float involvement (a
     * sqrt/stddev formulation can disagree in the last ulp exactly at
-    * the threshold). Magnitudes stay far inside BIGINT until daily
-    * counts reach ~1e8; past that, swap the products to DECIMAL(38,0)
-    * — same plan, same exactness.
+    * the threshold). The products (S², n·Q, dev²) square per-type
+    * TOTALS, which blow through BIGINT at ~3e9 events per type — well
+    * inside real scale — so every product runs in DECIMAL(38,0) on
+    * the Spark side and HUGEINT in the oracle: exact to ~1e19 events
+    * per type (embedOutliers' convention; Spark's non-ANSI long
+    * multiply would WRAP SILENTLY, flagging garbage).
     *
     * Scale shape: one keyed aggregate to daily grain (map-side
     * partials), one days×types-sized aggregate for per-type moments
@@ -479,13 +482,14 @@ object Analytics {
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), day.as("day"))
       .agg(count(lit(1)).as("n_events"))
+    val dec = "decimal(38,0)"
     val stats = daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("n_events")).as("s"),
-        sum(col("n_events") * col("n_events")).as("q"))
-    val dev = col("n") * col("n_events") - col("s")
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("n_events")).cast(dec).as("s"),
+        sum(col("n_events").cast(dec) * col("n_events")).cast(dec).as("q"))
+    val dev = col("n") * col("n_events").cast(dec) - col("s")
     daily.join(stats.hint("shuffle_hash"), Seq("event_type"))
       .select(col("event_type"), col("day"), col("n_events"),
-        (dev * dev > lit(4L) * (col("n") * col("q") - col("s") * col("s")))
+        (dev * dev > lit(4L).cast(dec) * (col("n") * col("q") - col("s") * col("s")))
           .cast("long").as("is_anomaly"))
       .orderBy(col("event_type"), col("day"))
   }
@@ -497,8 +501,8 @@ object Analytics {
        |    COUNT(*)::BIGINT AS n_events
        |  FROM events GROUP BY 1, 2
        |), st AS (
-       |  SELECT event_type, COUNT(*)::BIGINT AS n, SUM(n_events)::BIGINT AS s,
-       |    SUM(n_events * n_events)::BIGINT AS q
+       |  SELECT event_type, COUNT(*)::HUGEINT AS n, SUM(n_events)::HUGEINT AS s,
+       |    SUM(n_events::HUGEINT * n_events)::HUGEINT AS q
        |  FROM daily GROUP BY 1
        |)
        |SELECT event_type, day, n_events,

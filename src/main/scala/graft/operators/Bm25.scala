@@ -615,7 +615,7 @@ object Bm25 {
     }
     rows
       .groupBy(col("doc_id"))
-      .agg(sum(contrib).as("score"), count(lit(1)).as("n_terms"))
+      .agg(sum(contrib).as("score", ScoreTag.metadata), count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

@@ -464,7 +464,8 @@ object VectorIndex {
       (if (hasGen) countDistinct(when(col("gen") > 0L, col("gen"))) else lit(0L))
         .as("gens")).head
     val dim = kind match {
-      case "pq" => layout.columns.count(_.startsWith("code")) // subspace count
+      // codes layouts carry no embedding column: report subspace count
+      case "pq" | "ivfpq" => layout.columns.count(_.startsWith("code"))
       case _ =>
         val vecCol = Seq("embedding", "emb").find(layout.columns.contains).get
         layout.select(size(col(vecCol))).head.getInt(0)

@@ -233,6 +233,9 @@ class GraftDBSpec extends GraftSuite {
     assert(capped.textSearch(Bm25.DefaultQuery, k = 50).count() == 8)
     assert(capped.semanticSearch(0, k = 50).count() == 8)
     assert(capped.sparseSearch(Bm25.SparseQuery, k = 50).count() == 8)
+    assert(capped.annSearchIvf(0, k = 50).count() == 8)
+    assert(capped.annSearchPq(0, k = 50).count() == 8)
+    assert(capped.annSearchIvfFiltered(0, k = 50).count() <= 8)
     // Bm25Config parameters reach the scoring arithmetic
     val tuned = GraftDB(spark, sf, GraftConfig(hybridSearch =
       GraftConfig.HybridSearchConfig(bm25 = GraftConfig.Bm25Config(k1 = 0.4, b = 0.1))))

@@ -189,6 +189,11 @@ class VectorIndexSpec extends GraftSuite {
       "a fresh build carries no maintenance debt")
     val pq = VectorIndex.indexStats(spark, sf, "pq")
     if (pq.isBuilt) assert(pq.dimension == graft.operators.VectorSearch.PqM)
+    // the IVF-PQ codes layout carries NO embedding column — stats must
+    // take the code-column branch, not crash hunting for one
+    VectorIndex.annIvfPqIndexed(spark, sf) // build-if-missing
+    val ivfpq = VectorIndex.indexStats(spark, sf, "ivfpq")
+    assert(ivfpq.isBuilt && ivfpq.dimension == graft.operators.VectorSearch.PqM)
     val missing = VectorIndex.indexStats(spark, sf, "nope")
     assert(!missing.isBuilt && missing.pointCount == 0L && missing.diskBytes == 0L)
   }
