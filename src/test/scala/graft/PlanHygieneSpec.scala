@@ -56,6 +56,22 @@ class PlanHygieneSpec extends GraftSuite {
     assert(hintCount(curate, SHUFFLE_HASH) == subShuffleHash + 4)
   }
 
+  test("TPC-H joins force no corpus-proportional broadcast: customer/supplier/order sides ride shuffle_hash") {
+    // customer, supplier and any orders-derived key set all scale with
+    // the corpus — only nation (25 rows, constant) may carry a forced
+    // broadcast. Pins the q8/q10 discipline onto q3/q5/anti/semi.
+    val q3 = operators.Analytics.q3(spark, sf)
+    assert(hintCount(q3, BROADCAST) == 0 && hintCount(q3, SHUFFLE_HASH) == 1)
+    val q5 = operators.Analytics.q5(spark, sf)
+    assert(hintCount(q5, BROADCAST) == 1,
+      "only the 25-row nation dimension may broadcast in q5")
+    assert(hintCount(q5, SHUFFLE_HASH) == 2)
+    val anti = operators.Analytics.custWithoutOrders(spark, sf)
+    assert(hintCount(anti, BROADCAST) == 0 && hintCount(anti, SHUFFLE_HASH) == 1)
+    val semi = operators.Analytics.custWithUrgent(spark, sf)
+    assert(hintCount(semi, BROADCAST) == 0 && hintCount(semi, SHUFFLE_HASH) == 1)
+  }
+
   test("ann_knn_graph broadcasts only the 256-row-bounded bucket census") {
     val df = operators.VectorSearch.annKnnGraph(spark, sf)
     // exactly the two keyed/probe joins against `sizes` — a relation
