@@ -636,3 +636,48 @@ object ShingleStrings {
     new GenericArrayData(out)
   }
 }
+
+/** Membership gate against a Bloom filter of eval-set shingle hashes:
+  * true iff ANY element of the child array<long> might be in the
+  * filter — the at-scale decontamination form
+  * ([[graft.operators.Curation.decontaminateBloom]]) for eval sets
+  * too large to ride an `isin`/`arrays_overlap` literal. The filter
+  * is carried as a codegen reference object (task-binary broadcast,
+  * ~3.6 bytes/item at fpp 1e-6); no join, no state. Bloom
+  * semantics keep the contract one-sided: an inserted hash is NEVER
+  * missed (no false negatives), so every truly contaminated document
+  * is flagged; false positives only ever over-remove — the safe
+  * direction for decontamination.
+  */
+case class BloomContainsAny(child: Expression,
+                            bf: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(input: Any): Any =
+    BloomContainsAny.compute(input.asInstanceOf[ArrayData], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bf,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.BloomContainsAny.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BloomContainsAny {
+  def compute(arr: ArrayData,
+              bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (bf.mightContainLong(arr.getLong(i))) return true
+      i += 1
+    }
+    false
+  }
+}

@@ -76,6 +76,56 @@ object Curation {
        |GROUP BY p.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Bloom false-positive rate for [[decontaminateBloom]]. A DOCUMENT
+    * over-flags when ANY of its shingles trips a false positive —
+    * per-doc rate ≈ shingles·fpp — so the per-probe rate must sit
+    * orders below the tolerable per-doc over-removal: 1e-6 puts a
+    * 100-shingle doc at ~1e-4. Bits scale only with ln(1/fpp)
+    * (~28.8 bits/item here vs 14.4 at 1e-3), so strictness is cheap.
+    */
+  val BloomFpp = 1e-6
+
+  /** Bloom-gated decontamination — the at-scale form of
+    * [[decontaminate]] for an eval set too large to ride an exact
+    * broadcast (the swap the streaming gate's docstring promises:
+    * a 1e7-shingle eval corpus is ~hundreds of MB as a long set but
+    * ~36 MB as a Bloom filter at fpp 1e-6; past ~1e9 shingles even
+    * the filter outgrows a task binary and the exact form's
+    * distributed semi-join is the right tool again). Returns the
+    * doc_ids the gate would REMOVE: train documents with at least one
+    * shingle the filter might contain.
+    *
+    * The one-sided error is the design point: Bloom filters have NO
+    * false negatives, so every document [[decontaminate]] flags is
+    * flagged here too (CurationSpec pins exact ⊆ bloom); false
+    * positives only over-remove — benign for decontamination, with
+    * per-doc over-flag probability ≈ shingle-count · [[BloomFpp]].
+    * Cross-engine oracle SQL is deliberately absent (the filter's bit
+    * layout is Spark's own) — the driver records the weaker rows-only
+    * check and the spec carries the real contract.
+    *
+    * Scale shape: the filter is built by `stat.bloomFilter`'s
+    * treeAggregate over the DISTINCT eval shingles (bit-OR merge —
+    * order-independent, deterministic) and rides the task binary as a
+    * codegen reference object; the train side is a ZERO-SHUFFLE
+    * map+filter — strictly cheaper than the exact form's keyed join,
+    * which is the point of the swap.
+    */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         fpp: Double = BloomFpp): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def hashes = graft.functions.expressions.ShingleHashes(
+      expression(col("text")), DecontN, Dedup.P)
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val eval = Tables.spread(spark, base.filter(col("doc_id") % EvalMod === 0))
+      .select(explode(column(hashes)).as("h")).distinct()
+    val bf = eval.stat.bloomFilter("h", math.max(eval.count(), 1L), fpp)
+    Tables.spread(spark, base.filter(col("doc_id") % EvalMod =!= 0))
+      .filter(column(graft.functions.expressions.BloomContainsAny(hashes, bf)))
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token budget per packed training sequence. */
   val PackBudget = 256L
 

@@ -38,6 +38,25 @@ class CurationSpec extends GraftSuite {
     }
   }
 
+  test("decontaminate_bloom is one-sided: flags every exactly-contaminated doc, over-flags only within fpp") {
+    val exact = Curation.decontaminate(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val bloom = Curation.decontaminateBloom(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // no false negatives: a Bloom filter never misses an inserted
+    // hash, so the exact flag set must be contained
+    assert((exact -- bloom).isEmpty,
+      s"bloom missed exactly-contaminated docs: ${(exact -- bloom).take(5)}")
+    // false positives bounded: a clean doc trips with probability
+    // ~shingles·fpp; at fpp 1e-6 and ~1e2 shingles/doc the expected
+    // over-flag mass over this corpus is ~0
+    val trainDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Curation.EvalMod =!= 0).count()
+    val overFlagged = (bloom -- exact).size
+    assert(overFlagged <= math.max(5L, trainDocs / 20),
+      s"bloom over-flagged $overFlagged of $trainDocs clean docs")
+  }
+
   test("doc_pack bins are contiguous, ordered and token-complete per lang") {
     val rows = Curation.docPack(spark, sf).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
