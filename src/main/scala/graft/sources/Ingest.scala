@@ -140,6 +140,56 @@ object Ingest {
       .partitionBy("lang")
       .parquet(outPath)
 
+  /** Multi-dimensional Z-order clustered rewrite — Delta/Iceberg's
+    * OPTIMIZE ZORDER reduced to its essence, for stores queried by
+    * predicates on MORE than one column. [[compact]]'s single-column
+    * sort gives parquet footer min/max pruning on its lead column
+    * only: every file spans the full range of every other column, so
+    * a predicate on any of them scans the whole store. Z-ordering
+    * quantizes each clustering column to a rank bucket (sampled
+    * quantile boundaries — ONE sketch pass, ≤2^bits doubles per
+    * column on the driver, never a global sort) and bit-interleaves
+    * the bucket ids into a space-filling z-value; range-partitioning
+    * + in-partition sorting by that value makes each file cover a
+    * compact hyper-rectangle of the clustered dimensions, so footer
+    * stats prune files for box predicates on ANY subset of the
+    * columns — the data-layout half of scan pruning at 100 TB, where
+    * "which files can we skip" dominates query cost.
+    *
+    * Boundary sampling (`approxQuantile`) affects only WHERE files
+    * land, never row content — any boundary set yields a correct
+    * layout; skew collapses adjacent boundaries and degrades pruning
+    * gracefully. StoreLayoutSpec measures the contract directly: a
+    * box predicate's candidate-file set (footer min/max overlap) must
+    * shrink versus the single-column-sorted layout.
+    */
+  def zorderWrite(df: DataFrame, zCols: Seq[String], outPath: String,
+                  numFiles: Int = 16, bitsPerCol: Int = 6): Unit = {
+    require(zCols.size >= 2, "z-ordering needs at least two columns")
+    require(bitsPerCol * zCols.size <= 62, "z-value must fit a long")
+    val nb = 1 << bitsPerCol
+    val bounds = zCols.map { c =>
+      c -> df.stat.approxQuantile(c, (1 until nb).map(_.toDouble / nb).toArray, 0.001)
+    }
+    val buckets = bounds.map { case (c, bs) =>
+      bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= b, 1).otherwise(0)
+      }.as(s"_zb_$c")
+    }
+    val z = (0 until bitsPerCol).foldLeft(lit(0L)) { (acc, i) =>
+      zCols.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shiftright(col(s"_zb_$c"), i).cast("long").bitwiseAND(lit(1L)) *
+          lit(1L << (i * zCols.size + j))
+      }
+    }
+    df.select(df.columns.map(col) ++ buckets: _*)
+      .withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z" +: zCols.map(c => s"_zb_$c"): _*)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+  }
+
   /** The documents schema as DDL — pinned for [[importJsonl]] so an
     * interchange read never pays schema inference (a full extra pass
     * at corpus scale) and never drifts types on an empty or partial

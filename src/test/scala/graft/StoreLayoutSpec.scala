@@ -61,4 +61,50 @@ class StoreLayoutSpec extends GraftSuite {
       dropHard("li_bucketed", "ord_bucketed")
     }
   }
+
+  test("z-order layout prunes files for a non-lead-column box predicate; single-column sort cannot") {
+    import org.apache.spark.sql.DataFrame
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+    val numFiles = 32
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    sources.Ingest.zorderWrite(ev, Seq("user_id", "day"), zDir, numFiles)
+    // the [[Ingest.compact]] shape generalized to N files: lead-column
+    // range partitioning + in-file sort — the baseline layout
+    ev.repartitionByRange(numFiles, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite").parquet(linDir)
+
+    // footer-stat pruning, measured directly: a file is a CANDIDATE
+    // for a box predicate iff its [min,max] interval overlaps the box
+    // on every clustered column — exactly parquet's row-group skip rule
+    // ~4 of the 30 uniform days — a narrow box on the NON-lead column
+    val (dayLo, dayHi) = (13L, 16L)
+    def candidates(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("day")).as("dlo"), max(col("day")).as("dhi"))
+        .filter(col("dhi") >= dayLo && col("dlo") <= dayHi)
+        .count()
+    def files(dir: String): Long =
+      spark.read.parquet(dir).select(input_file_name()).distinct().count()
+
+    // layout must never change content: the filtered row sets agree
+    def rows(dir: String): Set[Long] =
+      spark.read.parquet(dir).filter(col("day").between(dayLo, dayHi))
+        .select(col("event_id")).collect().map(_.getLong(0)).toSet
+    assert(rows(zDir) == rows(linDir))
+
+    // single-column sort: every file spans the full day range — zero
+    // pruning for a day predicate. z-order: day bits are interleaved
+    // into the file order, so a ~1/10 day box must skip files.
+    assert(candidates(linDir) == files(linDir),
+      "lead-column layout should have no day pruning (that is the point)")
+    assert(candidates(zDir) <= files(zDir) / 2,
+      s"z-order should skip at least half the files for a narrow day box: " +
+        s"${candidates(zDir)} of ${files(zDir)} candidates")
+  }
 }
