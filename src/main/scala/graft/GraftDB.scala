@@ -346,7 +346,8 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     * vec_id = i with text `queries(i)`.
     */
   def hybridSearchBatch(queries: Seq[String], limit: Int = 20): DataFrame =
-    HybridSearch.rrfBatch(spark, dir, queries, capped(limit))
+    HybridSearch.rrfBatch(spark, dir, queries, capped(limit),
+      config.hybridSearch.maxCandidates)
 
   /** The reference's TEXT-entry semantic search (lib.rs:403
     * semantic_search: embed the query string with the provider, then
@@ -375,7 +376,10 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     Tables.embeddings(spark, dir)
       .select(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.col("embedding")))
-      .head.getInt(0)
+      .head(1).headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalStateException(
+        s"embeddings table at $dir is empty — build embeddings before " +
+          "text-entry semantic search (cannot infer corpus dimension)"))
 
   def semanticSearch(queryVecId: Long, k: Int = 20): DataFrame =
     VectorSearch.semanticTopK(spark, dir, queryVecId, capped(k))

@@ -600,9 +600,14 @@ object Bm25 {
                    query: Seq[(String, Long)] = SparseQuery,
                    k: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val qIds: Map[Long, Long] = query.map { case (t, w) =>
-      graft.functions.expressions.Tok.hash60(t) -> w
-    }.toMap
+    // duplicate terms (or hash60-colliding ones) MERGE by summing
+    // weights — sparse-vector coordinate addition, and the only
+    // semantics both engines can honor identically (a last-wins map
+    // would silently drop weight on the Spark side while the SQL
+    // twin's join fans out and sums)
+    val qIds: Map[Long, Long] = query
+      .groupMapReduce { case (t, _) =>
+        graft.functions.expressions.Tok.hash60(t) }(_._2)(_ + _)
     val tfs = column(graft.functions.expressions.TermFreqs(expression(col("text"))))
     val rows = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -622,7 +627,11 @@ object Bm25 {
 
   def sparseSearchSql(query: Seq[(String, Long)] = SparseQuery,
                       k: Int = 20): String = {
-    val ids = query.map { case (t, w) => s"(${hash60Sql(s"'$t'")}, ${w}::BIGINT)" }
+    // mirror sparseSearch's duplicate-term weight merge: one VALUES
+    // row per distinct term (duplicate rows would fan the join out
+    // and double-count n_terms)
+    val ids = query.groupMapReduce(_._1)(_._2)(_ + _).toSeq.sorted
+      .map { case (t, w) => s"(${hash60Sql(s"'$t'")}, ${w}::BIGINT)" }
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
        |), tf AS (

@@ -117,9 +117,16 @@ object Curation {
     def hashes = graft.functions.expressions.ShingleHashes(
       expression(col("text")), DecontN, Dedup.P)
     val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // count() (the filter's expectedNumItems) and stat.bloomFilter are
+    // two jobs over this subtree — persist so the eval tokenize+
+    // shingle+distinct pass runs once, release once the filter (a
+    // driver-side value) is built
     val eval = Tables.spread(spark, base.filter(col("doc_id") % EvalMod === 0))
       .select(explode(column(hashes)).as("h")).distinct()
-    val bf = eval.stat.bloomFilter("h", math.max(eval.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bf =
+      try eval.stat.bloomFilter("h", math.max(eval.count(), 1L), fpp)
+      finally eval.unpersist()
     Tables.spread(spark, base.filter(col("doc_id") % EvalMod =!= 0))
       .filter(column(graft.functions.expressions.BloomContainsAny(hashes, bf)))
       .select(col("doc_id"))

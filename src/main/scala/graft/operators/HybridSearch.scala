@@ -183,9 +183,12 @@ object HybridSearch {
     * IDENTICAL to [[rrf]] — spec-asserted.
     */
   def rrfBatch(spark: SparkSession, dir: String,
-               queries: Seq[String] = Bm25.BatchQueries, limit: Int = 20): DataFrame = {
+               queries: Seq[String] = Bm25.BatchQueries, limit: Int = 20,
+               maxCandidates: Int = 100): DataFrame = {
     import graft.functions.expressions.TopKAgg.topK
-    val n = limit * 2
+    // same branch depth as the single-query form — a deeper batch
+    // branch list changes RRF rank sums and breaks per-query parity
+    val n = math.min(limit * 2, maxCandidates)
     val dense = VectorSearch.annTopKBatch(spark, dir, queries.size, n)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
     val sparse = Bm25.searchBatch(spark, dir, queries, n)
@@ -211,12 +214,22 @@ object HybridSearch {
                               queries: Seq[String], n: Int): DataFrame = {
     import graft.functions.expressions.TopKAgg.topK
     val content = lower(col("text"))
-    val perQ = queries.zipWithIndex.map { case (q, qi) =>
+    // term-less queries contribute no text branch — the same skip as
+    // Bm25.searchBatch's sparse branch (an empty terms list would
+    // otherwise crash the score reduce at plan-construction time)
+    val perQ = queries.zipWithIndex.flatMap { case (q, qi) =>
       val terms = q.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
-      val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
-        .reduce(_ + _)
-      struct(lit(qi.toLong).as("query_id"), score.as("s"))
+      if (terms.isEmpty) None
+      else {
+        val score = terms.map(t => when(content.contains(t), 1L).otherwise(0L))
+          .reduce(_ + _)
+        Some(struct(lit(qi.toLong).as("query_id"), score.as("s")))
+      }
     }
+    if (perQ.isEmpty)
+      return graft.Tables.documents(spark, dir)
+        .select(lit(0L).as("query_id"), col("doc_id"), lit(0L).as("rank"))
+        .filter(lit(false))
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array(perQ: _*)).as("e"))
       .filter(col("e.s") > 0)

@@ -584,8 +584,15 @@ object VectorSearch {
     * vectors are cosine-rescored — classic two-level IVF (IMI)
     * semantics.
     */
-  def annIvf(spark: SparkSession, dir: String, qid: Long = 0,
-             stride: Int = IvfStride, nprobe: Int = IvfNprobe, k: Int = 20): DataFrame = {
+  /** The full two-level IVF probe pipeline shared by [[annIvf]] and
+    * [[annIvfPq]]: returns the (vec_id, emb, qv) rows of the corpus
+    * fraction inside the nprobe probed fine cells, the query itself
+    * excluded. One extraction point so batch IVF and IVF-PQ can never
+    * drift on probe selection or tie-breaks — the same reason their
+    * SQL twins share `ivfProbeSqlPrefix`.
+    */
+  private def ivfProbedCandidates(spark: SparkSession, dir: String, qid: Long,
+                                  stride: Int, nprobe: Int): DataFrame = {
     val corpus = embCorpus(spark, dir)
     val coarseArr = corpus.filter(col("vec_id") % (stride.toLong * IvfCoarse) === 0)
       .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
@@ -617,10 +624,15 @@ object VectorSearch {
       .withColumn("acid", nearestCentroid(col("emb"), col("fcents")))
       .crossJoin(broadcast(probed))
       .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
+      .select(col("vec_id"), col("emb"), col("qv"))
+  }
+
+  def annIvf(spark: SparkSession, dir: String, qid: Long = 0,
+             stride: Int = IvfStride, nprobe: Int = IvfNprobe, k: Int = 20): DataFrame =
+    ivfProbedCandidates(spark, dir, qid, stride, nprobe)
       .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
-  }
 
   /** DuckDB twin of the sequential squared-L2 in
     * [[graft.functions.VectorFunctions.l2DistanceSq]] (64-dim).
@@ -731,34 +743,52 @@ object VectorSearch {
     * per query instead of the corpus; the exact-L2 brute twin is the
     * recall oracle (VectorSearchSpec harness).
     */
+  /** Sub-vector m of a 64-dim embedding (PQ subspace slice). */
+  private def pqSub(m: Int, e: Column): Column = slice(e, m * PqSubDim + 1, PqSubDim)
+
+  /** One-row PQ codebook over `corpus` — per subspace, the K
+    * (cid, sub-centroid) structs from the deterministic strided
+    * centroids. Shared by [[annPq]] and [[annIvfPq]] (single
+    * extraction point, like the layout builders' `pqCodebook`).
+    */
+  private def pqBooks(corpus: DataFrame): DataFrame = {
+    val bookCols = (0 until PqM).map { m =>
+      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
+        pqSub(m, col("emb")).as("cemb"))).as(s"book$m")
+    }
+    corpus
+      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
+      .agg(bookCols.head, bookCols.tail: _*)
+  }
+
+  /** Per-query ADC table columns: adc_m[cid+1] = ||q_m − c_{m,cid}||²,
+    * cid-ordered; evaluated over (qv × broadcast books).
+    */
+  private def pqAdcCols: Seq[Column] = (0 until PqM).map { m =>
+    transform(array_sort(col(s"book$m")),
+      c => l2DistanceSq(pqSub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
+  }
+
+  /** PQ encoding columns for a row's `emb` against broadcast books. */
+  private def pqCodeCols: Seq[Column] = (0 until PqM).map(m =>
+    nearestCentroid(pqSub(m, col("emb")), col(s"book$m")).as(s"code$m"))
+
+  /** ADC distance of an encoded row against the broadcast ADC table. */
+  private def pqAdcDist: Column = (0 until PqM).map(m =>
+    element_at(col(s"adc$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+
   def annPq(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 20,
             coarseK: Int = PqCoarseK): DataFrame = {
     val corpus = embCorpus(spark, dir)
-    def sub(m: Int, e: Column): Column = slice(e, m * PqSubDim + 1, PqSubDim)
-    // one-row codebook: per subspace, the K (cid, sub-centroid) structs
-    val bookCols = (0 until PqM).map { m =>
-      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
-        sub(m, col("emb")).as("cemb"))).as(s"book$m")
-    }
-    val books = corpus
-      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
-      .agg(bookCols.head, bookCols.tail: _*)
-    // per-query ADC table: adc_m[cid+1] = ||q_m - c_{m,cid}||^2, cid-ordered
-    val adcCols = (0 until PqM).map { m =>
-      transform(array_sort(col(s"book$m")),
-        c => l2DistanceSq(sub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
-    }
+    val books = pqBooks(corpus)
     val query = queryVec(spark, dir, qid)
-    val adc = query.crossJoin(broadcast(books)).select(adcCols: _*)
+    val adc = query.crossJoin(broadcast(books)).select(pqAdcCols: _*)
     // encode + ADC-score in one map pass over the corpus
     val encoded = corpus.crossJoin(broadcast(books))
-      .select(col("vec_id") +: col("emb") +: (0 until PqM).map(m =>
-        nearestCentroid(sub(m, col("emb")), col(s"book$m")).as(s"code$m")): _*)
-    val adcDist = (0 until PqM).map(m =>
-      element_at(col(s"adc$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+      .select(col("vec_id") +: col("emb") +: pqCodeCols: _*)
     val coarse = encoded.crossJoin(broadcast(adc))
       .filter(col("vec_id") =!= qid)
-      .select(col("vec_id"), col("emb"), fx(adcDist).as("adc_dist"))
+      .select(col("vec_id"), col("emb"), fx(pqAdcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(coarseK)
     coarse.crossJoin(broadcast(query))
@@ -825,56 +855,17 @@ object VectorSearch {
   def annIvfPq(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 10,
                stride: Int = IvfStride, nprobe: Int = IvfNprobe,
                coarseK: Int = PqCoarseK): DataFrame = {
-    val corpus = embCorpus(spark, dir)
-    def sub(m: Int, e: Column): Column = slice(e, m * PqSubDim + 1, PqSubDim)
-    // ---- IVF probe (identical machinery to annIvf) ----
-    val coarseArr = corpus.filter(col("vec_id") % (stride.toLong * IvfCoarse) === 0)
-      .agg(collect_list(struct(col("vec_id").as("cid"), col("emb").as("cemb"))).as("carr"))
-    val fine = corpus.filter(col("vec_id") % stride === 0)
-      .crossJoin(broadcast(coarseArr))
-      .select(col("vec_id").as("cid"), col("emb").as("cemb"),
-        nearestCentroid(col("emb"), col("carr")).as("ccid"))
-    val fineByCoarse = fine.groupBy(col("ccid"))
-      .agg(collect_list(struct(col("cid"), col("cemb"))).as("fcents"))
-    val qcoarse = coarseArr.crossJoin(broadcast(queryVec(spark, dir, qid)))
-      .select(
-        transform(
-          slice(array_sort(transform(col("carr"), c => l2Struct(col("qv"), c))), 1, IvfProbeCoarse),
-          p => p.getField("cid")).as("pccids"),
-        col("qv"))
-    val probed = fine.crossJoin(broadcast(qcoarse))
-      .filter(array_contains(col("pccids"), col("ccid")))
-      .select(col("cid"), l2DistanceSq(col("cemb"), col("qv")).as("dist"), col("qv"))
-      .orderBy(col("dist"), col("cid"))
-      .limit(nprobe)
-      .agg(collect_list(col("cid")).as("pcids"), first(col("qv")).as("qv"))
-    val candidates = corpus.crossJoin(broadcast(coarseArr))
-      .withColumn("ccid", nearestCentroid(col("emb"), col("carr")))
-      .join(broadcast(fineByCoarse), Seq("ccid"))
-      .withColumn("acid", nearestCentroid(col("emb"), col("fcents")))
-      .crossJoin(broadcast(probed))
-      .filter(array_contains(col("pcids"), col("acid")) && col("vec_id") =!= qid)
-      .select(col("vec_id"), col("emb"), col("qv"))
-    // ---- PQ ADC over the probed fraction only ----
-    val bookCols = (0 until PqM).map { m =>
-      collect_list(struct((col("vec_id") / PqStride).cast("long").as("cid"),
-        sub(m, col("emb")).as("cemb"))).as(s"book$m")
-    }
-    val books = corpus
-      .filter(col("vec_id") % PqStride === 0 && col("vec_id") < PqK.toLong * PqStride)
-      .agg(bookCols.head, bookCols.tail: _*)
-    val adcCols = (0 until PqM).map { m =>
-      transform(array_sort(col(s"book$m")),
-        c => l2DistanceSq(sub(m, col("qv")), c.getField("cemb"))).as(s"adc$m")
-    }
-    val adc = queryVec(spark, dir, qid).crossJoin(broadcast(books)).select(adcCols: _*)
+    // IVF probe machinery shared verbatim with [[annIvf]]; PQ
+    // codebook/ADC machinery shared verbatim with [[annPq]] — only
+    // the composition (ADC over the probed fraction, then exact
+    // rescore) lives here.
+    val candidates = ivfProbedCandidates(spark, dir, qid, stride, nprobe)
+    val books = pqBooks(embCorpus(spark, dir))
+    val adc = queryVec(spark, dir, qid).crossJoin(broadcast(books)).select(pqAdcCols: _*)
     val encoded = candidates.crossJoin(broadcast(books))
-      .select(col("vec_id") +: col("emb") +: col("qv") +: (0 until PqM).map(m =>
-        nearestCentroid(sub(m, col("emb")), col(s"book$m")).as(s"code$m")): _*)
-    val adcDist = (0 until PqM).map(m =>
-      element_at(col(s"adc$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
+      .select(col("vec_id") +: col("emb") +: col("qv") +: pqCodeCols: _*)
     val ranked = encoded.crossJoin(broadcast(adc))
-      .select(col("vec_id"), col("emb"), col("qv"), fx(adcDist).as("adc_dist"))
+      .select(col("vec_id"), col("emb"), col("qv"), fx(pqAdcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(coarseK)
     ranked

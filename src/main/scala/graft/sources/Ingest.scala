@@ -168,9 +168,10 @@ object Ingest {
     require(zCols.size >= 2, "z-ordering needs at least two columns")
     require(bitsPerCol * zCols.size <= 62, "z-value must fit a long")
     val nb = 1 << bitsPerCol
-    val bounds = zCols.map { c =>
-      c -> df.stat.approxQuantile(c, (1 until nb).map(_.toDouble / nb).toArray, 0.001)
-    }
+    // the multi-column overload sketches every clustered column in ONE
+    // input scan (per-column calls would each re-scan the full store)
+    val bounds = zCols.zip(df.stat.approxQuantile(zCols.toArray,
+      (1 until nb).map(_.toDouble / nb).toArray, 0.001))
     val buckets = bounds.map { case (c, bs) =>
       bs.foldLeft(lit(0)) { (acc, b) =>
         acc + when(col(c).cast("double") >= b, 1).otherwise(0)

@@ -58,6 +58,21 @@ class RetrievalSpec extends GraftSuite {
     val single = HybridSearch.rrf(spark, sf, limit = 20).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
     assert(slice0 == single, "batch slice 0 diverges from hybrid_rrf")
+    // a term-less query inside the hybrid batch is skipped by the
+    // sparse AND text branches (dense still answers on its vector),
+    // never a plan-construction crash
+    val withEmpty = HybridSearch.rrfBatch(spark, sf,
+      Seq(Bm25.DefaultQuery, "   "), limit = 5).collect()
+    assert(withEmpty.nonEmpty)
+    // branch depth follows the single-query min(2*limit, maxCandidates)
+    // so batch and single stay rank-identical at ANY limit
+    val deepBatch = HybridSearch.rrfBatch(spark, sf, limit = 80).collect()
+      .filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+    val deepSingle = HybridSearch.rrf(spark, sf, limit = 80).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+    assert(deepBatch.sorted == deepSingle.sorted,
+      "limit past maxCandidates/2 must not desync batch from single")
   }
 
   test("filtered hybrid RRF fuses only allowed documents, gated before each branch top-n") {
@@ -208,6 +223,13 @@ class RetrievalSpec extends GraftSuite {
     // zero-weight/absent query terms cannot score: a query of only an
     // absent term returns empty
     assert(Bm25.sparseSearch(spark, sf, Seq("zzzzunseen" -> 9L)).isEmpty)
+    // duplicate query terms merge by coordinate addition — the only
+    // semantics the SQL twin's fanning join can agree with
+    val dup = Bm25.sparseSearch(spark, sf, Seq("spark" -> 2L, "spark" -> 3L))
+      .collect().map(_.toSeq).toSeq
+    val merged = Bm25.sparseSearch(spark, sf, Seq("spark" -> 5L))
+      .collect().map(_.toSeq).toSeq
+    assert(dup == merged, "duplicate terms must sum weights, not last-win")
   }
 
   test("doc_similar ranks by sparse cosine; an exact duplicate scores 1.0") {
