@@ -1107,6 +1107,110 @@ object Analytics {
        |ORDER BY total_price DESC, o_orderkey
        |LIMIT 20""".stripMargin
 
+  /** Order-priority checking (TPC-H Q4 shape): orders of one quarter
+    * with at least one LATE line (l_shipdate past the order date —
+    * the generator's proxy for Q4's commit<receipt predicate),
+    * counted per priority. The shape anchor: a correlated EXISTS with
+    * a COMPOUND condition (equi key + inequality) compiled to a
+    * left_semi join — one probe per order, no fan-out, no distinct.
+    * The quarter predicate is pushed to the orders SCAN (row-group
+    * pruning on o_orderdate); lineitem is corpus-proportional →
+    * shuffle_hash on the equi key, inequality evaluated at the probe.
+    */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    o.join(li.hint("shuffle_hash"),
+        o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS order_count
+       |FROM orders o
+       |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+       |  AND EXISTS (SELECT 1 FROM lineitem l
+       |              WHERE l.l_orderkey = o.o_orderkey
+       |                AND l.l_shipdate > o.o_orderdate)
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Promotion-revenue share (TPC-H Q14 shape): of one year's line
+    * revenue, the basis-point share carried by PROMO-type parts. The
+    * ratio is computed from the two [[OracleNum.moneySum]]-exact fx'd
+    * sums with integer `div` — order-independent and cross-engine
+    * exact (a double division would sit at the mercy of the last
+    * ulp). The shipdate year is pushed to the lineitem scan; part is
+    * corpus-proportional → shuffle_hash on partkey; ONE conditional
+    * aggregation carries promo and total together (no second join or
+    * scan for the denominator).
+    */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val p = Tables.part(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+      .agg(
+        moneyFx(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_fx"),
+        moneyFx(rev).as("total_fx"))
+      .select(col("promo_fx"), col("total_fx"),
+        expr("(10000 * promo_fx) div total_fx").as("promo_share_bp"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT promo_fx, total_fx,
+       |  (10000 * promo_fx) // total_fx AS promo_share_bp
+       |FROM (
+       |  SELECT
+       |    ${moneyFxSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_fx,
+       |    ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS total_fx
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |)""".stripMargin
+
+  /** Discounted-revenue over disjunctive brand/size/quantity windows
+    * (TPC-H Q19 shape) — the pushdown stress anchor: the join
+    * condition is an OR of three conjunct bundles, each constraining
+    * BOTH sides. Catalyst extracts the per-side residuals — the
+    * (brand, size) disjunction filters the part scan, the quantity
+    * disjunction filters the lineitem scan — before the partkey
+    * equi-join, so neither side carries rows that no bundle can
+    * accept. part is corpus-proportional → shuffle_hash.
+    */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val bundles =
+      (p("p_brand") === "Brand#1" && p("p_size").between(1, 10) &&
+        li("l_quantity").between(1.0, 11.0)) ||
+      (p("p_brand") === "Brand#2" && p("p_size").between(1, 20) &&
+        li("l_quantity").between(10.0, 20.0)) ||
+      (p("p_brand") === "Brand#9" && p("p_size").between(1, 35) &&
+        li("l_quantity").between(20.0, 30.0))
+    li.join(p.hint("shuffle_hash"),
+        li("l_partkey") === p("p_partkey") && bundles)
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   /** Daily event-type matrix (pivot): one row per day, one count
     * column per event type. The type domain is passed EXPLICITLY —
     * event vocabularies are application-defined constants, and the
