@@ -1177,6 +1177,42 @@ object Analytics {
        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
        |)""".stripMargin
 
+  /** Small-quantity-order revenue (TPC-H Q17 shape) — the
+    * scalar-correlated-subquery anchor: brand-filtered lines whose
+    * quantity sits under 20% of their PART's average quantity, total
+    * revenue scaled to a yearly figure. The correlated
+    * `(SELECT 0.2*avg(..) WHERE partkey = outer)` decorrelates into a
+    * per-part aggregate joined back on partkey — corpus-proportional
+    * on both sides, so the join is shuffle_hash, and the brand gate
+    * is applied BEFORE the quantity join so only the brand's parts
+    * ride it. l_quantity is integer-valued, so per-part sums and the
+    * avg are exact doubles and the 0.2·avg threshold is the identical
+    * IEEE double in both engines — the comparison cannot split them.
+    */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).filter(col("p_brand") === "Brand#9")
+      .select(col("p_partkey"))
+    val branded = li.join(p.hint("shuffle_hash"),
+      li("l_partkey") === p("p_partkey"), "left_semi")
+    val avgQ = branded.groupBy(col("l_partkey"))
+      .agg((avg(col("l_quantity")) * 0.2).as("q_thresh"))
+    branded.join(avgQ.hint("shuffle_hash"), Seq("l_partkey"))
+      .filter(col("l_quantity") < col("q_thresh"))
+      .agg(moneyFx(col("l_extendedprice") / 7.0).as("avg_yearly"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${moneyFxSql("l_extendedprice / 7.0")} AS avg_yearly,
+       |  COUNT(*) AS n_lines
+       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |WHERE p.p_brand = 'Brand#9'
+       |  AND l.l_quantity < (
+       |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+       |    JOIN part p2 ON l2.l_partkey = p2.p_partkey
+       |    WHERE l2.l_partkey = l.l_partkey AND p2.p_brand = 'Brand#9')""".stripMargin
+
   /** Discounted-revenue over disjunctive brand/size/quantity windows
     * (TPC-H Q19 shape) — the pushdown stress anchor: the join
     * condition is an OR of three conjunct bundles, each constraining

@@ -667,6 +667,35 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The 100 TB percentile path of [[ccnetBuckets]] as RUNNABLE code,
+    * not prose (the events_quantiles_sketch convention): per-source
+    * tercile thresholds via `approx_percentile` (Greenwald-Khanna
+    * sketch — bounded memory per source, map-side mergeable) instead
+    * of the exact form's per-source sorted state. Thresholds are
+    * actual data values from the fx'd integer scores, so buckets stay
+    * deterministic; agreement with the exact form is spec-pinned at
+    * ≥ 99% of documents (sketch error only ever reassigns docs within
+    * epsilon of a cut point). No cross-engine oracle (sketch
+    * internals are Spark's own) — rows-only check + the spec.
+    */
+  def ccnetBucketsSketch(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.lmScore(spark, dir)
+      .select(col("doc_id"), col("mean_surprise_fx"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val docs = scored.join(src.hint("shuffle_hash"), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = approx_percentile(col("mean_surprise_fx"),
+      array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000))
+    val thr = docs.groupBy(col("source"))
+      .agg(element_at(qs, 1).as("p33"), element_at(qs, 2).as("p66"))
+    docs.join(thr.hint("shuffle_hash"), Seq("source"))
+      .select(col("doc_id"), col("source"), col("mean_surprise_fx"),
+        when(col("mean_surprise_fx") <= col("p33"), "head")
+          .when(col("mean_surprise_fx") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   lazy val ccnetBucketsSql: String =
     s"""WITH lm AS (
        |${TextAnalysis.lmScoreSql.replace("\n", "\n  ")}

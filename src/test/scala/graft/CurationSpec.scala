@@ -57,6 +57,17 @@ class CurationSpec extends GraftSuite {
       s"bloom over-flagged $overFlagged of $trainDocs clean docs")
   }
 
+  test("ccnet_buckets_sketch agrees with the exact terciles on >= 99% of docs") {
+    val exact = Curation.ccnetBuckets(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    val sketch = Curation.ccnetBucketsSketch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(sketch.keySet == exact.keySet, "same doc coverage")
+    val agree = exact.count { case (id, b) => sketch(id) == b }
+    assert(agree.toDouble / exact.size >= 0.99,
+      s"sketch reassigned ${exact.size - agree} of ${exact.size} docs")
+  }
+
   test("doc_pack bins are contiguous, ordered and token-complete per lang") {
     val rows = Curation.docPack(spark, sf).collect()
     val byLang = rows.groupBy(_.getAs[String]("lang"))
