@@ -1121,7 +1121,13 @@ object Analytics {
     val o  = Tables.orders(spark, dir)
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
               col("o_orderdate") <  lit("1996-04-01").cast("timestamp"))
+    // the EXISTS condition + the quarter bound IMPLY
+    // l_shipdate > 1996-01-01; Catalyst cannot derive range
+    // constraints across a join, so state the semantics-preserving
+    // predicate explicitly — it reaches the lineitem SCAN and
+    // row-group-prunes the corpus-proportional side
     val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
     o.join(li.hint("shuffle_hash"),
         o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"),
         "left_semi")
@@ -1137,7 +1143,8 @@ object Analytics {
        |  AND o_orderdate <  TIMESTAMP '1996-04-01'
        |  AND EXISTS (SELECT 1 FROM lineitem l
        |              WHERE l.l_orderkey = o.o_orderkey
-       |                AND l.l_shipdate > o.o_orderdate)
+       |                AND l.l_shipdate > o.o_orderdate
+       |                AND l.l_shipdate > TIMESTAMP '1996-01-01')
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
@@ -1161,13 +1168,18 @@ object Analytics {
       .agg(
         moneyFx(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))).as("promo_fx"),
         moneyFx(rev).as("total_fx"))
+      // the 10000× product blows through BIGINT once yearly revenue
+      // cents pass ~9e14 (well inside 100 TB) — run it in
+      // DECIMAL(38,0) / HUGEINT (IntegralDivide truncates exactly on
+      // decimals; `//` on HUGEINT likewise), the events_trend idiom
       .select(col("promo_fx"), col("total_fx"),
-        expr("(10000 * promo_fx) div total_fx").as("promo_share_bp"))
+        expr("(10000 * cast(promo_fx as decimal(38,0))) div total_fx")
+          .as("promo_share_bp"))
   }
 
   val q14Sql: String =
     s"""SELECT promo_fx, total_fx,
-       |  (10000 * promo_fx) // total_fx AS promo_share_bp
+       |  CAST((10000 * promo_fx::HUGEINT) // total_fx AS BIGINT) AS promo_share_bp
        |FROM (
        |  SELECT
        |    ${moneyFxSql("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} AS promo_fx,
@@ -1193,8 +1205,13 @@ object Analytics {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir).filter(col("p_brand") === "Brand#9")
       .select(col("p_partkey"))
-    val branded = li.join(p.hint("shuffle_hash"),
-      li("l_partkey") === p("p_partkey"), "left_semi")
+    // branded feeds BOTH the per-part average and the probe side;
+    // Catalyst does not dedupe repeated subtrees, so without the
+    // persist the lineitem scan + brand semi-join would run twice
+    // (the ccnetBuckets precedent; three narrow columns, spillable)
+    val branded = li.select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val avgQ = branded.groupBy(col("l_partkey"))
       .agg((avg(col("l_quantity")) * 0.2).as("q_thresh"))
     branded.join(avgQ.hint("shuffle_hash"), Seq("l_partkey"))

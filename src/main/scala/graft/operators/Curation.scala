@@ -643,22 +643,27 @@ object Curation {
     * comparison is integer-vs-fx'd-threshold, deterministic
     * cross-engine.
     */
-  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared lineage of [[ccnetBuckets]] and [[ccnetBucketsSketch]] —
+    * the twins differ ONLY in how the per-source (p33, p66) threshold
+    * columns aggregate (exact interpolated percentile vs
+    * approx_percentile), so everything else lives once (the ANN
+    * twins' single-extraction-point rule). The scored relation feeds
+    * BOTH the threshold aggregate and the final labeling join;
+    * Catalyst does not dedupe repeated DataFrame subtrees, so without
+    * the persist the whole lmScore pipeline (instance-bigram shuffle
+    * included) runs twice. The cached relation is three narrow
+    * columns, one row per doc, disk-spillable — the dedup CC
+    * label-relation precedent.
+    */
+  private def ccnetBucketsWith(spark: SparkSession, dir: String,
+                               thresholds: Column => Seq[Column]): DataFrame = {
     val scored = TextAnalysis.lmScore(spark, dir)
       .select(col("doc_id"), col("mean_surprise_fx"))
     val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    // the scored relation feeds BOTH the tercile aggregate and the
-    // final labeling join; Catalyst does not dedupe repeated
-    // DataFrame subtrees, so without this persist the whole lmScore
-    // pipeline (instance-bigram shuffle included) runs twice. The
-    // cached relation is three narrow columns, one row per doc,
-    // disk-spillable — the dedup CC label-relation precedent.
     val docs = scored.join(src.hint("shuffle_hash"), Seq("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = percentile(col("mean_surprise_fx"),
-      array(lit(1.0 / 3), lit(2.0 / 3)))
-    val thr = docs.groupBy(col("source"))
-      .agg(fx(element_at(qs, 1), 0).as("p33"), fx(element_at(qs, 2), 0).as("p66"))
+    val ts = thresholds(col("mean_surprise_fx"))
+    val thr = docs.groupBy(col("source")).agg(ts.head, ts.tail: _*)
     docs.join(thr.hint("shuffle_hash"), Seq("source"))
       .select(col("doc_id"), col("source"), col("mean_surprise_fx"),
         when(col("mean_surprise_fx") <= col("p33"), "head")
@@ -666,6 +671,12 @@ object Curation {
           .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
+
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsWith(spark, dir, { c =>
+      val qs = percentile(c, array(lit(1.0 / 3), lit(2.0 / 3)))
+      Seq(fx(element_at(qs, 1), 0).as("p33"), fx(element_at(qs, 2), 0).as("p66"))
+    })
 
   /** The 100 TB percentile path of [[ccnetBuckets]] as RUNNABLE code,
     * not prose (the events_quantiles_sketch convention): per-source
@@ -678,23 +689,11 @@ object Curation {
     * epsilon of a cut point). No cross-engine oracle (sketch
     * internals are Spark's own) — rows-only check + the spec.
     */
-  def ccnetBucketsSketch(spark: SparkSession, dir: String): DataFrame = {
-    val scored = TextAnalysis.lmScore(spark, dir)
-      .select(col("doc_id"), col("mean_surprise_fx"))
-    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    val docs = scored.join(src.hint("shuffle_hash"), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qs = approx_percentile(col("mean_surprise_fx"),
-      array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000))
-    val thr = docs.groupBy(col("source"))
-      .agg(element_at(qs, 1).as("p33"), element_at(qs, 2).as("p66"))
-    docs.join(thr.hint("shuffle_hash"), Seq("source"))
-      .select(col("doc_id"), col("source"), col("mean_surprise_fx"),
-        when(col("mean_surprise_fx") <= col("p33"), "head")
-          .when(col("mean_surprise_fx") <= col("p66"), "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy(col("doc_id"))
-  }
+  def ccnetBucketsSketch(spark: SparkSession, dir: String): DataFrame =
+    ccnetBucketsWith(spark, dir, { c =>
+      val qs = approx_percentile(c, array(lit(1.0 / 3), lit(2.0 / 3)), lit(10000))
+      Seq(element_at(qs, 1).as("p33"), element_at(qs, 2).as("p66"))
+    })
 
   lazy val ccnetBucketsSql: String =
     s"""WITH lm AS (

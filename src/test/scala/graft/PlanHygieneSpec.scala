@@ -70,6 +70,38 @@ class PlanHygieneSpec extends GraftSuite {
     assert(hintCount(anti, BROADCAST) == 0 && hintCount(anti, SHUFFLE_HASH) == 1)
     val semi = operators.Analytics.custWithUrgent(spark, sf)
     assert(hintCount(semi, BROADCAST) == 0 && hintCount(semi, SHUFFLE_HASH) == 1)
+    val q4 = operators.Analytics.q4(spark, sf)
+    assert(hintCount(q4, BROADCAST) == 0 && hintCount(q4, SHUFFLE_HASH) == 1)
+    val q14 = operators.Analytics.q14(spark, sf)
+    assert(hintCount(q14, BROADCAST) == 0 && hintCount(q14, SHUFFLE_HASH) == 1)
+    // q17's branded subtree (1 hint) appears on both sides of the
+    // threshold join (the persist dedupes execution, not the analyzed
+    // tree), plus the threshold join's own hint = 3
+    val q17 = operators.Analytics.q17(spark, sf)
+    assert(hintCount(q17, BROADCAST) == 0 && hintCount(q17, SHUFFLE_HASH) == 3)
+    val q19 = operators.Analytics.q19(spark, sf)
+    assert(hintCount(q19, BROADCAST) == 0 && hintCount(q19, SHUFFLE_HASH) == 1)
+  }
+
+  test("q19's disjunctive join condition pushes per-side residuals into both scans") {
+    // the anchor's whole point: Catalyst must extract the quantity
+    // disjunction for the lineitem scan and the brand/size disjunction
+    // for the part scan — both visible as PushedFilters — before the
+    // partkey join. A Catalyst upgrade that breaks the CNF extraction
+    // turns the query into a full double scan; this pins it.
+    val plan = operators.Analytics.q19(spark, sf)
+      .queryExecution.executedPlan.toString
+    val pushed = plan.split("\n").filter(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("lineitem") || l.contains("l_quantity")),
+      s"quantity residual not pushed to the lineitem scan:\n$plan")
+    assert(pushed.exists(l => l.contains("p_brand")),
+      s"brand/size residual not pushed to the part scan:\n$plan")
+    // and q4's derived shipdate bound reaches the lineitem scan
+    val q4plan = operators.Analytics.q4(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q4plan.split("\n").exists(l =>
+        l.contains("PushedFilters") && l.contains("GreaterThan(l_shipdate")),
+      s"derived shipdate bound not pushed in q4:\n$q4plan")
   }
 
   test("ann_knn_graph broadcasts only the 256-row-bounded bucket census") {
