@@ -1230,6 +1230,48 @@ object Analytics {
        |    JOIN part p2 ON l2.l_partkey = p2.p_partkey
        |    WHERE l2.l_partkey = l.l_partkey AND p2.p_brand = 'Brand#9')""".stripMargin
 
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape) — the
+    * scalar-MAX-over-an-aggregate anchor: per-supplier revenue for
+    * one quarter, then the supplier(s) hitting the global maximum.
+    * The aggregate relation feeds BOTH the max scalar and the
+    * equality filter, so it is persisted (supplier-count rows, three
+    * columns — the q17 precedent); the max is ONE row and rides a
+    * broadcast cross join; equality on the [[OracleNum.moneyFx]]'d
+    * integer makes the tie semantics exact cross-engine (a double
+    * revenue equality would be ulp-lottery). supplier is
+    * corpus-proportional → shuffle_hash on suppkey.
+    */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("total_rev"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRev = rev.agg(max(col("total_rev")).as("max_rev"))
+    val s = Tables.supplier(spark, dir)
+    rev.crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(s.hint("shuffle_hash"), col("l_suppkey") === s("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15Sql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   /** Discounted-revenue over disjunctive brand/size/quantity windows
     * (TPC-H Q19 shape) — the pushdown stress anchor: the join
     * condition is an OR of three conjunct bundles, each constraining

@@ -81,6 +81,9 @@ class PlanHygieneSpec extends GraftSuite {
     assert(hintCount(q17, BROADCAST) == 0 && hintCount(q17, SHUFFLE_HASH) == 3)
     val q19 = operators.Analytics.q19(spark, sf)
     assert(hintCount(q19, BROADCAST) == 0 && hintCount(q19, SHUFFLE_HASH) == 1)
+    // q15's one forced broadcast is the ONE-ROW max scalar — allowed
+    val q15 = operators.Analytics.q15(spark, sf)
+    assert(hintCount(q15, BROADCAST) == 1 && hintCount(q15, SHUFFLE_HASH) == 1)
   }
 
   test("q19's disjunctive join condition pushes per-side residuals into both scans") {
