@@ -1230,6 +1230,60 @@ object Analytics {
        |    JOIN part p2 ON l2.l_partkey = p2.p_partkey
        |    WHERE l2.l_partkey = l.l_partkey AND p2.p_brand = 'Brand#9')""".stripMargin
 
+  /** Volume shipping between two nations (TPC-H Q7 shape) — the
+    * TWO-ROLE dimension anchor: nation joins the pipeline twice under
+    * different roles (the supplier's nation and the customer's
+    * nation), and the pair filter is the symmetric (A,B)|(B,A)
+    * disjunction. Both nation aliases are the same 25-row constant →
+    * both broadcast; supplier and customer are corpus-proportional →
+    * shuffle_hash on their keys; lineitem⋈orders is the one fact-fact
+    * shuffle. Revenue per (supp_nation, cust_nation, year) via
+    * order-independent [[OracleNum.moneyFx]].
+    */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val pair =
+      (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+      (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(s.hint("shuffle_hash"), li("l_suppkey") === s("s_suppkey"))
+      .join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), s("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+      .filter(pair)
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q7Sql: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+       |  ${moneyFxSql("volume")} AS revenue
+       |FROM (
+       |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |    year(l_shipdate)::BIGINT AS l_year,
+       |    l_extendedprice * (1.0 - l_discount) AS volume
+       |  FROM lineitem
+       |  JOIN orders   ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |)
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   /** Top supplier by quarterly revenue (TPC-H Q15 shape) — the
     * scalar-MAX-over-an-aggregate anchor: per-supplier revenue for
     * one quarter, then the supplier(s) hitting the global maximum.

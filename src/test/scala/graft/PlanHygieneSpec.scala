@@ -84,6 +84,10 @@ class PlanHygieneSpec extends GraftSuite {
     // q15's one forced broadcast is the ONE-ROW max scalar — allowed
     val q15 = operators.Analytics.q15(spark, sf)
     assert(hintCount(q15, BROADCAST) == 1 && hintCount(q15, SHUFFLE_HASH) == 1)
+    // q7's two forced broadcasts are both the 25-row nation constant
+    // (two roles); supplier/customer ride shuffle_hash
+    val q7 = operators.Analytics.q7(spark, sf)
+    assert(hintCount(q7, BROADCAST) == 2 && hintCount(q7, SHUFFLE_HASH) == 2)
   }
 
   test("q19's disjunctive join condition pushes per-side residuals into both scans") {
