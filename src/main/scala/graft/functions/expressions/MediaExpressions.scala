@@ -285,3 +285,70 @@ object MockEmbedding {
     new GenericArrayData(v)
   }
 }
+
+/** 60-bit perceptual average-hash (aHash) over a media container's
+  * DATA region — the content-sensitive near-dup signal of image/media
+  * curation (classic aHash: downsample, threshold each cell against
+  * the global mean). The container header is parsed for real (same
+  * magic dispatch as [[ParseMediaHeader]]) to locate the data region;
+  * the region's bytes are bucketed into 60 contiguous cells
+  * (cell(j) = 60·j div n), and bit i is set iff cell i's integer mean
+  * exceeds the global integer mean. 60 bits keep the value inside a
+  * positive BIGINT on both engines (the hash60 convention), and every
+  * step is integer arithmetic — bit-identical cross-engine, so the
+  * hash is fully DuckDB-oracle-checkable from the synthesis formula.
+  * Identical data ⇒ identical hash; a small perturbation moves only
+  * its cell's mean (plus, rarely, the global mean) ⇒ small Hamming
+  * distance — the property MultimodalSpec pins. Undecodable or empty
+  * input hashes to −1 (never a poison-the-task crash).
+  */
+case class MediaAHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    MediaAHash.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.MediaAHash.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaAHash {
+  final val Cells = 60
+
+  def compute(b: Array[Byte]): Long = {
+    // data-region offset by container magic (ParseMediaHeader layout)
+    val off =
+      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
+        ((b(10) & 0xffL) | ((b(11) & 0xffL) << 8) |
+          ((b(12) & 0xffL) << 16) | ((b(13) & 0xffL) << 24)).toInt
+      else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+               b(3) == 'F' && b(8) == 'W') SynthMedia.WavHeaderLen
+      else if (b.length >= 100 && b(0) == 'R' && b(8) == 'A') SynthMedia.AviHeaderLen
+      else -1
+    if (off < 0 || off >= b.length) return -1L
+    val n = b.length - off
+    val sums = new Array[Long](Cells)
+    val counts = new Array[Long](Cells)
+    var total = 0L
+    var j = 0
+    while (j < n) {
+      val v = b(off + j) & 0xffL
+      val cell = ((Cells.toLong * j) / n).toInt
+      sums(cell) += v; counts(cell) += 1; total += v
+      j += 1
+    }
+    val gmean = total / n
+    var hash = 0L
+    var i = 0
+    while (i < Cells) {
+      if (counts(i) > 0 && sums(i) / counts(i) > gmean) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+}

@@ -226,4 +226,64 @@ object Multimodal {
         assetCol.as("payload"))
       .as[MediaAsset]
   }
+
+  /** Perceptual near-dup grouping over the IMAGE assets — media dedup
+    * by content, not bytes: each container is hashed with the 60-bit
+    * average-hash kernel ([[graft.functions.expressions.MediaAHash]]
+    * parses the real header to find the data region, then thresholds
+    * 60 cell means against the global mean — classic aHash), and
+    * assets sharing a hash are copy groups. Identical pixel data ⇒
+    * identical hash regardless of header framing; near-identical data
+    * lands within small Hamming distance (MultimodalSpec pins both).
+    * Every step is integer arithmetic, so the hash itself — not just
+    * the grouping — is DuckDB-oracle-checked from the synthesis
+    * formula. Scale shape: one zero-shuffle map to (asset, hash), one
+    * hash-keyed aggregate for copy counts, joined back shuffle_hash
+    * on the same key — the [[Curation.dupRateBySource]] shape; the
+    * Hamming-band near-dup expansion at scale is [[Dedup]]'s simhash
+    * banding applied to this hash column.
+    */
+  def phashDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("asset_id"),
+        column(graft.functions.expressions.MediaAHash(
+          expression(assetCol))).as("ahash"))
+    val groups = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_copies"))
+    hashed.join(groups.hint("shuffle_hash"), Seq("ahash"))
+      .select(col("asset_id"), col("ahash"), col("n_copies"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** DuckDB twin of [[phashDup]]: the aHash arithmetic replayed from
+    * the synthesis formula (image payload = the document's UTF-8
+    * bytes; cell(j) = 60·j // n; integer means; bit i ⇔ cell mean >
+    * global mean).
+    */
+  val phashDupSql: String =
+    s"""WITH img AS (
+       |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text))::BIGINT AS n
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), by AS (
+       |  SELECT asset_id, n, (60 * (j - 1)) // n AS cell,
+       |    ('0x' || substr(h, 2 * (j - 1) + 1, 2))::BIGINT AS v
+       |  FROM (SELECT asset_id, n, h, unnest(range(1, n + 1)) AS j FROM img)
+       |), cm AS (
+       |  SELECT asset_id, n, cell, SUM(v) // COUNT(*) AS cmean, SUM(v) AS csum
+       |  FROM by GROUP BY 1, 2, 3
+       |), gm AS (
+       |  SELECT asset_id, SUM(csum) // MAX(n) AS gmean FROM cm GROUP BY 1
+       |), hashed AS (
+       |  SELECT cm.asset_id,
+       |    COALESCE(SUM(CASE WHEN cmean > gmean THEN 1::BIGINT << cell ELSE 0 END), 0)::BIGINT AS ahash
+       |  FROM cm JOIN gm USING (asset_id)
+       |  GROUP BY 1
+       |)
+       |SELECT asset_id, ahash, n_copies
+       |FROM hashed
+       |JOIN (SELECT ahash, COUNT(*)::BIGINT AS n_copies FROM hashed GROUP BY 1)
+       |  USING (ahash)
+       |ORDER BY asset_id""".stripMargin
 }

@@ -128,6 +128,45 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("media aHash: header-invariant, perturbation-local, copy groups match text groups") {
+    import graft.functions.expressions.{MediaAHash => A, SynthMedia => S}
+    import org.apache.spark.unsafe.types.UTF8String
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val payload = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val base = A.compute(S.compute(payload, UTF8String.fromString("image")))
+    assert(base >= 0L, "valid container must hash")
+    // same data behind a DIFFERENT container header → same hash
+    // (content identity, not byte identity)
+    assert(A.compute(S.compute(payload, UTF8String.fromString("audio"))) == base)
+    // one-byte perturbation moves one cell (plus at most a global-mean
+    // ripple): near-dup distance, far below unrelated content
+    val tweaked = payload.clone(); tweaked(100) = 'X'.toByte
+    val hTweak = A.compute(S.compute(tweaked, UTF8String.fromString("image")))
+    assert(hamming(base, hTweak) <= 6,
+      s"one-byte change should stay near-dup, got ${hamming(base, hTweak)}")
+    val other = ("completely different content with other words entirely " * 7)
+      .getBytes("UTF-8")
+    val hOther = A.compute(S.compute(other, UTF8String.fromString("image")))
+    assert(hamming(base, hOther) > 10,
+      s"unrelated content should be far, got ${hamming(base, hOther)}")
+    // corrupt input degrades to -1, never throws
+    assert(A.compute(Array.emptyByteArray) == -1L)
+    assert(A.compute("nonsense".getBytes("UTF-8")) == -1L)
+    // distributed grouping: n_copies per asset equals the text-equality
+    // group size among image-typed docs (identical text → identical
+    // pixels → identical hash)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .filter(_.getLong(0) % 3 == 0).map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sizeByText = texts.values.groupBy(identity).map { case (t, g) => t -> g.size }
+    val got = operators.Multimodal.phashDup(spark, sf).collect()
+      .map(r => r.getAs[Long]("asset_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(got.keySet == texts.keySet)
+    got.foreach { case (id, n) =>
+      assert(n >= sizeByText(texts(id)).toLong,
+        s"asset $id: hash group at least its exact-text group")
+    }
+  }
+
   /** Reference tokenizer in Scala for oracle-free spot checks. */
   private def toks(text: String): Seq[String] =
     text.toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").toSeq
