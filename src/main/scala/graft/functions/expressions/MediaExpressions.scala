@@ -352,3 +352,69 @@ object MediaAHash {
     hash
   }
 }
+
+/** PCM audio energy analysis over a WAV container — the real
+  * arithmetic of speech-data curation's silence/energy gates (VAD
+  * front-ends, silence trimming, loudness filtering): the data chunk
+  * is decoded as signed 16-bit little-endian samples (the actual PCM
+  * wire format the header declares), bucketed into [[PcmEnergy.Win]]-
+  * sample windows, and each window's integer mean-square energy is
+  * compared to [[PcmEnergy.SilenceMeanSq]]. All sums are exact longs
+  * (i16² ≤ 2³⁰, billions of samples away from overflow), so every
+  * output slot is DuckDB-oracle-checkable. Output
+  * [n_samples, n_windows, silent_windows, total_sum_sq]; non-WAV or
+  * sample-less input yields [0,0,0,0] — corrupt assets degrade, never
+  * crash the task.
+  */
+case class PcmEnergy(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    PcmEnergy.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.PcmEnergy.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PcmEnergy {
+  /** Samples per analysis window (~16 ms at 16 kHz). */
+  final val Win = 256
+  /** A window is silent below this integer mean-square energy. */
+  final val SilenceMeanSq = 1000000L
+
+  def compute(b: Array[Byte]): GenericArrayData = {
+    val out = new Array[Long](4)
+    val isWav = b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (!isWav || b.length < 46) return new GenericArrayData(out)
+    val off = SynthMedia.WavHeaderLen
+    val nSamples = (b.length - off) / 2
+    if (nSamples == 0) return new GenericArrayData(out)
+    var total = 0L
+    var winSum = 0L
+    var silent = 0L
+    var windows = 0L
+    var j = 0
+    while (j < nSamples) {
+      val lo = b(off + 2 * j) & 0xff
+      val hi = b(off + 2 * j + 1).toInt // sign-carrying high byte
+      val v = ((hi << 8) | lo).toShort.toLong
+      winSum += v * v
+      total += v * v
+      if ((j + 1) % Win == 0 || j == nSamples - 1) {
+        val len = if ((j + 1) % Win == 0) Win else (j + 1) % Win
+        windows += 1
+        if (winSum / len < SilenceMeanSq) silent += 1
+        winSum = 0L
+      }
+      j += 1
+    }
+    out(0) = nSamples; out(1) = windows; out(2) = silent; out(3) = total
+    new GenericArrayData(out)
+  }
+}

@@ -256,6 +256,61 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
+  /** PCM energy / silence analysis over the AUDIO assets — the
+    * speech-curation front-end (silence trimming, loudness gates, VAD
+    * windowing) run for real: the WAV data chunk is decoded as the
+    * signed 16-bit little-endian samples its header declares
+    * ([[graft.functions.expressions.PcmEnergy]]), windowed at 256
+    * samples, and each window's integer mean-square energy compared
+    * to the silence floor. Map-only at any scale; every output slot
+    * is exact integer arithmetic, so the DuckDB oracle replays the
+    * sample decode (byte pairs → i16) and windowing bit-for-bit.
+    */
+  def audioEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val e = column(graft.functions.expressions.PcmEnergy(expression(assetCol)))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id").as("asset_id"), e.as("e"))
+      .select(col("asset_id"),
+        col("e").getItem(0).as("n_samples"),
+        col("e").getItem(1).as("n_windows"),
+        col("e").getItem(2).as("silent_windows"),
+        col("e").getItem(3).as("total_sq"))
+      .filter(col("n_samples") > 0)
+      .withColumn("mean_sq", expr("total_sq div n_samples"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** DuckDB twin of [[audioEnergy]]: samples from UTF-8 byte pairs
+    * (lo | hi<<8, sign-corrected), 256-sample windows, integer
+    * mean-square silence test.
+    */
+  val audioEnergySql: String =
+    s"""WITH au AS (
+       |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text))::BIGINT AS n
+       |  FROM documents WHERE doc_id % 3 = 1
+       |), sv AS (
+       |  SELECT asset_id, (j - 1) // 256 AS w,
+       |    v0 - CASE WHEN v0 >= 32768 THEN 65536 ELSE 0 END AS v
+       |  FROM (
+       |    SELECT asset_id,
+       |      (('0x' || substr(h, 4 * j - 3, 2))::BIGINT
+       |       + (('0x' || substr(h, 4 * j - 1, 2))::BIGINT << 8)) AS v0, j
+       |    FROM (SELECT asset_id, h, unnest(range(1, n // 2 + 1)) AS j FROM au)
+       |  )
+       |), ws AS (
+       |  SELECT asset_id, w, SUM(v * v)::BIGINT AS wsq, COUNT(*)::BIGINT AS len
+       |  FROM sv GROUP BY 1, 2
+       |)
+       |SELECT asset_id, SUM(len)::BIGINT AS n_samples,
+       |  COUNT(*)::BIGINT AS n_windows,
+       |  SUM(CASE WHEN wsq // len < ${graft.functions.expressions.PcmEnergy.SilenceMeanSq} THEN 1 ELSE 0 END)::BIGINT AS silent_windows,
+       |  SUM(wsq)::BIGINT AS total_sq,
+       |  (SUM(wsq)::BIGINT // SUM(len)::BIGINT) AS mean_sq
+       |FROM ws GROUP BY asset_id
+       |ORDER BY asset_id""".stripMargin
+
   /** DuckDB twin of [[phashDup]]: the aHash arithmetic replayed from
     * the synthesis formula (image payload = the document's UTF-8
     * bytes; cell(j) = 60·j // n; integer means; bit i ⇔ cell mean >

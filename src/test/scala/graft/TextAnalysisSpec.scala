@@ -167,6 +167,28 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("PCM energy: i16 LE decode, windowing, silence floor, corrupt safety") {
+    import graft.functions.expressions.{PcmEnergy => E, SynthMedia => S}
+    // a known two-sample payload: [1000, -1000] little-endian
+    def le(v: Int): Seq[Byte] =
+      Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    val loud = (le(1000) ++ le(-1000)).toArray
+    val r = E.compute(S.wav(loud, 16000, 1))
+    assert(r.getLong(0) == 2 && r.getLong(1) == 1)
+    assert(r.getLong(3) == 2L * 1000 * 1000, "sum of squares of +-1000")
+    assert(r.getLong(2) == 0, "mean square 1e6 is exactly at the floor: not silent")
+    // all-zero payload: every window silent
+    val quiet = E.compute(S.wav(new Array[Byte](1024), 16000, 1))
+    assert(quiet.getLong(0) == 512 && quiet.getLong(1) == 2 &&
+      quiet.getLong(2) == 2 && quiet.getLong(3) == 0)
+    // partial last window is analyzed with its own length
+    val three = E.compute(S.wav((le(100) ++ le(100) ++ le(100)).toArray, 8000, 1))
+    assert(three.getLong(0) == 3 && three.getLong(1) == 1 && three.getLong(2) == 1)
+    // non-WAV input degrades to zeros, never throws
+    assert(E.compute("not audio".getBytes("UTF-8")).getLong(0) == 0)
+    assert(E.compute(Array.emptyByteArray).getLong(0) == 0)
+  }
+
   /** Reference tokenizer in Scala for oracle-free spot checks. */
   private def toks(text: String): Seq[String] =
     text.toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").toSeq
