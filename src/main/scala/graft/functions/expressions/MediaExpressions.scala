@@ -331,13 +331,20 @@ object MediaAHash {
       else if (b.length >= 100 && b(0) == 'R' && b(8) == 'A') SynthMedia.AviHeaderLen
       else -1
     if (off < 0 || off >= b.length) return -1L
-    val n = b.length - off
+    hashRange(b, off, b.length - off)
+  }
+
+  /** The 60-cell threshold hash over bytes [start, start+n) — shared
+    * by the whole-asset hash and [[FrameHashes]]' per-frame slices.
+    */
+  def hashRange(b: Array[Byte], start: Int, n: Int): Long = {
+    if (n <= 0) return -1L
     val sums = new Array[Long](Cells)
     val counts = new Array[Long](Cells)
     var total = 0L
     var j = 0
     while (j < n) {
-      val v = b(off + j) & 0xffL
+      val v = b(start + j) & 0xffL
       val cell = ((Cells.toLong * j) / n).toInt
       sums(cell) += v; counts(cell) += 1; total += v
       j += 1
@@ -350,6 +357,57 @@ object MediaAHash {
       i += 1
     }
     hash
+  }
+}
+
+/** Per-frame 60-bit average-hashes of an AVI asset: the movi data is
+  * split into the equal-length frame slices the header's
+  * dwTotalFrames declares (the [[graft.operators.Multimodal
+  * .frameSample]] byte-range convention — trailing remainder bytes
+  * belong to no frame) and each slice is hashed with
+  * [[MediaAHash.hashRange]]. Consecutive-frame Hamming distances are
+  * the scene-cut signal video curation thresholds (shot detection for
+  * frame dedup / clip segmentation). Non-AVI input, zero frames or
+  * slices shorter than one byte yield an EMPTY array — degrade, never
+  * crash.
+  */
+case class FrameHashes(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    FrameHashes.compute(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.FrameHashes.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object FrameHashes {
+  def compute(b: Array[Byte]): GenericArrayData = {
+    val empty = new GenericArrayData(Array.empty[Any])
+    val isAvi = b.length >= 100 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I'
+    if (!isAvi) return empty
+    def u32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    val frames = u32(48)
+    val dataBytes = u32(92) - 4
+    val off = SynthMedia.AviHeaderLen
+    if (frames <= 0 || dataBytes <= 0 || off + dataBytes > b.length) return empty
+    val fb = (dataBytes / frames).toInt
+    if (fb <= 0) return empty
+    val out = new Array[Long](frames.toInt)
+    var k = 0
+    while (k < frames) {
+      out(k) = MediaAHash.hashRange(b, off + k * fb, fb)
+      k += 1
+    }
+    new GenericArrayData(out)
   }
 }
 

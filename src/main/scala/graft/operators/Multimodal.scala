@@ -311,6 +311,74 @@ object Multimodal {
        |FROM ws GROUP BY asset_id
        |ORDER BY asset_id""".stripMargin
 
+  /** Scene-cut detection over the VIDEO assets — shot segmentation
+    * for frame dedup / clip extraction: each AVI's movi data is split
+    * into the header-declared equal frame slices, every frame gets
+    * the 60-bit average-hash
+    * ([[graft.functions.expressions.FrameHashes]] shares
+    * [[graft.functions.expressions.MediaAHash]]'s kernel), and a CUT
+    * is a consecutive-frame Hamming step above [[SceneCutHamming]].
+    * The step series is computed with pure array higher-order
+    * functions (`zip_with` of the hash array against its own shift +
+    * `bit_count` of the XOR) — zero shuffle, codegen-friendly, and
+    * every integer is replayed exactly by the DuckDB oracle.
+    */
+  val SceneCutHamming = 10
+
+  def sceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val fh = column(graft.functions.expressions.FrameHashes(expression(assetCol)))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id").as("asset_id"), fh.as("fh"))
+      .filter(size(col("fh")) > 0)
+      .withColumn("steps", expr(
+        "zip_with(slice(fh, 1, size(fh) - 1), slice(fh, 2, size(fh) - 1), (a, b) -> bit_count(a ^ b))"))
+      .select(col("asset_id"),
+        size(col("fh")).cast("long").as("frames"),
+        expr(s"size(filter(steps, s -> s > $SceneCutHamming))").cast("long").as("n_cuts"),
+        expr("coalesce(aggregate(steps, 0, (acc, s) -> greatest(acc, s)), 0)")
+          .cast("long").as("max_step"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** DuckDB twin of [[sceneCuts]]: per-frame cell-mean hashes from the
+    * synthesis formula (frame f covers data bytes [f·fb, (f+1)·fb)),
+    * consecutive XOR bit counts, the same cut threshold.
+    */
+  val sceneCutsSql: String =
+    s"""WITH vid AS (
+       |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text))::BIGINT AS n,
+       |    (octet_length(encode(text)) % 30 + 1)::BIGINT AS frames
+       |  FROM documents WHERE doc_id % 3 = 2
+       |), vf AS (
+       |  SELECT *, n // frames AS fb FROM vid WHERE n // frames > 0
+       |), by AS (
+       |  SELECT asset_id, (j - 1) // fb AS f,
+       |    (60 * ((j - 1) % fb)) // fb AS cell,
+       |    ('0x' || substr(h, 2 * (j - 1) + 1, 2))::BIGINT AS v
+       |  FROM (SELECT asset_id, h, fb, unnest(range(1, fb * frames + 1)) AS j FROM vf)
+       |), cm AS (
+       |  SELECT asset_id, f, cell, SUM(v) // COUNT(*) AS cmean,
+       |    SUM(v) AS csum, COUNT(*) AS cnt
+       |  FROM by GROUP BY 1, 2, 3
+       |), gm AS (
+       |  SELECT asset_id, f, SUM(csum) // SUM(cnt) AS gmean FROM cm GROUP BY 1, 2
+       |), fh AS (
+       |  SELECT cm.asset_id, cm.f,
+       |    COALESCE(SUM(CASE WHEN cmean > gmean THEN 1::BIGINT << cell ELSE 0 END), 0)::BIGINT AS fhash
+       |  FROM cm JOIN gm USING (asset_id, f) GROUP BY 1, 2
+       |), steps AS (
+       |  SELECT a.asset_id, bit_count(xor(a.fhash, b.fhash))::BIGINT AS s
+       |  FROM fh a JOIN fh b ON a.asset_id = b.asset_id AND b.f = a.f + 1
+       |)
+       |SELECT vf.asset_id, vf.frames,
+       |  COALESCE(SUM(CASE WHEN s > $SceneCutHamming THEN 1 ELSE 0 END), 0)::BIGINT AS n_cuts,
+       |  COALESCE(MAX(s), 0)::BIGINT AS max_step
+       |FROM vf LEFT JOIN steps ON vf.asset_id = steps.asset_id
+       |GROUP BY 1, 2
+       |ORDER BY vf.asset_id""".stripMargin
+
   /** DuckDB twin of [[phashDup]]: the aHash arithmetic replayed from
     * the synthesis formula (image payload = the document's UTF-8
     * bytes; cell(j) = 60·j // n; integer means; bit i ⇔ cell mean >

