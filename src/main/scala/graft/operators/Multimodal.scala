@@ -256,6 +256,43 @@ object Multimodal {
       .orderBy(col("asset_id"))
   }
 
+  /** Perceptual NEAR-dup pairs over the image assets — the promised
+    * at-scale Hamming-band expansion made real: the per-asset aHash
+    * relation feeds [[Dedup.simhashPairsFromWords]], the exact
+    * pigeonhole-banded pair search (four 15-bit bands guarantee every
+    * Hamming≤3 pair shares a band; over-cap buckets salt-subdivide),
+    * so near-identical images surface WITHOUT an all-pairs join. The
+    * DuckDB oracle checks against the literal all-pairs form, proving
+    * the banding loses nothing at the ≤3 radius.
+    */
+  def phashNear(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "the 4x15-bit pigeonhole banding is exact only to Hamming 3")
+    val words = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"),
+        column(graft.functions.expressions.MediaAHash(
+          expression(assetCol))).as("ahash"))
+      .select(col("doc_id"),
+        array(col("ahash").bitwiseAND(lit(0xFFFFFFFFL)),
+          shiftright(col("ahash"), 32)).as("words"))
+    Dedup.simhashPairsFromWords(words, maxHamming)
+      .select(col("id1").as("asset1"), col("id2").as("asset2"), col("hamming"))
+      .orderBy(col("asset1"), col("asset2"))
+  }
+
+  /** DuckDB twin of [[phashNear]]: the all-pairs Hamming join the
+    * banding must reproduce exactly.
+    */
+  def phashNearSql(maxHamming: Int = 3): String =
+    s"""$phashHashedCtes
+       |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
+       |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+       |FROM hashed a JOIN hashed b ON a.asset_id < b.asset_id
+       |WHERE bit_count(xor(a.ahash, b.ahash)) <= $maxHamming
+       |ORDER BY asset1, asset2""".stripMargin
+
   /** PCM energy / silence analysis over the AUDIO assets — the
     * speech-curation front-end (silence trimming, loudness gates, VAD
     * windowing) run for real: the WAV data chunk is decoded as the
@@ -379,12 +416,13 @@ object Multimodal {
        |GROUP BY 1, 2
        |ORDER BY vf.asset_id""".stripMargin
 
-  /** DuckDB twin of [[phashDup]]: the aHash arithmetic replayed from
-    * the synthesis formula (image payload = the document's UTF-8
-    * bytes; cell(j) = 60·j // n; integer means; bit i ⇔ cell mean >
-    * global mean).
+  /** Shared CTE block ending in `hashed(asset_id, ahash)` — the aHash
+    * arithmetic replayed from the synthesis formula (image payload =
+    * the document's UTF-8 bytes; cell(j) = 60·j // n; integer means;
+    * bit i ⇔ cell mean > global mean). One extraction point for the
+    * [[phashDupSql]] / [[phashNearSql]] twins.
     */
-  val phashDupSql: String =
+  private val phashHashedCtes: String =
     s"""WITH img AS (
        |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
        |    octet_length(encode(text))::BIGINT AS n
@@ -403,7 +441,11 @@ object Multimodal {
        |    COALESCE(SUM(CASE WHEN cmean > gmean THEN 1::BIGINT << cell ELSE 0 END), 0)::BIGINT AS ahash
        |  FROM cm JOIN gm USING (asset_id)
        |  GROUP BY 1
-       |)
+       |)""".stripMargin
+
+  /** DuckDB twin of [[phashDup]]. */
+  val phashDupSql: String =
+    s"""$phashHashedCtes
        |SELECT asset_id, ahash, n_copies
        |FROM hashed
        |JOIN (SELECT ahash, COUNT(*)::BIGINT AS n_copies FROM hashed GROUP BY 1)
