@@ -445,6 +445,31 @@ object PointServe {
       }.filter(_._2 > 0), k)
     }
 
+    /** Weighted sparse dot-product retrieval — `Bm25.sparseSearch`
+      * semantics served from RAM: duplicate query terms merge by
+      * coordinate addition (the batch contract), per-doc term weight
+      * is the identical TermFreqs fixed-point expression
+      * floor((tf/total)·1e6 + 0.5), and the score is the integer
+      * Σ weight·w — order-independent, so bit-parity with the batch
+      * twin needs no accumulation-order care.
+      */
+    def sparse(query: Seq[(String, Long)], k: Int = 20): Seq[Hit] = {
+      val merged = query.groupMapReduce(_._1)(_._2)(_ + _)
+      val scores = scala.collection.mutable.LongMap.empty[Long] // doc idx -> score
+      merged.foreach { case (t, w) =>
+        val posting = inverted.getOrDefault(t, Array.empty)
+        var p = 0
+        while (p < posting.length) {
+          val i = posting(p)
+          val weight = math.floor(
+            (tfs(i).get(t).toDouble / dls(i)) * 1000000L + 0.5).toLong
+          scores(i) = scores.getOrElse(i.toLong, 0L) + weight * w
+          p += 1
+        }
+      }
+      topK(scores.iterator.map { case (i, s) => (docIds(i.toInt), s) }, k)
+    }
+
     /** Brute-force dense cosine — `VectorSearch.semanticTopK` semantics. */
     def semantic(qv: Array[Double], k: Int = 20, excludeId: Long = -1L): Seq[Hit] =
       topK(denseIds.iterator.zip(denseVecs.iterator)

@@ -70,6 +70,11 @@ class PointServeSpec extends GraftSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
     assert(emb.hybridRrf(queryVecs(0L), 0L, operators.Bm25.DefaultQuery)
       .map(h => (h.vecId, h.score)) == rrfBatch)
+    val sparseBatch = operators.Bm25.sparseSearch(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+    assert(emb.sparse(operators.Bm25.SparseQuery).map(h => (h.vecId, h.score)) == sparseBatch)
+    // duplicate terms merge by coordinate addition, the batch contract
+    assert(emb.sparse(Seq("spark" -> 2L, "spark" -> 3L)) == emb.sparse(Seq("spark" -> 5L)))
   }
 
   test("refresh folds streaming-appended generations into the served snapshot") {
