@@ -470,6 +470,43 @@ object PointServe {
       topK(scores.iterator.map { case (i, s) => (docIds(i.toInt), s) }, k)
     }
 
+    /** Sparse-cosine "more like this" — `Bm25.docSimilar` semantics
+      * served from RAM: integer dot products and squared norms over
+      * the TermFreqs fixed-point weights, the one float step
+      * (dot/√(‖a‖²·‖d‖²)) computed from identical exact integers in
+      * the identical IEEE expression order as the batch plan, then
+      * fx6 — bit-parity spec-pinned.
+      */
+    def moreLike(anchorId: Long, k: Int = 10): Seq[Hit] = {
+      val ai = java.util.Arrays.binarySearch(docIds, anchorId)
+      if (ai < 0) return Seq.empty
+      def weight(i: Int, t: String): Long =
+        math.floor((tfs(i).get(t).toDouble / dls(i)) * 1000000L + 0.5).toLong
+      def nsq(i: Int): Long = {
+        var s = 0L
+        tfs(i).forEach((t, _) => { val w = weight(i, t); s += w * w })
+        s
+      }
+      val ansq = nsq(ai)
+      val dots = scala.collection.mutable.LongMap.empty[Long]
+      tfs(ai).forEach((t, _) => {
+        val aw = weight(ai, t)
+        val posting = inverted.getOrDefault(t, Array.empty)
+        var p = 0
+        while (p < posting.length) {
+          val i = posting(p)
+          if (i != ai)
+            dots(i) = dots.getOrElse(i.toLong, 0L) + weight(i, t) * aw
+          p += 1
+        }
+      })
+      topK(dots.iterator.map { case (iL, dot) =>
+        val i = iL.toInt
+        (docIds(i), fx6(dot.toDouble /
+          math.sqrt(nsq(i).toDouble * ansq.toDouble)))
+      }, k)
+    }
+
     /** Brute-force dense cosine — `VectorSearch.semanticTopK` semantics. */
     def semantic(qv: Array[Double], k: Int = 20, excludeId: Long = -1L): Seq[Hit] =
       topK(denseIds.iterator.zip(denseVecs.iterator)

@@ -75,6 +75,10 @@ class PointServeSpec extends GraftSuite {
     assert(emb.sparse(operators.Bm25.SparseQuery).map(h => (h.vecId, h.score)) == sparseBatch)
     // duplicate terms merge by coordinate addition, the batch contract
     assert(emb.sparse(Seq("spark" -> 2L, "spark" -> 3L)) == emb.sparse(Seq("spark" -> 5L)))
+    val similarBatch = operators.Bm25.docSimilar(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cosine"))).toSeq
+    assert(emb.moreLike(7L).map(h => (h.vecId, h.score)) == similarBatch)
+    assert(emb.moreLike(-42L).isEmpty, "unknown anchor returns empty, never throws")
   }
 
   test("refresh folds streaming-appended generations into the served snapshot") {
