@@ -46,6 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("mock_embed", classOf[MockEmbedding])(a =>
       MockEmbedding(a(0), intArg(a(1), "mock_embed")))
     register("byte_features", classOf[ByteFeatures])(a => ByteFeatures(a(0)))
+    // media content kernels: container parse + per-modality signals
+    register("parse_media", classOf[ParseMediaHeader])(a => ParseMediaHeader(a(0)))
+    register("media_ahash", classOf[MediaAHash])(a => MediaAHash(a(0)))
+    register("pcm_energy", classOf[PcmEnergy])(a => PcmEnergy(a(0)))
+    register("frame_hashes", classOf[FrameHashes])(a => FrameHashes(a(0)))
     ext.injectOptimizerRule(_ => graft.plans.CapResultLimit)
     ext.injectOptimizerRule(_ => graft.plans.MinSimilarityThreshold)
   }

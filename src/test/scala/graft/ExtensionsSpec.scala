@@ -55,6 +55,29 @@ class ExtensionsSpec extends GraftSuite {
     }
   }
 
+  test("media content kernels register as SQL functions and match their kernel twins") {
+    TestSpark.withExtensionsSession { s2 =>
+      import graft.functions.expressions.{FrameHashes, MediaAHash, ParseMediaHeader, PcmEnergy, SynthMedia}
+      import org.apache.spark.unsafe.types.UTF8String
+      val payload = "media kernel sql surface check payload bytes"
+      val bmp = SynthMedia.compute(payload.getBytes("UTF-8"),
+        UTF8String.fromString("image"))
+      val hx = bmp.map("%02x".format(_)).mkString
+      val r = s2.sql(
+        s"""SELECT parse_media(unhex('$hx')) AS pm,
+           |  media_ahash(unhex('$hx')) AS ah,
+           |  pcm_energy(unhex('$hx')) AS pe,
+           |  frame_hashes(unhex('$hx')) AS fh""".stripMargin).head
+      assert(r.getSeq[Long](r.fieldIndex("pm")) ==
+        ParseMediaHeader.compute(bmp).toLongArray().toSeq)
+      assert(r.getLong(r.fieldIndex("ah")) == MediaAHash.compute(bmp))
+      assert(r.getSeq[Long](r.fieldIndex("pe")) ==
+        PcmEnergy.compute(bmp).toLongArray().toSeq)
+      assert(r.getSeq[Long](r.fieldIndex("fh")) ==
+        FrameHashes.compute(bmp).toLongArray().toSeq)
+    }
+  }
+
   test("CapResultLimit optimizer rule caps literal limits above the ceiling") {
     TestSpark.withExtensionsSession { s2 =>
       import s2.implicits._
