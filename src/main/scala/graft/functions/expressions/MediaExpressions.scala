@@ -321,17 +321,20 @@ object MediaAHash {
   final val Cells = 60
 
   def compute(b: Array[Byte]): Long = {
-    // data-region offset by container magic (ParseMediaHeader layout)
+    // ONE source of truth for what is decodable: the same header
+    // parse the metadata path uses — a container ParseMediaHeader
+    // rejects (bad bfOffBits, missing fmt/data/avih tags) must hash
+    // to the -1 degrade too, never to a hash over header noise
+    val h = ParseMediaHeader.compute(b)
+    val kind = h.getLong(ParseMediaHeader.Kind)
+    if (kind == -1L) return -1L
     val off =
-      if (b.length >= 54 && b(0) == 'B' && b(1) == 'M')
-        ((b(10) & 0xffL) | ((b(11) & 0xffL) << 8) |
-          ((b(12) & 0xffL) << 16) | ((b(13) & 0xffL) << 24)).toInt
-      else if (b.length >= 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-               b(3) == 'F' && b(8) == 'W') SynthMedia.WavHeaderLen
-      else if (b.length >= 100 && b(0) == 'R' && b(8) == 'A') SynthMedia.AviHeaderLen
-      else -1
-    if (off < 0 || off >= b.length) return -1L
-    hashRange(b, off, b.length - off)
+      if (kind == 0L) (b.length - h.getLong(ParseMediaHeader.DataBytes)).toInt
+      else if (kind == 1L) SynthMedia.WavHeaderLen
+      else SynthMedia.AviHeaderLen
+    val n = math.min(h.getLong(ParseMediaHeader.DataBytes),
+      (b.length - off).toLong).toInt
+    hashRange(b, off, n)
   }
 
   /** The 60-cell threshold hash over bytes [start, start+n) — shared
@@ -389,16 +392,14 @@ case class FrameHashes(child: Expression) extends UnaryExpression {
 object FrameHashes {
   def compute(b: Array[Byte]): GenericArrayData = {
     val empty = new GenericArrayData(Array.empty[Any])
-    val isAvi = b.length >= 100 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-      b(3) == 'F' && b(8) == 'A' && b(9) == 'V' && b(10) == 'I'
-    if (!isAvi) return empty
-    def u32(off: Int): Long =
-      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
-        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
-    val frames = u32(48)
-    val dataBytes = u32(92) - 4
+    // same decodability contract as the metadata path (see MediaAHash)
+    val h = ParseMediaHeader.compute(b)
+    if (h.getLong(ParseMediaHeader.Kind) != 2L) return empty
+    val frames = h.getLong(ParseMediaHeader.Frames)
     val off = SynthMedia.AviHeaderLen
-    if (frames <= 0 || dataBytes <= 0 || off + dataBytes > b.length) return empty
+    val dataBytes = math.min(h.getLong(ParseMediaHeader.DataBytes),
+      (b.length - off).toLong)
+    if (frames <= 0 || dataBytes <= 0) return empty
     val fb = (dataBytes / frames).toInt
     if (fb <= 0) return empty
     val out = new Array[Long](frames.toInt)

@@ -250,6 +250,10 @@ object Multimodal {
       .select(col("doc_id").as("asset_id"),
         column(graft.functions.expressions.MediaAHash(
           expression(assetCol))).as("ahash"))
+      // undecodable/empty assets (hash -1) drop here — the oracle's
+      // byte-range unnest never emits them, and a shared -1 sentinel
+      // must not form a fake copy group
+      .filter(col("ahash") =!= -1L)
     val groups = hashed.groupBy(col("ahash")).agg(count(lit(1)).as("n_copies"))
     hashed.join(groups.hint("shuffle_hash"), Seq("ahash"))
       .select(col("asset_id"), col("ahash"), col("n_copies"))
@@ -274,6 +278,9 @@ object Multimodal {
       .select(col("doc_id"),
         column(graft.functions.expressions.MediaAHash(
           expression(assetCol))).as("ahash"))
+      // parity with the all-pairs oracle: undecodable assets (-1)
+      // never enter the pair search (two empties are not near-dups)
+      .filter(col("ahash") =!= -1L)
       .select(col("doc_id"),
         array(col("ahash").bitwiseAND(lit(0xFFFFFFFFL)),
           shiftright(col("ahash"), 32)).as("words"))

@@ -412,6 +412,28 @@ object PointServe {
     private val nDocs = docIds.length
     private val avgdl = dls.sum.toDouble / nDocs
 
+    // query-independent sparse state, paid ONCE at load: per-(doc,
+    // term) TermFreqs fixed-point weights and per-doc squared norms.
+    // Recomputing these inside sparse()/moreLike() turned every point
+    // lookup over a popular term into a corpus-wide float pass.
+    private val weights: Array[java.util.HashMap[String, Long]] = {
+      val out = new Array[java.util.HashMap[String, Long]](nDocs)
+      var i = 0
+      while (i < nDocs) {
+        val m = new java.util.HashMap[String, Long](tfs(i).size())
+        tfs(i).forEach((t, tf) =>
+          m.put(t, math.floor((tf.toDouble / dls(i)) * 1000000L + 0.5).toLong))
+        out(i) = m
+        i += 1
+      }
+      out
+    }
+    private val normsSq: Array[Long] = Array.tabulate(nDocs) { i =>
+      var s = 0L
+      weights(i).forEach((_, w) => s += w * w)
+      s
+    }
+
     /** Okapi BM25 — [[graft.operators.Bm25.search]] semantics. */
     def bm25(query: String, k: Int = 20): Seq[Hit] = {
       val terms = tokenizeQuery(query).toArray
@@ -461,9 +483,7 @@ object PointServe {
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          val weight = math.floor(
-            (tfs(i).get(t).toDouble / dls(i)) * 1000000L + 0.5).toLong
-          scores(i) = scores.getOrElse(i.toLong, 0L) + weight * w
+          scores(i) = scores.getOrElse(i.toLong, 0L) + weights(i).get(t) * w
           p += 1
         }
       }
@@ -480,30 +500,22 @@ object PointServe {
     def moreLike(anchorId: Long, k: Int = 10): Seq[Hit] = {
       val ai = java.util.Arrays.binarySearch(docIds, anchorId)
       if (ai < 0) return Seq.empty
-      def weight(i: Int, t: String): Long =
-        math.floor((tfs(i).get(t).toDouble / dls(i)) * 1000000L + 0.5).toLong
-      def nsq(i: Int): Long = {
-        var s = 0L
-        tfs(i).forEach((t, _) => { val w = weight(i, t); s += w * w })
-        s
-      }
-      val ansq = nsq(ai)
+      val ansq = normsSq(ai)
       val dots = scala.collection.mutable.LongMap.empty[Long]
-      tfs(ai).forEach((t, _) => {
-        val aw = weight(ai, t)
+      weights(ai).forEach((t, aw) => {
         val posting = inverted.getOrDefault(t, Array.empty)
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
           if (i != ai)
-            dots(i) = dots.getOrElse(i.toLong, 0L) + weight(i, t) * aw
+            dots(i) = dots.getOrElse(i.toLong, 0L) + weights(i).get(t) * aw
           p += 1
         }
       })
       topK(dots.iterator.map { case (iL, dot) =>
         val i = iL.toInt
         (docIds(i), fx6(dot.toDouble /
-          math.sqrt(nsq(i).toDouble * ansq.toDouble)))
+          math.sqrt(normsSq(i).toDouble * ansq.toDouble)))
       }, k)
     }
 

@@ -199,10 +199,13 @@ class TextAnalysisSpec extends GraftSuite {
     val flat = F.compute(S.avi(twoSame, 320, 240, 2))
     assert(flat.numElements() == 2)
     assert(flat.getLong(0) == flat.getLong(1), "identical frames hash identically")
-    // contrasting second half: low bytes vs high bytes
+    // brightness-shift invariance: a uniform +14 on every byte moves
+    // each cell mean AND the global mean by the same amount, so every
+    // threshold comparison — and the hash — is unchanged
     val loud = frame.map(b => (b + 14).toByte)
     val cut = F.compute(S.avi(frame ++ loud, 320, 240, 2))
-    assert(hamming(cut.getLong(0), cut.getLong(1)) >= 0) // defined
+    assert(hamming(cut.getLong(0), cut.getLong(1)) == 0,
+      "aHash must be invariant to a uniform brightness shift")
     // a shuffled second frame lands far from the first
     val shuffled = frame.reverse
     val far = F.compute(S.avi(frame ++ shuffled, 320, 240, 2))
