@@ -1436,4 +1436,282 @@ object Analytics {
        |FROM base
        |GROUP BY CUBE (event_type, dow)
        |ORDER BY gid, event_type, dow""".stripMargin
+
+  /** Product-type profit (TPC-H Q9 shape, partsupp-free): profit per
+    * (nation, order-year) over a name-LIKE-filtered part class, with
+    * supply cost proxied by `0.1 × p_retailprice × quantity` (the
+    * schema has no partsupp). The anchor: the full five-way snowflake
+    * with a substring-filtered dimension. part and supplier are
+    * corpus-proportional → shuffle_hash on their keys; lineitem⋈orders
+    * is the one fact-fact shuffle; nation (25 rows, constant)
+    * broadcasts. Profit sums ride [[OracleNum.moneyFx]] so partition
+    * order cannot move the rounded total.
+    */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).filter(col("p_name").contains("red"))
+    val s  = Tables.supplier(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      col("p_retailprice") * lit(0.1) * col("l_quantity")
+    li.join(p.hint("shuffle_hash"), li("l_partkey") === p("p_partkey"))
+      .join(s.hint("shuffle_hash"), li("l_suppkey") === s("s_suppkey"))
+      .join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(moneyFx(amount).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       |  ${moneyFxSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * 0.1 * l_quantity")} AS sum_profit
+       |FROM lineitem
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Important parts by national line value (TPC-H Q11 shape,
+    * partsupp-free): per-part revenue carried by one nation's
+    * suppliers, keeping parts above 2× the MEAN part value — the
+    * HAVING-over-a-GLOBAL-fraction anchor. A fixed fraction of the
+    * total (TPC-H's literal form) empties as the part count grows —
+    * the benchmark itself scales its fraction by 1/SF — so the
+    * threshold is mean-relative: scale-free and non-degenerate at
+    * every SF. The per-part aggregate feeds BOTH the scalar
+    * (total, count) row and the filter, so it is persisted
+    * (part-count rows; the q15/q17 precedent); the scalar is ONE row →
+    * broadcast cross join. The threshold compares [[OracleNum.fx]]'d
+    * integers (`value_fx × n_parts > 2 × total_fx`) — exact on both
+    * engines, no double-division ulp lottery; the product runs in
+    * DECIMAL(38,0)/HUGEINT (part-count × a 1e-2-unit national total
+    * passes BIGINT well inside 100 TB). Top-100 by value is
+    * TakeOrderedAndProject — bounded output, never a global sort.
+    * supplier is corpus-proportional → shuffle_hash; nation
+    * broadcasts.
+    */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")
+    val v = li.join(s.hint("shuffle_hash"), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(moneyFx(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+             .as("value_fx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = v.agg(sum(col("value_fx").cast("decimal(38,0)")).as("total_fx"),
+                      count(lit(1)).as("n_parts"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value_fx").cast("decimal(38,0)") * col("n_parts") >
+              col("total_fx") * lit(2L))
+      .select(col("p_partkey"), col("value_fx"))
+      .orderBy(col("value_fx").desc, col("p_partkey"))
+      .limit(100)
+  }
+
+  val q11Sql: String =
+    s"""WITH v AS (
+       |  SELECT l_partkey AS p_partkey,
+       |    ${moneyFxSql("l_extendedprice * (1.0 - l_discount)")} AS value_fx
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation   ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_3'
+       |  GROUP BY l_partkey
+       |)
+       |SELECT p_partkey, value_fx FROM v
+       |WHERE value_fx::HUGEINT * (SELECT COUNT(*) FROM v)
+       |    > (SELECT SUM(value_fx::HUGEINT) FROM v) * 2
+       |ORDER BY value_fx DESC, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k non-urgent orders, INCLUDING the
+    * zero-order customers — the outer-join-preserving-zeros anchor.
+    * The scale form pre-aggregates orders to one (custkey, count) row
+    * BEFORE the outer join (map-side partials; the literal
+    * left-join-then-count would fan every customer row by its order
+    * count and shuffle the fan-out). Both sides then meet key-wise on
+    * custkey — corpus-proportional, so shuffle_hash, never broadcast.
+    * The second aggregate's key space is order-count-bounded (a few
+    * hundred values at any corpus size).
+    */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val perCust = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    c.join(perCust.hint("shuffle_hash"), c("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    s"""SELECT c_count, COUNT(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders
+       |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+       |  GROUP BY c_custkey
+       |)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Supplier diversity per part class (TPC-H Q16 shape, lineitem as
+    * the part↔supplier bridge): distinct shippers per (brand, size)
+    * over an IN-list part class, excluding deficit-balance suppliers —
+    * the NOT-IN-exclusion + COUNT-DISTINCT anchor. The bridge is
+    * deduplicated to distinct (partkey, suppkey) FIRST (one shuffle
+    * with partial distinct — the raw line stream never reaches the
+    * joins); the exclusion list is corpus-proportional → left_anti
+    * shuffle_hash on suppkey (NOT IN compiles to anti only because
+    * s_suppkey is non-null by construction); the part class rides a
+    * shuffle_hash equi-join with the type/size predicates pushed to
+    * the part scan.
+    */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .filter(col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    val bad = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0).select(col("s_suppkey"))
+    val bridge = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    bridge
+      .join(bad.hint("shuffle_hash"), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p.hint("shuffle_hash"), col("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .limit(40)
+  }
+
+  val q16Sql: String =
+    s"""SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM part JOIN lineitem ON p_partkey = l_partkey
+       |WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       |GROUP BY p_brand, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_size
+       |LIMIT 40""".stripMargin
+
+  /** Suppliers who kept finished orders waiting (TPC-H Q21 shape,
+    * shipdate-based): count, per supplier, the lines of multi-supplier
+    * 'F' orders that no OTHER supplier out-shipped — the
+    * same-relation EXISTS + NOT-EXISTS anchor. The oracle is the
+    * literal correlated-subquery form; the Spark plan replaces both
+    * self-joins with per-order AGGREGATES (the two-level-max trick):
+    * per (order, supplier) latest ship m_s, per order the max m1, the
+    * count attaining it and the runner-up m2 — then a line qualifies
+    * iff the order has ≥2 suppliers and its shipdate reaches the
+    * other-supplier maximum (m2 when its own supplier is the UNIQUE
+    * argmax, else m1 — where `shipdate ≥ m1` collapses to equality
+    * since no line exceeds m1). Every join and aggregate is keyed on
+    * l_orderkey over relations at most one row per (order, supplier) —
+    * map-side partials everywhere, no fan-out on hot orders, no
+    * sort. The 'F' gate is a left_semi pushed BEFORE all aggregation;
+    * supplier (corpus-proportional) joins shuffle_hash on suppkey;
+    * top-20 is TakeOrderedAndProject, never a global sort.
+    */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val fOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(fOrders.hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    // three consumers (perOrder, stats, the candidate re-key) — persist
+    // the bounded one-row-per-(order,supplier) sketch, q15/q17 precedent
+    val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_shipdate")).as("m_s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perOrder = perSupp.groupBy(col("l_orderkey"))
+      .agg(max(col("m_s")).as("m1"), count(lit(1)).as("n_supp"))
+    val stats = perSupp
+      .join(perOrder.hint("shuffle_hash"), Seq("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("m1"), col("n_supp"))
+      .agg(count(when(col("m_s") === col("m1"), 1)).as("cnt_m1"),
+           max(when(col("m_s") < col("m1"), col("m_s"))).as("m2"))
+    li.join(stats.hint("shuffle_hash"), Seq("l_orderkey"))
+      .filter(col("n_supp") >= 2)
+      .join(perSupp.hint("shuffle_hash"), Seq("l_orderkey", "l_suppkey"))
+      .filter(
+        when(col("m_s") === col("m1") && col("cnt_m1") === 1,
+          col("l_shipdate") >= col("m2"))
+        .otherwise(col("l_shipdate") === col("m1")))
+      .join(Tables.supplier(spark, dir).hint("shuffle_hash"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21Sql: String =
+    s"""SELECT s_name, COUNT(*) AS numwait
+       |FROM lineitem l1
+       |JOIN orders   ON o_orderkey = l1.l_orderkey
+       |JOIN supplier ON s_suppkey = l1.l_suppkey
+       |WHERE o_orderstatus = 'F'
+       |  AND EXISTS (SELECT 1 FROM lineitem l2
+       |              WHERE l2.l_orderkey = l1.l_orderkey
+       |                AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+       |                  WHERE l3.l_orderkey = l1.l_orderkey
+       |                    AND l3.l_suppkey <> l1.l_suppkey
+       |                    AND l3.l_shipdate > l1.l_shipdate)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name
+       |LIMIT 20""".stripMargin
+
+  /** Idle high-balance customers (TPC-H Q22 shape): customers whose
+    * balance beats the positive-balance average yet placed no order in
+    * the recent window, bucketed by a nation-derived code — the
+    * scalar-average gate + anti-join anchor. The average gate compares
+    * INTEGERS: `a_fx × n > s_fx` over [[OracleNum.fx]]'d 1e-2 units
+    * (`bal > S/N ⇔ bal·N > S`), in DECIMAL(38,0)/HUGEINT — a double
+    * AVG's partition-order jitter could flip a boundary customer
+    * between engines. The gate is ONE row → broadcast cross join; the
+    * recent-order key set is corpus-proportional → left_anti
+    * shuffle_hash on custkey with the window pushed to the orders
+    * scan.
+    */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val aFx = fx(col("c_acctbal"), 2)
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val gate = c.filter(col("c_acctbal") > 0.0)
+      .agg(sum(aFx.cast("decimal(38,0)")).as("s_fx"), count(lit(1)).as("n"))
+    c.crossJoin(broadcast(gate))
+      .filter(aFx.cast("decimal(38,0)") * col("n") > col("s_fx"))
+      .join(recent.hint("shuffle_hash"), c("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(pmod(col("c_nationkey"), lit(10)).cast("long").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), moneyFx(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val q22Sql: String =
+    s"""WITH gate AS (
+       |  SELECT SUM((${fxSql("c_acctbal", 2)})::HUGEINT) AS s_fx, COUNT(*) AS n
+       |  FROM customer WHERE c_acctbal > 0.0
+       |)
+       |SELECT (c_nationkey % 10)::BIGINT AS cntrycode,
+       |  COUNT(*) AS numcust,
+       |  ${moneyFxSql("c_acctbal")} AS totacctbal
+       |FROM customer, gate
+       |WHERE (${fxSql("c_acctbal", 2)})::HUGEINT * n > s_fx
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+       |GROUP BY 1
+       |ORDER BY cntrycode""".stripMargin
 }

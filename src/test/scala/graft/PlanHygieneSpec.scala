@@ -88,6 +88,33 @@ class PlanHygieneSpec extends GraftSuite {
     // (two roles); supplier/customer ride shuffle_hash
     val q7 = operators.Analytics.q7(spark, sf)
     assert(hintCount(q7, BROADCAST) == 2 && hintCount(q7, SHUFFLE_HASH) == 2)
+    // q9: one 25-row nation broadcast; part + supplier shuffle_hash
+    val q9 = operators.Analytics.q9(spark, sf)
+    assert(hintCount(q9, BROADCAST) == 1 && hintCount(q9, SHUFFLE_HASH) == 2)
+    // q11: the persisted per-part aggregate (nation broadcast +
+    // supplier shuffle_hash inside) appears on BOTH sides of the
+    // threshold cross join in the ANALYZED tree (persist dedupes
+    // execution, not analysis) → nation×2 + the ONE-ROW total scalar
+    val q11 = operators.Analytics.q11(spark, sf)
+    assert(hintCount(q11, BROADCAST) == 3 && hintCount(q11, SHUFFLE_HASH) == 2)
+    // q13: the per-customer order counts are corpus-proportional —
+    // outer join must never broadcast them
+    val q13 = operators.Analytics.q13(spark, sf)
+    assert(hintCount(q13, BROADCAST) == 0 && hintCount(q13, SHUFFLE_HASH) == 1)
+    // q16: exclusion anti + part class, both corpus-proportional
+    val q16 = operators.Analytics.q16(spark, sf)
+    assert(hintCount(q16, BROADCAST) == 0 && hintCount(q16, SHUFFLE_HASH) == 2)
+    // q21: zero broadcasts anywhere — the F-gate semi, the two
+    // order-keyed sketch joins, the candidate re-key and the supplier
+    // name join are ALL keyed shuffle_hash. 8 hint nodes, not 5: the
+    // F-gated lineitem subtree (carrying the semi hint) recurs 4× in
+    // the ANALYZED tree through perSupp/stats/candidates (persist
+    // dedupes execution, not analysis)
+    val q21 = operators.Analytics.q21(spark, sf)
+    assert(hintCount(q21, BROADCAST) == 0 && hintCount(q21, SHUFFLE_HASH) == 8)
+    // q22: the one broadcast is the ONE-ROW average gate
+    val q22 = operators.Analytics.q22(spark, sf)
+    assert(hintCount(q22, BROADCAST) == 1 && hintCount(q22, SHUFFLE_HASH) == 1)
   }
 
   test("q19's disjunctive join condition pushes per-side residuals into both scans") {
