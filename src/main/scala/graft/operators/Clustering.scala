@@ -199,6 +199,90 @@ object Clustering {
        |  (SELECT SUM((s // (SELECT COUNT(*) FROM q)) * (s // (SELECT COUNT(*) FROM q)))
        |   FROM dims)::BIGINT AS mean_vec_sq""".stripMargin
 
+  /** Label-noise flags via neighborhood consensus (Confident-Learning
+    * / Northcutt et al. 2021 shape; the deep-kNN mislabel filter of
+    * training-data curation): a vector is flagged iff the majority
+    * label among its k nearest neighbors differs from its own. Output
+    * one row per vector: own label, neighbor-majority label, the
+    * neighbor votes agreeing with the own label, total neighbor count
+    * and the flag.
+    *
+    * Rides [[graft.operators.VectorSearch.annKnnGraphFromVecs]]
+    * unchanged — the bucket-blocked, salt-subdivided LSH graph build
+    * (no all-pairs anywhere; the oracle replays the identical
+    * bucketing, so the comparison is hash-exact). After the graph:
+    * two corpus-keyed shuffle_hash joins attach own/neighbor labels
+    * (label relations are corpus-sized — never broadcast), one
+    * (vec, nb_label)-keyed vote count and one vec-keyed roll-up, both
+    * taking map-side partials; the majority pick is a lexicographic
+    * struct MAX (votes desc, label asc on ties) — an aggregate, never
+    * a per-group sort.
+    */
+  def labelNoise(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDouble
+    val vecs = Tables.spread(spark, Tables.embeddings(spark, dir))
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"),
+        col("label").cast("long").as("label"))
+    labelNoiseFromVecs(vecs, VectorSearch.KnnGraphK)
+  }
+
+  /** Flag build over a prepared (vec_id, emb, label) relation — split
+    * out so specs can drive synthetic planted-mislabel corpora through
+    * the exact production path.
+    */
+  private[graft] def labelNoiseFromVecs(vecs: DataFrame, k: Int): DataFrame = {
+    val knn = VectorSearch.annKnnGraphFromVecs(
+      vecs.select(col("vec_id"), col("emb")),
+      k, VectorSearch.KnnGraphRadius, VectorSearch.KnnBucketCap)
+    val labels = vecs.select(col("vec_id"), col("label"))
+    val nb = knn.select(col("vec_id"), col("neighbor_id"))
+      .join(labels.hint("shuffle_hash"), Seq("vec_id"))
+      .join(labels.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nb_label")).hint("shuffle_hash"),
+        Seq("neighbor_id"))
+    nb.groupBy(col("vec_id"), col("label"), col("nb_label"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("votes"), (-col("nb_label")).as("nbneg"))).as("m"),
+        sum(col("votes")).as("n_neighbors"),
+        sum(when(col("nb_label") === col("label"), col("votes"))
+          .otherwise(lit(0L))).as("agree"))
+      .select(col("vec_id"), col("label"),
+        (-col("m.nbneg")).as("majority_label"),
+        col("agree"), col("n_neighbors"),
+        (col("m.nbneg") =!= -col("label")).cast("long").as("noisy"))
+      .orderBy(col("vec_id"))
+  }
+
+  val labelNoiseSql: String =
+    s"""WITH knn AS (
+       |  SELECT vec_id, neighbor_id FROM (
+       |    ${VectorSearch.annKnnGraphSql()}
+       |  )
+       |), labels AS (
+       |  SELECT vec_id, label::BIGINT AS label FROM embeddings
+       |), votes AS (
+       |  SELECT k.vec_id, o.label, n.label AS nb_label, COUNT(*)::BIGINT AS votes
+       |  FROM knn k
+       |  JOIN labels o ON k.vec_id = o.vec_id
+       |  JOIN labels n ON k.neighbor_id = n.vec_id
+       |  GROUP BY 1, 2, 3
+       |), ranked AS (
+       |  SELECT vec_id, nb_label,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY votes DESC, nb_label) AS r
+       |  FROM votes
+       |), agg AS (
+       |  SELECT vec_id, label,
+       |    SUM(votes)::BIGINT AS n_neighbors,
+       |    SUM(CASE WHEN nb_label = label THEN votes ELSE 0 END)::BIGINT AS agree
+       |  FROM votes GROUP BY 1, 2
+       |)
+       |SELECT a.vec_id, a.label, r.nb_label AS majority_label,
+       |  a.agree, a.n_neighbors,
+       |  (r.nb_label <> a.label)::BIGINT AS noisy
+       |FROM agg a JOIN ranked r ON a.vec_id = r.vec_id AND r.r = 1
+       |ORDER BY a.vec_id""".stripMargin
+
   /** The Lloyd pipeline as shared DuckDB CTEs ending in `a2` =
     * (vec_id, cluster, dist).
     */

@@ -81,6 +81,38 @@ class ClusteringSpec extends GraftSuite {
     assert(got.exists(_._4 == 1L) && got.exists(_._4 == 0L))
   }
 
+  test("label_noise flags exactly the planted mislabel on a separated corpus") {
+    import spark.implicits._
+    // three tight, well-separated clusters in 64-dim (the knn-graph
+    // signature dimension); vec 7 carries a flipped label
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 20
+    } yield {
+      val id = (c * 20 + i).toLong
+      val emb = Array.tabulate(64) { j =>
+        val base = if (j == c * 3) 10.0 else 0.0
+        base + 0.01 * (((i * 31 + j * 17) % 7) - 3)
+      }
+      val label = if (id == 7L) 2L else c.toLong
+      (id, emb, label)
+    }
+    val vecs = rows.toDF("vec_id", "emb", "label")
+    val got = operators.Clustering.labelNoiseFromVecs(vecs, 5).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.size == 60)
+    val (lab7, maj7, agree7, n7, noisy7) = got(7L)
+    assert(lab7 == 2L && maj7 == 0L && agree7 == 0L && n7 == 5L && noisy7 == 1L,
+      s"planted mislabel row: ${got(7L)}")
+    val clean = got - 7L
+    assert(clean.forall { case (_, (l, m, a, n, f)) =>
+      f == 0L && m == l && n == 5L && a >= 4L  // vec 7 may sit among neighbors
+    }, s"unexpected clean-row flags: ${clean.filterNot { case (_, (l, m, a, n, f)) =>
+      f == 0L && m == l && n == 5L && a >= 4L }.take(5)}")
+  }
+
   test("embed_stats re-derives from a driver-side integer recount") {
     val s = Clustering.embedStats(spark, sf).head
     val embs = Tables.embeddings(spark, sf).collect()
