@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.Tables
+import graft.{OracleNum, Tables}
+import graft.OracleNum.{fx, fxSql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -199,6 +200,66 @@ object Clustering {
        |  (SELECT SUM((s // (SELECT COUNT(*) FROM q)) * (s // (SELECT COUNT(*) FROM q)))
        |   FROM dims)::BIGINT AS mean_vec_sq""".stripMargin
 
+  /** Terms reported per cluster by [[clusterTopics]]. */
+  val TopicsK = 5
+
+  /** Topic labels for the semantic clusters — the c-TF-IDF cluster
+    * annotation of BERTopic (Grootendorst 2022): treat each cluster's
+    * concatenated documents as one pseudo-document, score terms by
+    * cluster-frequency × ln(K / #clusters-containing-term), report the
+    * top [[TopicsK]] per cluster. This is how a curation pipeline
+    * turns an opaque k-means assignment into an inspectable topic
+    * balance report.
+    *
+    * Determinism: term counts are exact integers off the native
+    * TermCounts sketch; the score is scalar double arithmetic with a
+    * fixed operation order, fx'd (the [[embedKmeans]] assignment
+    * underneath is exact integer arithmetic already). Ties order by
+    * the term's 60-bit hash — replayed verbatim by the oracle.
+    *
+    * Scale: one corpus tokenize pass into a (cluster, term) aggregate
+    * with map-side partials (vocabulary×K on the wire, never corpus);
+    * cluster-df is vocabulary-sized; the per-cluster top-k is the
+    * bounded map-side [[graft.functions.expressions.TopKAgg]] heap
+    * keyed by term hash (a `row_number` window would sort a
+    * vocabulary-sized partition on ONE reducer per cluster at 1e8+
+    * terms), with the winning terms recovered by a (cluster, hash)
+    * join back — the scored relation is persisted across its two
+    * consumers (heap + join-back; the whole iterative Lloyd lineage
+    * sits beneath it).
+    */
+  def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.functions.TextFunctions.hash60
+    import graft.functions.expressions.TopKAgg.topK
+    val asg = finalAssign(spark, dir).select(col("vec_id").as("doc_id"), col("cluster"))
+    val tf = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(column(graft.functions.expressions.TermCounts(
+          expression(col("text"))))).as("e"))
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+    val ct = tf.join(asg.hint("shuffle_hash"), Seq("doc_id"))
+      .groupBy(col("cluster"), col("term")).agg(sum(col("tf")).as("ctf"))
+    val cdf = ct.groupBy(col("term")).agg(count(lit(1)).as("cdf"))
+    val scored = ct.join(cdf.hint("shuffle_hash"), Seq("term"))
+      .select(col("cluster"), col("term"),
+        fx(col("ctf").cast("double") * log(lit(KmeansK.toDouble) / col("cdf")))
+          .as("score"),
+        hash60(col("term")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = scored.groupBy(col("cluster"))
+      .agg(topK(col("score").cast("double"), col("h"), TopicsK).as("tk"))
+      .select(col("cluster"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("h"), col("e.score").cast("long").as("score"))
+    top.join(scored.select(col("cluster"), col("h"), col("term")).hint("shuffle_hash"),
+        Seq("cluster", "h"))
+      .select(col("cluster"), col("rank"), col("term"),
+        col("score").as("score", graft.plans.ScoreTag.metadata))
+      .orderBy(col("cluster"), col("rank"))
+  }
+
   /** Label-noise flags via neighborhood consensus (Confident-Learning
     * / Northcutt et al. 2021 shape; the deep-kNN mislabel filter of
     * training-data curation): a vector is flagged iff the majority
@@ -335,4 +396,33 @@ object Clustering {
        |  ((n*dist - s)*(n*dist - s) > 4*(n*q2 - s*s))::BIGINT AS is_outlier
        |FROM a2 JOIN st USING (cluster)
        |ORDER BY vec_id""".stripMargin
+
+  val clusterTopicsSql: String = {
+    import graft.functions.TextFunctions.{hash60Sql, tokensSql}
+    s"""WITH $kmeansCtesSql, asg AS (
+       |  SELECT vec_id AS doc_id, cluster FROM a2
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents)
+       |  GROUP BY 1, 2
+       |), ct AS (
+       |  SELECT cluster, term, SUM(tf)::BIGINT AS ctf
+       |  FROM tf JOIN asg USING (doc_id)
+       |  GROUP BY 1, 2
+       |), cdf AS (
+       |  SELECT term, COUNT(*)::BIGINT AS cdf FROM ct GROUP BY term
+       |), scored AS (
+       |  SELECT cluster, term,
+       |    ${fxSql(s"ctf::DOUBLE * ln($KmeansK::DOUBLE / cdf)")} AS score,
+       |    ${hash60Sql("term")} AS h
+       |  FROM ct JOIN cdf USING (term)
+       |), ranked AS (
+       |  SELECT cluster, term, score,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY score DESC, h) AS rank
+       |  FROM scored
+       |)
+       |SELECT cluster, CAST(rank AS BIGINT) AS rank, term, score
+       |FROM ranked WHERE rank <= $TopicsK
+       |ORDER BY cluster, rank""".stripMargin
+  }
 }

@@ -113,6 +113,33 @@ class ClusteringSpec extends GraftSuite {
       f == 0L && m == l && n == 5L && a >= 4L }.take(5)}")
   }
 
+  test("cluster_topics labels every populated cluster with descending in-cluster terms") {
+    val asg = Clustering.embedKmeans(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docTerms = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.replaceAll("[^a-z0-9 ]", "").split(" ").toSet)
+      .toMap
+    val rows = Clustering.clusterTopics(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byCluster = rows.groupBy(_._1)
+    assert(byCluster.keySet == asg.values.toSet, "one topic group per populated cluster")
+    byCluster.foreach { case (c, rs) =>
+      assert(rs.map(_._2).sorted.sameElements(1L to rs.length), s"ranks 1..k in cluster $c")
+      assert(rs.length == Clustering.TopicsK)
+      val ordered = rs.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b },
+        s"scores non-increasing in cluster $c")
+      // every reported term occurs in at least one of the cluster's docs
+      val members = asg.collect { case (id, cc) if cc == c => id }.toSet
+      rs.foreach { case (_, _, term, _) =>
+        assert(members.exists(id => docTerms(id).contains(term)),
+          s"term '$term' not found in cluster $c docs")
+      }
+    }
+  }
+
   test("embed_stats re-derives from a driver-side integer recount") {
     val s = Clustering.embedStats(spark, sf).head
     val embs = Tables.embeddings(spark, sf).collect()
