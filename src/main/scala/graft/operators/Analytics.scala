@@ -653,19 +653,21 @@ object Analytics {
     * per type, so only numPartitions*3 candidates per type ever reach
     * the final exchange and nothing users-sized is ever sorted. The
     * oracle replays the row_number formulation — same rows, opposite
-    * plan — and TopKAgg's DESC-score/ASC-id order matches the SQL's
-    * `ORDER BY n_events DESC, user_id` tie-break exactly.
+    * plan — and the long-scored TopKLongAgg's DESC-score/ASC-id order
+    * matches the SQL's `ORDER BY n_events DESC, user_id` tie-break
+    * BIT-exactly at any count magnitude (the double-scored TopKAgg
+    * would lose integer exactness above 2^53 per-(type,user) events).
     */
   def eventsTopn(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    import graft.functions.expressions.TopKAgg.topK
+    import graft.functions.expressions.TopKAgg.topKLong
     Tables.events(spark, dir)
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("event_type"))
-      .agg(topK(col("n").cast("double"), col("user_id"), n).as("tk"))
+      .agg(topKLong(col("n"), col("user_id"), n).as("tk"))
       .select(col("event_type"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as("user_id"), col("e.score").cast("long").as("n_events"))
+        col("e.id").as("user_id"), col("e.score").as("n_events"))
       .orderBy(col("event_type"), col("rank"))
   }
 
@@ -1002,9 +1004,14 @@ object Analytics {
     * those integers with a fixed operation order, so both engines
     * produce bit-identical doubles (the cross-engine float hazard is
     * aggregation-order jitter, absent here) and the fx'd value plus
-    * the ≥3.8415 (p<0.05) flag agree exactly. Everything after the
-    * two distinct aggregates operates on types×2-bounded relations;
-    * the one-row cohort-totals relation rides a broadcast.
+    * the ≥3.8415 (p<0.05) flag agree exactly. The z² numerator
+    * cross-product (x_a·n_b − x_b·n_a) is computed in DECIMAL(38,0)
+    * (HUGEINT in the oracle) BEFORE the double conversion — in plain
+    * BIGINT it would silently wrap once cohorts approach ~3e9 users
+    * (x·n ≈ 9.2e18) while DuckDB raised an overflow error, the same
+    * hazard class events_trend/q14 already guard against. Everything
+    * after the two distinct aggregates operates on types×2-bounded
+    * relations; the one-row cohort-totals relation rides a broadcast.
     */
   def eventsAb(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
@@ -1019,9 +1026,10 @@ object Analytics {
       .agg(sum(when(col("grp") === 0, 1L).otherwise(0L)).as("x_a"),
            sum(when(col("grp") === 1, 1L).otherwise(0L)).as("x_b"))
     val bigN = col("n_a") + col("n_b")
-    val dNum = ((col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast("double") *
-      (col("x_a") * col("n_b") - col("x_b") * col("n_a")).cast("double")) *
-      bigN.cast("double")
+    val dec = "decimal(38,0)"
+    val crossDiff = (col("x_a").cast(dec) * col("n_b").cast(dec) -
+      col("x_b").cast(dec) * col("n_a").cast(dec)).cast("double")
+    val dNum = (crossDiff * crossDiff) * bigN.cast("double")
     val dDen = col("n_a").cast("double") * col("n_b").cast("double") *
       (col("x_a") + col("x_b")).cast("double") *
       (bigN - col("x_a") - col("x_b")).cast("double")
@@ -1052,7 +1060,8 @@ object Analytics {
        |    CASE WHEN (n_a::DOUBLE * n_b::DOUBLE
        |               * (x_a + x_b)::DOUBLE
        |               * ((n_a + n_b) - x_a - x_b)::DOUBLE) > 0
-       |      THEN ((x_a * n_b - x_b * n_a)::DOUBLE * (x_a * n_b - x_b * n_a)::DOUBLE)
+       |      THEN ((x_a::HUGEINT * n_b - x_b::HUGEINT * n_a)::DOUBLE
+       |             * (x_a::HUGEINT * n_b - x_b::HUGEINT * n_a)::DOUBLE)
        |             * (n_a + n_b)::DOUBLE
        |           / (n_a::DOUBLE * n_b::DOUBLE * (x_a + x_b)::DOUBLE
        |              * ((n_a + n_b) - x_a - x_b)::DOUBLE)

@@ -231,7 +231,7 @@ object Clustering {
   def clusterTopics(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import graft.functions.TextFunctions.hash60
-    import graft.functions.expressions.TopKAgg.topK
+    import graft.functions.expressions.TopKAgg.topKLong
     val asg = finalAssign(spark, dir).select(col("vec_id").as("doc_id"), col("cluster"))
     val tf = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
@@ -248,11 +248,13 @@ object Clustering {
           .as("score"),
         hash60(col("term")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // long-scored heap: the fx'd score is a BIGINT — TopKLongAgg keeps
+    // ranking exact past 2^53 where a double score slot would round
     val top = scored.groupBy(col("cluster"))
-      .agg(topK(col("score").cast("double"), col("h"), TopicsK).as("tk"))
+      .agg(topKLong(col("score"), col("h"), TopicsK).as("tk"))
       .select(col("cluster"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("cluster"), (col("pos") + 1).cast("long").as("rank"),
-        col("e.id").as("h"), col("e.score").cast("long").as("score"))
+        col("e.id").as("h"), col("e.score").as("score"))
     top.join(scored.select(col("cluster"), col("h"), col("term")).hint("shuffle_hash"),
         Seq("cluster", "h"))
       .select(col("cluster"), col("rank"), col("term"),

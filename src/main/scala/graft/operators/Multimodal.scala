@@ -268,16 +268,39 @@ object Multimodal {
     * so near-identical images surface WITHOUT an all-pairs join. The
     * DuckDB oracle checks against the literal all-pairs form, proving
     * the banding loses nothing at the ≤3 radius.
+    *
+    * Natural corpora at small SF may hold NO two assets within
+    * Hamming≤3 — an empty==empty oracle match proves nothing — so the
+    * searched corpus is widened with PLANTED near-dup twins: every
+    * 10th image asset (doc_id % 30 = 0) contributes a copy (twin id
+    * = −doc_id−1, collision-free at any scale) whose first payload
+    * byte is bumped by +128 mod 256. One byte moving one cell mean
+    * flips at most a few aHash bits, so the twins land within the
+    * band radius and the banded path is exercised on TRUE positive
+    * pairs; the oracle replays the identical perturbation before its
+    * all-pairs join, keeping the compare exact and non-empty
+    * (MultimodalSpec additionally pins that planted (twin, original)
+    * pairs actually surface).
     */
   def phashNear(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "the 4x15-bit pigeonhole banding is exact only to Hamming 3")
-    val words = Tables.spread(spark,
+    val imgs = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    // planted twin: first byte +128 mod 256, rest unchanged
+    val b0 = conv(hex(expr("substring(payload, 1, 1)")), 16, 10).cast("long")
+    val twins = imgs
+      .filter(col("doc_id") % 30 === 0 && octet_length(col("payload")) > 0)
+      .select((col("doc_id") * -1 - 1).as("doc_id"),
+        concat(unhex(lpad(hex((b0 + 128) % 256), 2, "0")),
+          expr("substring(payload, 2, octet_length(payload) - 1)")).as("payload"))
+    val words = imgs.unionByName(twins)
       .select(col("doc_id"),
-        column(graft.functions.expressions.MediaAHash(
-          expression(assetCol))).as("ahash"))
+        column(graft.functions.expressions.MediaAHash(expression(
+          column(SynthMedia(expression(col("payload")),
+            expression(lit("image"))))))).as("ahash"))
       // parity with the all-pairs oracle: undecodable assets (-1)
       // never enter the pair search (two empties are not near-dups)
       .filter(col("ahash") =!= -1L)
@@ -290,10 +313,10 @@ object Multimodal {
   }
 
   /** DuckDB twin of [[phashNear]]: the all-pairs Hamming join the
-    * banding must reproduce exactly.
+    * banding must reproduce exactly, over the twin-widened corpus.
     */
   def phashNearSql(maxHamming: Int = 3): String =
-    s"""$phashHashedCtes
+    s"""${phashHashCtesFrom(phashNearImgCte)}
        |SELECT a.asset_id AS asset1, b.asset_id AS asset2,
        |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
        |FROM hashed a JOIN hashed b ON a.asset_id < b.asset_id
@@ -423,18 +446,44 @@ object Multimodal {
        |GROUP BY 1, 2
        |ORDER BY vf.asset_id""".stripMargin
 
-  /** Shared CTE block ending in `hashed(asset_id, ahash)` — the aHash
+  /** The image relation both phash twins hash: (asset_id, hex-payload
+    * h, byte length n). [[phashHashCtesFrom]] appends the aHash
     * arithmetic replayed from the synthesis formula (image payload =
     * the document's UTF-8 bytes; cell(j) = 60·j // n; integer means;
-    * bit i ⇔ cell mean > global mean). One extraction point for the
+    * bit i ⇔ cell mean > global mean) — one extraction point for the
     * [[phashDupSql]] / [[phashNearSql]] twins.
     */
-  private val phashHashedCtes: String =
+  private val phashImgCte: String =
     s"""WITH img AS (
        |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
        |    octet_length(encode(text))::BIGINT AS n
        |  FROM documents WHERE doc_id % 3 = 0
-       |), by AS (
+       |)""".stripMargin
+
+  /** [[phashNear]]'s twin-widened corpus: img plus, for every 10th
+    * image asset, a planted near-dup (id −asset−1, first byte +128
+    * mod 256) — the hex-string form of the Spark side's binary
+    * perturbation.
+    */
+  private val phashNearImgCte: String =
+    s"""WITH img0 AS (
+       |  SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+       |    octet_length(encode(text))::BIGINT AS n
+       |  FROM documents WHERE doc_id % 3 = 0
+       |), img AS (
+       |  SELECT * FROM img0
+       |  UNION ALL
+       |  SELECT -asset_id - 1,
+       |    concat(lpad(hex((('0x' || substr(h, 1, 2))::BIGINT + 128) % 256), 2, '0'),
+       |           substr(h, 3)), n
+       |  FROM img0 WHERE asset_id % 30 = 0 AND n > 0
+       |)""".stripMargin
+
+  /** Appends the aHash arithmetic to an img CTE block, ending in
+    * `hashed(asset_id, ahash)`.
+    */
+  private def phashHashCtesFrom(imgCte: String): String =
+    s"""$imgCte, by AS (
        |  SELECT asset_id, n, (60 * (j - 1)) // n AS cell,
        |    ('0x' || substr(h, 2 * (j - 1) + 1, 2))::BIGINT AS v
        |  FROM (SELECT asset_id, n, h, unnest(range(1, n + 1)) AS j FROM img)
@@ -452,7 +501,7 @@ object Multimodal {
 
   /** DuckDB twin of [[phashDup]]. */
   val phashDupSql: String =
-    s"""$phashHashedCtes
+    s"""${phashHashCtesFrom(phashImgCte)}
        |SELECT asset_id, ahash, n_copies
        |FROM hashed
        |JOIN (SELECT ahash, COUNT(*)::BIGINT AS n_copies FROM hashed GROUP BY 1)

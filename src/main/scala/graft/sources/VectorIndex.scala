@@ -467,8 +467,12 @@ object VectorIndex {
       // codes layouts carry no embedding column: report subspace count
       case "pq" | "ivfpq" => layout.columns.count(_.startsWith("code"))
       case _ =>
+        // head(1) not head(): a built-but-empty layout (zero rows,
+        // _SUCCESS present) must report dimension 0, not crash the
+        // observability path with NoSuchElementException.
         val vecCol = Seq("embedding", "emb").find(layout.columns.contains).get
-        layout.select(size(col(vecCol))).head.getInt(0)
+        layout.select(size(col(vecCol))).head(1).headOption
+          .map(_.getInt(0)).getOrElse(0)
     }
     val diskBytes = {
       def walk(f: java.io.File): Long =

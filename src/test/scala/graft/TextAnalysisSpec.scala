@@ -167,6 +167,31 @@ class TextAnalysisSpec extends GraftSuite {
     }
   }
 
+  test("phashNear surfaces the planted near-dup twins through the banded path") {
+    // phashNear widens the image corpus with planted twins (every 10th
+    // image asset, first byte +128 mod 256, twin id = -doc_id-1); the
+    // banded pair search must surface (twin, original) pairs — a
+    // NON-empty positive exercise of the Hamming-band expansion (the
+    // natural corpus holds no two assets within radius 3, so without
+    // the plants this operator's oracle would pass on 0 == 0 rows).
+    val rows = operators.Multimodal.phashNear(spark, sf).collect()
+    assert(rows.nonEmpty, "planted twins must produce at least one pair")
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3L))
+    // twin ids are negative, so a (twin, original) pair always orders
+    // twin-first: asset1 == -asset2 - 1
+    val planted = rows.filter(r =>
+      r.getAs[Long]("asset1") == -r.getAs[Long]("asset2") - 1L)
+    assert(planted.nonEmpty, "at least one (twin, original) pair must surface")
+    // a one-byte +128 bump moves one cell mean: the pair stays well
+    // inside the radius, typically hamming <= 2
+    planted.foreach { r =>
+      assert(r.getAs[Long]("hamming") <= 3L)
+    }
+    // the plants are the ONLY near-dups expected at this SF: every
+    // surfaced pair involves a twin (no spurious natural pair appears)
+    assert(rows.forall(r => r.getAs[Long]("asset1") < 0L))
+  }
+
   test("PCM energy: i16 LE decode, windowing, silence floor, corrupt safety") {
     import graft.functions.expressions.{PcmEnergy => E, SynthMedia => S}
     // a known two-sample payload: [1000, -1000] little-endian
