@@ -13,8 +13,20 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
+  /** Fact loaders route through the bucketed-store switch: when
+    * [[graft.sources.StoreLayout]] has a bucketed layout built from
+    * this dir registered (and the session hasn't pinned
+    * `spark.graft.store.bucketed=off`), the scan is the bucketed
+    * table — exchange-free under order-keyed joins/aggregates — and
+    * raw parquet otherwise. Same rows either way; only the physical
+    * layout differs.
+    */
+  private def fact(spark: SparkSession, dir: String, name: String): DataFrame =
+    sources.StoreLayout.bucketedOrNone(spark, dir, name)
+      .getOrElse(table(spark, dir, name))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = fact(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = fact(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")

@@ -1,18 +1,31 @@
 package graft
 
 /** Plan-hygiene sweep over the whole driver surface: no query may
-  * plan a CartesianProduct or a SortMergeJoin at the test scale —
-  * every join must broadcast (or hash-aggregate after a union) and
-  * every cross join must be an explicit broadcast. Keeps the scale
-  * claims in SURVEY §4 honest as operators evolve.
+  * plan a CartesianProduct, and a SortMergeJoin is allowed ONLY in
+  * its bucketed-store form — exchange-free and sort-free beneath,
+  * i.e. a merge join over pre-bucketed pre-sorted scans (the ideal
+  * fact-fact plan at 100 TB). A shuffling or sorting SMJ means a join
+  * silently fell off the broadcast/shuffle-hash/bucketed paths. Keeps
+  * the scale claims in SURVEY §4 honest as operators evolve.
   */
 class PlanHygieneSpec extends GraftSuite {
 
-  test("no query plans a cartesian product or sort-merge join") {
+  test("no query plans a cartesian product or a shuffling/sorting sort-merge join") {
+    import org.apache.spark.sql.execution.{SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def smjViolations(p: SparkPlan): Int = p.collect {
+      case smj: SortMergeJoinExec =>
+        smj.children.map(c => c.collect {
+          case _: ShuffleExchangeLike => 1
+          case _: SortExec => 1
+        }.sum).sum
+    }.sum
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
-      Seq("CartesianProduct", "SortMergeJoin").filter(plan.contains)
-        .map(op => s"$name: $op")
+      val exec = fn(spark, sf).queryExecution.executedPlan
+      val cart = if (exec.toString.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val smj = if (smjViolations(exec) > 0) Seq(s"$name: shuffling/sorting SortMergeJoin") else Nil
+      cart ++ smj
     }
     assert(offenders.isEmpty, s"plan hygiene violations:\n${offenders.mkString("\n")}")
   }

@@ -62,6 +62,60 @@ class StoreLayoutSpec extends GraftSuite {
     }
   }
 
+  test("the Tables switch serves the bucketed store: q5/q9/q21 drop their fact-fact exchanges, rows unchanged") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      sources.StoreLayout.ensureBucketedFacts(spark, sf)
+
+      def shuffles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case _: ShuffleExchangeLike => 1 }.sum
+      def rows(df: DataFrame): Seq[Seq[Any]] =
+        df.collect().toSeq.map(_.toSeq)
+
+      for ((name, q) <- Seq[(String, () => DataFrame)](
+          "q5"  -> (() => operators.Analytics.q5(spark, sf)),
+          "q9"  -> (() => operators.Analytics.q9(spark, sf)),
+          "q21" -> (() => operators.Analytics.q21(spark, sf)))) {
+        val bucketed = q() // switch is on: layout registered for sf
+        val raw = sources.StoreLayout.withRawStore(spark)(q())
+        // every order-keyed fact exchange is elided; ONLY the plans
+        // differ — never the rows
+        assert(shuffles(bucketed) < shuffles(raw),
+          s"$name bucketed=${shuffles(bucketed)} raw=${shuffles(raw)}:\n" +
+            bucketed.queryExecution.executedPlan)
+        assert(rows(bucketed) == rows(raw), s"$name rows must not change with layout")
+      }
+
+      // the headline claim, pinned exactly: bucketed lineitem ⋈ orders
+      // on the bucket key plans ZERO exchanges below the aggregate
+      val join = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      assert(shuffles(join) == 1, // the types-sized post-join aggregate only
+        s"bucketed fact-fact join must not shuffle:\n${join.queryExecution.executedPlan}")
+
+      // dir guard: a layout built from THIS dir is never served for
+      // another dir — the switch falls back to that dir's raw parquet
+      val other = "/root/testdata/sf0.01"
+      assert(sources.StoreLayout.bucketedOrNone(spark, other, "lineitem").isEmpty)
+
+      // conf pin: off disables the switch even with the layout present
+      sources.StoreLayout.withRawStore(spark) {
+        assert(sources.StoreLayout.bucketedOrNone(spark, sf, "lineitem").isEmpty)
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      sources.StoreLayout.dropBucketedFacts(spark)
+    }
+  }
+
   test("z-order layout prunes files for a non-lead-column box predicate; single-column sort cannot") {
     import org.apache.spark.sql.DataFrame
     val ev = Tables.events(spark, sf)
