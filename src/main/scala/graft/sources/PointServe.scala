@@ -607,4 +607,144 @@ object PointServe {
     }
     new Pq(spark, path, (rows.map(_._1), rows.map(_._2), maxGen), books)
   }
+
+  /** One resident graph node: vector + neighbor ids nearest-first. */
+  private type GraphNodes = java.util.HashMap[Long, (Array[Double], Array[Long])]
+
+  /** Graph point index — the serving twin of the reference's
+    * graph-traversal index (index.rs:95-260 greedy-searches an HNSW
+    * adjacency held in memory): an NSW-style best-first walk over the
+    * persisted [[VectorIndex.buildKnnGraphIndex]] neighbor lists.
+    *
+    * Query: seed the frontier with [[GraphEntryPoints]] deterministic
+    * entry nodes (lowest vec_ids — id order is stable across loads and
+    * refreshes), then repeatedly expand the best unexpanded candidate's
+    * neighbor list, keeping an `ef`-bounded result set; stop when the
+    * best frontier candidate cannot beat the current ef-th result (the
+    * standard HNSW layer-0 termination). Scores are the same fx4
+    * cosine (score DESC, vec_id ASC) contract as every other server,
+    * so [[mergeHits]] composes graph shards with LSH/IVF/PQ shards
+    * unchanged. Zero Spark jobs per query; recall floor vs brute force
+    * pinned in PointServeSpec.
+    *
+    * [[refresh]] folds generations appended by
+    * [[graft.streaming.EventStreams.knnGraphIndexStream]]: each new
+    * node lands with its own neighbor list AND is back-linked from its
+    * neighbors (reverse edges make the new node REACHABLE — its
+    * forward edges alone would leave it invisible to a walk that
+    * starts elsewhere; add_document in the reference mutates both
+    * directions for the same reason). Periodic
+    * [[VectorIndex.rebuildIfNeeded]] re-prunes the grown lists.
+    */
+  final class Graph private[PointServe] (
+      spark: SparkSession, path: String,
+      @volatile private var snap: (GraphNodes, Long, Array[Long])) {
+
+    def query(qv: Array[Double], k: Int = 5, ef: Int = 48,
+              excludeId: Long = -1L): Seq[Hit] = {
+      val (nodes, _, entries) = snap
+      if (nodes.isEmpty) return Seq.empty
+      val efx = math.max(ef, k)
+      // frontier: best-first by (score DESC, id ASC)
+      val frontierOrd = Ordering.by[(Long, Long), (Long, Long)](c => (c._2, -c._1))
+      val frontier = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](frontierOrd)
+      // results: ef-bounded, worst-first on top for O(log ef) eviction
+      val worstOrd = Ordering.by[(Long, Long), (Long, Long)](c => (-c._2, c._1))
+      val results = scala.collection.mutable.PriorityQueue.empty[(Long, Long)](worstOrd)
+      val visited = new java.util.HashSet[java.lang.Long]()
+      def push(id: Long): Unit = if (visited.add(id)) {
+        val node = nodes.get(id)
+        if (node != null) {
+          val s = fx4(cosine(node._1, qv))
+          frontier.enqueue((id, s))
+          results.enqueue((id, s))
+          if (results.size > efx + 1) results.dequeue() // +1 absorbs a possible excludeId
+        }
+      }
+      entries.foreach(push)
+      while (frontier.nonEmpty) {
+        val (cid, cscore) = frontier.dequeue()
+        // termination: the best unexpanded candidate cannot improve a
+        // FULL result set (score asc, id desc on worst-top)
+        val full = results.size > efx
+        if (full) {
+          val (wid, wscore) = results.head
+          if (cscore < wscore || (cscore == wscore && cid > wid)) {
+            frontier.clear()
+          } else nodes.get(cid)._2.foreach(push)
+        } else nodes.get(cid)._2.foreach(push)
+      }
+      topK(results.iterator.filter(_._1 != excludeId), k)
+    }
+
+    /** Fold generations appended since load/last refresh; new nodes
+      * are inserted with their lists and back-linked from each listed
+      * neighbor. Returns rows picked up.
+      */
+    def refresh(): Int = {
+      val (nodes, maxGen, _) = snap
+      val delta = PointServe.readGraphRows(spark, path, Some(maxGen))
+      if (delta.isEmpty) 0
+      else {
+        val next = new GraphNodes(nodes)
+        delta.foreach { case (id, emb, nbrs, _) =>
+          next.put(id, (emb, nbrs))
+          nbrs.foreach { nb =>
+            val t = next.get(nb)
+            if (t != null && !t._2.contains(id)) next.put(nb, (t._1, t._2 :+ id))
+          }
+        }
+        snap = (next, delta.iterator.map(_._4).max max maxGen,
+          PointServe.entryPoints(next))
+        delta.length
+      }
+    }
+
+    def size: Int = snap._1.size()
+  }
+
+  /** Deterministic entry-point count for the greedy walk; several
+    * seeds cover disconnected components of the banded build.
+    */
+  val GraphEntryPoints = 8
+
+  private def entryPoints(nodes: GraphNodes): Array[Long] = {
+    val ids = new Array[Long](nodes.size())
+    var i = 0
+    val it = nodes.keySet().iterator()
+    while (it.hasNext) { ids(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(ids)
+    ids.take(GraphEntryPoints)
+  }
+
+  /** (vec_id, emb, neighbors, gen) rows, optionally only beyond a
+    * generation — same footer-stat-pruned delta contract as
+    * [[readLshRows]].
+    */
+  private def readGraphRows(spark: SparkSession, path: String,
+                            afterGen: Option[Long])
+      : Array[(Long, Array[Double], Array[Long], Long)] = {
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("vec_id"),
+      col("embedding").cast("array<double>"), col("neighbors"), genCol.as("gen"))
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getSeq[Long](2).toArray, r.getLong(3)))
+  }
+
+  /** Load the graph layout into memory (builds it first if absent).
+    * One Spark job here; zero afterwards.
+    */
+  def loadGraph(spark: SparkSession, dir: String): Graph =
+    loadGraphFrom(spark, VectorIndex.knnGraphIndexReady(spark, dir))
+
+  /** [[loadGraph]] over an explicit layout path. */
+  def loadGraphFrom(spark: SparkSession, path: String): Graph = {
+    val rows = readGraphRows(spark, path, None)
+    val nodes = new GraphNodes()
+    rows.foreach { case (id, emb, nbrs, _) => nodes.put(id, (emb, nbrs)) }
+    val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
+    new Graph(spark, path, (nodes, maxGen, entryPoints(nodes)))
+  }
 }

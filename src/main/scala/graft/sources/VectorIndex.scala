@@ -641,6 +641,54 @@ object VectorIndex {
     path
   }
 
+  /** Build (or rebuild) the kNN-GRAPH layout — the persisted form of
+    * [[VectorSearch.annKnnGraph]]'s neighbor lists, one row per
+    * vector: (vec_id, embedding, neighbors array<long> nearest-first,
+    * gen). This is the on-disk shape of the reference's graph index
+    * (index.rs:95-260 builds an HNSW adjacency and mmaps it back):
+    * [[PointServe.Graph]] loads it for zero-Spark-job greedy search,
+    * and [[graft.streaming.EventStreams.knnGraphIndexStream]] appends
+    * generation-keyed rows for new vectors. Vectors the banded build
+    * found no neighbors for (isolated buckets) keep an empty list —
+    * still resident and servable as entry-point seeds.
+    *
+    * The stored lists are UNDIRECTED-ized (forward kNN edges ∪
+    * reverse edges, nearest-first, deduped) — the NSW construction:
+    * a directed kNN digraph strands low-in-degree nodes and caps
+    * greedy recall; adding each edge's reverse makes every node
+    * reachable from its neighbors and lifts the walk's recall floor.
+    * Degree is 2k worst-case, k=10 by default (denser than the batch
+    * operator's k=5 display graph — graph degree IS the serving
+    * recall/memory knob, the reference's `m` parameter).
+    */
+  def buildKnnGraphIndex(spark: SparkSession, dir: String, path: String,
+                         k: Int = 2 * VectorSearch.KnnGraphK): Unit = {
+    val graph = VectorSearch.annKnnGraph(spark, dir, k)
+    val fwd = graph.select(col("vec_id"), col("rank"), col("neighbor_id"))
+    val rev = graph.select(col("neighbor_id").as("vec_id"),
+      (col("rank") + k).as("rank"), col("vec_id").as("neighbor_id"))
+    val adj = fwd.unionByName(rev)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
+        .as("ranked"))
+      .select(col("vec_id"),
+        expr("array_distinct(transform(ranked, e -> e.neighbor_id))")
+          .as("neighbors"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .join(adj.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .withColumn("neighbors",
+        coalesce(col("neighbors"), expr("array()").cast("array<bigint>")))
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def knnGraphIndexReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "graph")
+    buildIfMissing(path, Seq(""))(buildKnnGraphIndex(spark, dir, _))
+    path
+  }
+
   /** Driver entry: build-if-missing (rebuild_index), then serve. */
   def annPqIndexed(spark: SparkSession, dir: String, qid: Long = 0,
                    k: Int = 20): DataFrame =

@@ -360,6 +360,58 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintenance of the persisted kNN-GRAPH layout — the
+    * last rebuild-only layout gains the generation-keyed upkeep path
+    * every other index has. Each micro-batch's vectors get their
+    * neighbor lists computed INCREMENTALLY (reference query.rs
+    * add_document: search the existing index for the new point's
+    * neighbors, never rebuild) via
+    * [[graft.operators.VectorSearch.knnForProbes]]: resident layout ∪
+    * batch as candidates, batch as probes — bucket-blocked with the
+    * same plane family and salt subdivision as the base build, so a
+    * batch appends in O(batch × bucket) work at any corpus size, and
+    * batch vectors can neighbor each other (two clones arriving
+    * together find one another). Rows land as (vec_id, embedding,
+    * neighbors, gen); [[graft.sources.PointServe.Graph.refresh]]
+    * folds them in and back-links reverse edges resident-side. Same
+    * effectively-once generation contract as [[indexStream]].
+    */
+  def knnGraphIndexStream(vecs: DataFrame, path: String,
+                          baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        import graft.operators.VectorSearch
+        if (!generationPresent(spark.read.parquet(path), gen)) {
+          val newVecs = batch
+            .select(col("vec_id"), col("embedding"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val asEmb = newVecs
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+            val cands = spark.read.parquet(path)
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+              .unionByName(asEmb)
+            val probes = asEmb.select(col("vec_id").as("query_id"), col("emb").as("qv"))
+            val adj = VectorSearch.knnForProbes(cands, probes)
+              .groupBy(col("query_id"))
+              .agg(sort_array(collect_list(struct(col("rank"), col("vec_id"))))
+                .as("ranked"))
+              .select(col("query_id").as("vec_id"),
+                expr("transform(ranked, e -> e.vec_id)").as("neighbors"))
+            newVecs
+              .join(adj.hint("shuffle_hash"), Seq("vec_id"), "left")
+              .withColumn("neighbors",
+                coalesce(col("neighbors"), expr("array()").cast("array<bigint>")))
+              .withColumn("gen", lit(gen))
+              .write.mode("append").parquet(path)
+          } finally newVecs.unpersist()
+        }
+      }
+      .start()
+
   def vectorIndexStream(vecs: DataFrame, path: String,
                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream

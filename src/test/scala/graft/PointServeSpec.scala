@@ -162,6 +162,79 @@ class PointServeSpec extends GraftSuite {
     }
   }
 
+  test("graph serve: NSW greedy walk holds the recall floor with zero Spark jobs") {
+    val g = PointServe.loadGraph(spark, sf)   // load/build cost: jobs OK here
+    assert(g.size == queryVecs.size, "every corpus vector must be resident")
+    // exact brute-force top-10 per query under the SAME (fx4 cosine
+    // DESC, id ASC) contract — the recall oracle
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val qids = (0L until 16L).toSeq
+    val recalls = qids.map { qid =>
+      val qv = queryVecs(qid)
+      val exact = queryVecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, fx4(cosine(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val served = g.query(qv, k = k, excludeId = qid).map(_.vecId).toSet
+      assert(served.size == k)
+      exact.intersect(served).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, f"graph recall@$k $mean%.2f below floor (per-query: $recalls)")
+
+    // zero Spark jobs per query — the serving-tier contract
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      g.query(queryVecs(0L), k = 5, excludeId = 0L) // warm JIT
+      val t0 = System.nanoTime()
+      val n = 200
+      (0 until n).foreach(i => g.query(queryVecs((i % 8).toLong), k = 5))
+      val perQueryMs = (System.nanoTime() - t0) / 1e6 / n
+      Thread.sleep(1000)
+      assert(jobs.get() == 0, "a graph point query must not launch Spark jobs")
+      assert(perQueryMs < 50.0, f"per-query $perQueryMs%.2f ms")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("graph serve refresh folds appended generations and back-links them reachable") {
+    // private layout copy so the shared build is untouched
+    val base = VectorIndex.knnGraphIndexReady(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graph_refresh").toString + "/graph"
+    spark.read.parquet(base).write.parquet(path)
+    val g = PointServe.loadGraphFrom(spark, path)
+    val before = g.size
+    val maxId = queryVecs.keys.max
+    // append a gen-1 clone of vec 7: identical embedding → cosine 1.0
+    // for query 7, so once refreshed it MUST serve at the top
+    import spark.implicits._
+    val nbrs = g.query(queryVecs(7L), k = 5).map(_.vecId)
+    Seq((maxId + 1, queryVecs(7L).toSeq, nbrs, 1L))
+      .toDF("vec_id", "emb", "neighbors", "gen")
+      .select(col("vec_id"),
+        col("emb").cast(Tables.embeddings(spark, sf).schema("embedding").dataType)
+          .as("embedding"),
+        col("neighbors"), col("gen"))
+      .write.mode("append").parquet(path)
+    assert(g.refresh() == 1 && g.size == before + 1)
+    val served = g.query(queryVecs(7L), k = 5, excludeId = 7L)
+    assert(served.head.vecId == maxId + 1,
+      s"refreshed clone must serve first: $served")
+    // idempotent: nothing new to fold
+    assert(g.refresh() == 0)
+  }
+
   test("point queries launch zero Spark jobs and beat the batch scheduling floor") {
     val lsh = PointServe.loadLsh(spark, sf)   // load cost: Spark jobs OK here
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)

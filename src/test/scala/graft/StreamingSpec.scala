@@ -239,6 +239,46 @@ class StreamingSpec extends GraftSuite {
       "replayed batch appended duplicate vectors")
   }
 
+  test("streamed vectors become servable through incremental kNN-graph maintenance") {
+    import graft.sources.{PointServe, VectorIndex}
+    val idxPath = java.nio.file.Files.createTempDirectory("gidx_stream").toString + "/graph"
+    VectorIndex.buildKnnGraphIndex(spark, sf, idxPath)
+    val maxId = Tables.embeddings(spark, sf).agg(max(col("vec_id"))).head.getLong(0)
+    // a clone of vec 0's embedding: its incremental neighbor list is
+    // computed against the EXISTING layout (bucket-blocked — vec 0's
+    // own bucket necessarily contains it at radius 0), and the serve
+    // refresh back-links it, so query 0 must serve it at rank 1
+    val stageDir = java.nio.file.Files.createTempDirectory("gvecs_stream")
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val g = PointServe.loadGraphFrom(spark, idxPath)
+    val q = EventStreams.knnGraphIndexStream(newStream(), idxPath)
+    q.processAllAvailable(); q.stop()
+    // the appended row carries a non-empty neighbor list pointing into
+    // the existing graph
+    val appended = spark.read.parquet(idxPath).filter(col("gen") > 0).collect()
+    assert(appended.map(_.getAs[Long]("vec_id")).toSeq == Seq(maxId + 1))
+    assert(appended.head.getAs[scala.collection.Seq[Long]]("neighbors").nonEmpty,
+      "incremental neighbor list must not be empty")
+    assert(g.refresh() == 1)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val served = g.query(qv, k = 5, excludeId = 0L)
+    assert(served.head.vecId == maxId + 1,
+      s"streamed vector not served first: $served")
+    // replay safety: a restarted stream re-delivers batch 0; the
+    // generation check must skip it, leaving the layout file-identical
+    val nRows = spark.read.parquet(idxPath).count()
+    val q2 = EventStreams.knnGraphIndexStream(newStream(), idxPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(idxPath).count() == nRows,
+      "replayed batch appended duplicate graph rows")
+  }
+
   test("streamed vectors become searchable through incremental IVF index maintenance") {
     import graft.sources.VectorIndex
     val idxPath = java.nio.file.Files.createTempDirectory("ivfidx_stream").toString + "/ivf"
