@@ -406,63 +406,72 @@ object Bm25 {
     * order). Expansion selection is integer feedback mass with a
     * (wfb DESC, term) total order.
     *
-    * Scale shape: the corpus is tokenized ONCE (the stage-1 plan is
-    * analyzed-plan-identical to [[searchDocs]]'s persisted `toks`, so
-    * the cache manager serves every later scan from the same
-    * InMemoryRelation); expansion terms are mined from ONLY the
-    * [[PrfDocs]] feedback documents — the broadcast id join runs
-    * BEFORE the explode, so that aggregate sees 10 documents, not the
-    * corpus, and its result is a bounded literal (≤ [[PrfTerms]]
-    * rows, the eval-shingle-collect class — never a data-sized pull);
-    * the re-score is then the exact [[searchDocs]] shape over the ≤13
-    * expanded terms: one zero-shuffle [[graft.functions.expressions
-    * .TokenTfs]] sketch column, per-term df inside the SAME single
-    * stats aggregate, contributions fx-quantized per term before the
-    * integer weighted sum, TakeOrdered. No corpus-sized shuffle
-    * anywhere — the earlier posting-join form paid the
-    * (doc, dl, term) aggregate shuffle three times.
+    * Scale shape — ONE plan, no driver round-trips: the corpus is
+    * term-counted in one [[graft.functions.expressions.TermCounts]]
+    * pass (persisted — stats, expansion and scoring consume it);
+    * expansion terms are mined from ONLY the [[PrfDocs]] feedback
+    * documents (the broadcast id join runs BEFORE the aggregate, so
+    * it sees 10 documents, not the corpus) and stay a RELATION — a
+    * ≤[[PrfTerms]]-row TakeOrdered subquery ranked by a trivial
+    * window, broadcast-joined into the scoring pass rather than
+    * collected to the driver (the earlier form's mid-plan collect
+    * cost two extra jobs per query — the interactive latency floor).
+    * Per-term df and the corpus stats are bounded aggregates riding
+    * broadcasts; per-(doc, term) contributions are fx-quantized to
+    * integers BEFORE the order-independent per-doc sum; TakeOrdered
+    * finishes. No corpus-sized shuffle anywhere: the only exchanges
+    * carry ≤terms rows, one stats row, and the doc-keyed integer sum.
     */
   def prfSearch(spark: SparkSession, dir: String,
                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val orig = tokenizeQuery(query)
     if (orig.isEmpty)
       return docs.select(col("doc_id"), lit(0L).as("score", ScoreTag.metadata)).filter(lit(false))
     val fbIds = searchDocs(spark, docs, query, PrfDocs).select(col("doc_id"))
-    val toks = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val expansion = toks.join(broadcast(fbIds), Seq("doc_id"))
-      .select(explode(col("toks")).as("term"))
-      .filter(!col("term").isin(orig: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("wfb"))
-      .orderBy(col("wfb").desc, col("term")).limit(PrfTerms)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => (r.getString(0), (PrfTerms - i).toLong) }
-    val weighted: Seq[(String, Long)] =
-      orig.map(t => (t, PrfOrigWeight)) ++ expansion
-    val terms = weighted.map(_._1)
-    val counts = toks.select(col("doc_id"),
-      column(graft.functions.expressions.TokenTfs(
-        expression(col("toks")), terms)).as("c"))
-    val dl = col("c").getItem(0)
-    val aggExprs = count(lit(1)).as("n_docs") +: avg(dl).as("avgdl") +:
-      terms.indices.map(j =>
-        sum((col("c").getItem(j + 1) > 0).cast("long")).cast("double").as(s"df$j"))
-    val stats = counts.agg(aggExprs.head, aggExprs.tail: _*)
-    val termContribs = weighted.zipWithIndex.map { case ((_, w), j) =>
-      val tf = col("c").getItem(j + 1).cast("double")
-      val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
-      val tfPart = (tf * lit(K1 + 1.0)) /
-        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (dl.cast("double") / col("avgdl"))))
-      lit(w) * fx(idf * tfPart, 6)
-    }
-    counts
-      .filter(terms.indices.map(j => col("c").getItem(j + 1)).reduce(_ + _) > 0)
-      .crossJoin(broadcast(stats))
+    // one corpus pass: per-doc (dl, [(term, tf)]) — three consumers
+    val tc = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
-        termContribs.reduce(_ + _).as("score", ScoreTag.metadata))
+        column(graft.functions.expressions.TermCounts(
+          expression(col("text")))).as("tc"))
+      .select(col("doc_id"),
+        expr("aggregate(tc, 0L, (a, e) -> a + e.tf)").as("dl"), col("tc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = tc
+      .select(col("doc_id"), col("dl"), explode(col("tc")).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
+    // expansion relation: top-PrfTerms feedback terms by integer mass
+    // (wfb DESC, term), weight PrfTerms..1 — the 8-row window is over
+    // an already-LIMITed relation, never data-sized
+    val expansion = exploded.join(broadcast(fbIds), Seq("doc_id"))
+      .filter(!col("term").isin(orig: _*))
+      .groupBy(col("term")).agg(sum(col("tf")).as("wfb"))
+      .orderBy(col("wfb").desc, col("term")).limit(PrfTerms)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("wfb").desc, col("term"))))
+      .select(col("term"), (lit(PrfTerms + 1L) - col("rank")).cast("long").as("w"))
+    val termRel = orig.map(t => (t, PrfOrigWeight)).toDF("term", "w")
+      .unionByName(expansion)
+    // corpus stats (ALL docs — zero-token docs still count) + per-term
+    // df over the matched posting rows; both bounded, both broadcast
+    val stats = tc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val matched = exploded.join(broadcast(termRel), Seq("term"))
+    val dfRel = matched.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val tf = col("tf").cast("double")
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val tfPart = (tf * lit(K1 + 1.0)) /
+      (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    matched
+      .join(broadcast(dfRel), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (col("w") * fx(idf * tfPart, 6)).as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }

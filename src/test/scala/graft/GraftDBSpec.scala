@@ -89,8 +89,19 @@ class GraftDBSpec extends GraftSuite {
     val orig = store.filter(col("doc_id") =!= 42L)
       .orderBy("doc_id").collect().map(_.toSeq)
     assert(untouched.sameElements(orig))
-    // the reference accepts an empty filter map: everything, up to limit
+    // the reference accepts an empty filter map: everything, up to
+    // limit — the AND{} = true identity end-to-end (the regression a
+    // prior review caught: an empty conjunction must never plan an
+    // empty reduce or a false literal)
     assert(db.searchByMetadata(Map.empty, 10).count() == 10)
+    // the same identity through EVERY facade path that compiles a
+    // FilterExpr: delete-by-empty-AND means "delete everything" (the
+    // complement relation is empty), and OR{} = false means
+    // delete-by-empty-OR deletes NOTHING
+    import operators.Filtering.{AndF, OrF}
+    assert(db.deleteByFilter(AndF(Seq.empty)).count() == 0)
+    assert(db.deleteByFilter(OrF(Seq.empty)).count() ==
+      Tables.documents(spark, sf).count())
     // a duplicated doc_id in the update batch must not fan out store
     // rows; the survivor is deterministic (meta-value order)
     val dup = spark.createDataFrame(Seq(
