@@ -481,6 +481,13 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def pointServePq(): graft.sources.PointServe.Pq =
     graft.sources.PointServe.loadPq(spark, dir)
 
+  /** The graph-traversal server (index.rs:95-260 family): NSW greedy
+    * walk over the persisted kNN-graph layout, zero Spark jobs per
+    * query, recall floor spec-pinned vs brute force.
+    */
+  def pointServeGraph(): graft.sources.PointServe.Graph =
+    graft.sources.PointServe.loadGraph(spark, dir)
+
   /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
     * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries
     * from RAM, zero Spark jobs each, bit-identical to the batch twins.

@@ -40,7 +40,13 @@ object Tables {
     * here pins spark.sql.session.timeZone=UTC, so the NTZ cast is
     * epoch-exact).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String): DataFrame =
+    // bucketed-store switch first: the stored table was built through
+    // [[eventsRaw]], so its ts is already normalized TimestampType
+    sources.StoreLayout.bucketedOrNone(spark, dir, "events")
+      .getOrElse(eventsRaw(spark, dir))
+
+  private[graft] def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {

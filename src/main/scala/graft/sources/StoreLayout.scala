@@ -47,10 +47,18 @@ object StoreLayout {
 
   val DefaultBuckets = 32
 
-  /** fact name → (catalog table, bucket column). */
-  private val facts: Map[String, (String, String)] = Map(
-    "lineitem" -> (("graft_lineitem_bkt", "l_orderkey")),
-    "orders"   -> (("graft_orders_bkt", "o_orderkey")))
+  /** fact name → (catalog table, bucket column, in-file sort columns).
+    * lineitem/orders bucket on the order key — the fact-fact join key;
+    * events buckets on user_id with a (user_id, ts, event_id) in-file
+    * sort: every per-user window (sessionize, as-of, funnel, markov,
+    * retention cohorts) requires exactly that distribution+ordering,
+    * so the bucketed scan feeds WindowExec with no exchange — the
+    * dominant shuffle of the whole events family at scale.
+    */
+  private val facts: Map[String, (String, String, Seq[String])] = Map(
+    "lineitem" -> (("graft_lineitem_bkt", "l_orderkey", Seq("l_orderkey"))),
+    "orders"   -> (("graft_orders_bkt", "o_orderkey", Seq("o_orderkey"))),
+    "events"   -> (("graft_events_bkt", "user_id", Seq("user_id", "ts", "event_id"))))
 
   /** catalog table → source dir, memoized (the catalog round-trip is
     * paid once per JVM per table; ensure() updates it directly).
@@ -75,7 +83,7 @@ object StoreLayout {
     */
   def ensureBucketedFacts(spark: SparkSession, dir: String,
                           buckets: Int = DefaultBuckets): Unit = synchronized {
-    facts.foreach { case (fact, (tbl, key)) =>
+    facts.foreach { case (fact, (tbl, key, sortCols)) =>
       if (!registeredDir(spark, tbl).contains(dir)) {
         // a prior JVM's in-memory catalog died but its managed files
         // survived in the warehouse — saveAsTable refuses to CREATE
@@ -96,12 +104,19 @@ object StoreLayout {
         // repartition and bucketing share the same murmur3-pmod hash,
         // so each bucket gets exactly ONE file — required for the scan
         // to report its sortBy ordering (multi-file buckets forfeit
-        // it), which is what keeps the downstream merge join sort-free
-        spark.read.parquet(s"$dir/$fact.parquet")
+        // it), which is what keeps the downstream merge join sort-free.
+        // events goes through the normalizing raw loader so the stored
+        // ts column is already epoch-exact TimestampType — the switch
+        // then serves it without re-normalizing.
+        val src =
+          if (fact == "events") graft.Tables.eventsRaw(spark, dir)
+          else spark.read.parquet(s"$dir/$fact.parquet")
+        src
           .repartition(buckets, org.apache.spark.sql.functions.col(key))
           .write
           .mode("overwrite")
-          .bucketBy(buckets, key).sortBy(key)
+          .bucketBy(buckets, key)
+          .sortBy(sortCols.head, sortCols.tail: _*)
           .saveAsTable(tbl)
         spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('$DirProp' = '$dir')")
         builtFor(tbl) = dir
@@ -111,7 +126,7 @@ object StoreLayout {
 
   /** Drop the bucketed layout (test hygiene / layout migration). */
   def dropBucketedFacts(spark: SparkSession): Unit = synchronized {
-    facts.values.foreach { case (tbl, _) =>
+    facts.values.foreach { case (tbl, _, _) =>
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       builtFor.remove(tbl)
     }
@@ -122,7 +137,7 @@ object StoreLayout {
     * store off.
     */
   def bucketedOrNone(spark: SparkSession, dir: String, fact: String): Option[DataFrame] =
-    facts.get(fact).flatMap { case (tbl, _) =>
+    facts.get(fact).flatMap { case (tbl, _, _) =>
       if (spark.conf.get(ConfKey, "auto") == "off") None
       else if (registeredDir(spark, tbl).contains(dir)) Some(spark.table(tbl))
       else None

@@ -499,7 +499,11 @@ object VectorIndex {
       ("lsh", Seq(""), buildLshIndex(spark, dir, _)),
       ("ivf", Seq("_centroids", ""), buildIvfIndex(spark, dir, _)),
       ("pq", Seq("_books", ""), buildPqIndex(spark, dir, _)),
-      ("ivfpq", Seq("_centroids", "_books", ""), buildIvfPqIndex(spark, dir, _)))
+      ("ivfpq", Seq("_centroids", "_books", ""), buildIvfPqIndex(spark, dir, _)),
+      // graph debt matters doubly: appended nodes carry un-pruned
+      // reverse-edge growth in the served snapshot; a rebuild restores
+      // the nearest-first 2k-degree invariant
+      ("graph", Seq(""), buildKnnGraphIndex(spark, dir, _)))
     kinds.collect {
       case (kind, sfx, build)
         if exists(spark, indexPath(dir, kind)) &&

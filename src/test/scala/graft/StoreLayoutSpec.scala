@@ -36,8 +36,11 @@ class StoreLayoutSpec extends GraftSuite {
 
       val bucketed = revenueByPriority(
         spark.table("li_bucketed"), spark.table("ord_bucketed"))
-      val raw = revenueByPriority(
-        Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+      // pin the store switch off: another suite may have registered
+      // the graft_*_bkt layout for sf, and this test's raw side must
+      // be genuinely raw for the shuffle-count contrast to hold
+      val raw = sources.StoreLayout.withRawStore(spark)(revenueByPriority(
+        Tables.lineitem(spark, sf), Tables.orders(spark, sf)))
 
       // identical results either way (sorted here, not in the plan —
       // a global orderBy would add a range Exchange to both counts)
@@ -80,7 +83,10 @@ class StoreLayoutSpec extends GraftSuite {
       for ((name, q) <- Seq[(String, () => DataFrame)](
           "q5"  -> (() => operators.Analytics.q5(spark, sf)),
           "q9"  -> (() => operators.Analytics.q9(spark, sf)),
-          "q21" -> (() => operators.Analytics.q21(spark, sf)))) {
+          "q21" -> (() => operators.Analytics.q21(spark, sf)),
+          // the per-user window family: bucketed events feed WindowExec
+          // with no exchange (user_id distribution + in-file sort)
+          "events_session" -> (() => operators.Analytics.eventsSession(spark, sf)))) {
         val bucketed = q() // switch is on: layout registered for sf
         val raw = sources.StoreLayout.withRawStore(spark)(q())
         // every order-keyed fact exchange is elided; ONLY the plans
