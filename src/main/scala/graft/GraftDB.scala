@@ -488,6 +488,12 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def pointServeGraph(): graft.sources.PointServe.Graph =
     graft.sources.PointServe.loadGraph(spark, dir)
 
+  /** The billion-scale serving shape: per-cell PQ codes resident,
+    * coarse/fine probe + ADC + pluggable exact rescore.
+    */
+  def pointServeIvfPq(): graft.sources.PointServe.IvfPq =
+    graft.sources.PointServe.loadIvfPq(spark, dir)
+
   /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
     * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries
     * from RAM, zero Spark jobs each, bit-identical to the batch twins.

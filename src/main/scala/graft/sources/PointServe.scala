@@ -387,6 +387,132 @@ object PointServe {
       .map(r => (r.getLong(0), Array.tabulate(PqM)(m => r.getInt(m + 2)), r.getLong(1)))
   }
 
+  /** IVF-PQ point index — the billion-scale serving shape (FAISS's
+    * IndexIVFPQ; the reference's quantized index family): per-cell PQ
+    * CODES resident (~10 bytes/vector), fine/coarse centroid tables
+    * and the codebook alongside — no vectors. Query mirrors
+    * [[VectorIndex.annIvfPqFromIndex]] loop-for-loop: coarse probe →
+    * nprobe fine cells by (L2, cid) → per-query ADC table → fx4 ADC
+    * ranking over ONLY the probed cells' codes → exact-L2 rescore
+    * through `vectorLookup` when provided (bit-identical to the batch
+    * twin), ADC ranking as-is otherwise. [[refresh]] folds cell-keyed
+    * generations appended by
+    * [[graft.streaming.EventStreams.ivfPqIndexStream]].
+    */
+  final class IvfPq private[PointServe] (
+      spark: SparkSession, path: String,
+      @volatile private var snap: (java.util.HashMap[Int, Array[(Long, Array[Int])]], Long),
+      fine: Array[(Long, Array[Double], Long)], // (cid, cemb, ccid)
+      books: Array[Array[Array[Double]]],       // m -> cid -> subvector
+      stride: Int) {
+
+    import VectorSearch.{PqM, PqSubDim}
+
+    def query(qv: Array[Double], k: Int = 10, excludeId: Long = -1L,
+              nprobe: Int = VectorSearch.IvfNprobe,
+              coarseK: Int = VectorSearch.PqCoarseK,
+              vectorLookup: Long => Option[Array[Double]] = _ => None): Seq[Hit] = {
+      val cells = snap._1
+      val coarseMod = stride.toLong * VectorSearch.IvfCoarse
+      val qcoarse = fine.iterator.filter(_._1 % coarseMod == 0)
+        .map { case (cid, cemb, _) => (cid, l2Sq(cemb, qv, 0, math.min(cemb.length, qv.length), 0)) }
+        .toSeq.sortBy { case (cid, d) => (d, cid) }
+        .take(VectorSearch.IvfProbeCoarse).map(_._1).toSet
+      val probeCells = fine.iterator.filter(f => qcoarse.contains(f._3))
+        .map { case (cid, cemb, _) => (cid, l2Sq(cemb, qv, 0, math.min(cemb.length, qv.length), 0)) }
+        .toSeq.sortBy { case (cid, d) => (d, cid) }
+        .take(nprobe).map(_._1.toInt)
+      val adc = Array.tabulate(PqM, books(0).length) { (m, c) =>
+        l2Sq(qv, books(m)(c), m * PqSubDim, PqSubDim, 0)
+      }
+      val coarse = topK(
+        probeCells.iterator.flatMap { c =>
+          val members = cells.get(c)
+          if (members == null) Iterator.empty
+          else members.iterator.filter(_._1 != excludeId).map { case (id, code) =>
+            var dist = 0.0
+            var m = 0
+            while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
+            (id, fx4(dist))
+          }
+        }, coarseK, ascending = true)
+      val rescored = coarse.flatMap(h => vectorLookup(h.vecId).map(emb =>
+        (h.vecId, fx4(l2Sq(emb, qv, 0, math.min(emb.length, qv.length), 0)))))
+      if (rescored.isEmpty) coarse.take(k).zipWithIndex.map {
+        case (h, i) => Hit(i + 1, h.vecId, h.score)
+      }
+      else topK(rescored.iterator, k, ascending = true)
+    }
+
+    /** Fold cell-keyed code generations appended since load/last
+      * refresh; returns rows added.
+      */
+    def refresh(): Int = {
+      val (cells, maxGen) = snap
+      val delta = PointServe.readIvfPqRows(spark, path, Some(maxGen))
+      if (delta.isEmpty) 0
+      else {
+        val next = new java.util.HashMap[Int, Array[(Long, Array[Int])]](cells)
+        delta.groupBy(_._1).foreach { case (c, rs) =>
+          val add = rs.map(r => (r._2, r._3))
+          next.put(c, Option(next.get(c)).map(_ ++ add).getOrElse(add))
+        }
+        snap = (next, delta.iterator.map(_._4).max max maxGen)
+        delta.length
+      }
+    }
+
+    def size: Int = {
+      var n = 0
+      snap._1.values().forEach(a => n += a.length)
+      n
+    }
+  }
+
+  /** (cell, vec_id, codes, gen) rows, optionally only beyond a
+    * generation — same footer-stat-pruned delta contract as
+    * [[readIvfRows]].
+    */
+  private def readIvfPqRows(spark: SparkSession, path: String,
+                            afterGen: Option[Long]): Array[(Int, Long, Array[Int], Long)] = {
+    import VectorSearch.PqM
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("vec_id") +: col("cell") +: genCol.as("gen") +:
+      (0 until PqM).map(m => col(s"code$m")): _*)
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getInt(1), r.getLong(0),
+        Array.tabulate(PqM)(m => r.getInt(m + 3)), r.getLong(2)))
+  }
+
+  /** Load the IVF-PQ layout into memory (builds it first if absent).
+    * One Spark job here; zero afterwards.
+    */
+  def loadIvfPq(spark: SparkSession, dir: String): IvfPq =
+    loadIvfPqFrom(spark, VectorIndex.ivfPqIndexReady(spark, dir))
+
+  /** [[loadIvfPq]] over an explicit layout path. */
+  def loadIvfPqFrom(spark: SparkSession, path: String): IvfPq = {
+    import VectorSearch.PqM
+    val rows = readIvfPqRows(spark, path, None)
+    val cells = new java.util.HashMap[Int, Array[(Long, Array[Int])]]()
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      cells.put(c, rs.map(r => (r._2, r._3)))
+    }
+    val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
+    val fine = spark.read.parquet(path + "_centroids")
+      .select(col("cid"), col("cemb"), col("ccid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val bookRow = spark.read.parquet(path + "_books")
+      .select((0 until PqM).map(m => col(s"book$m")): _*).collect()(0)
+    val books = Array.tabulate(PqM) { m =>
+      bookRow.getSeq[org.apache.spark.sql.Row](m)
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Double](1).toArray).toArray
+    }
+    new IvfPq(spark, path, (cells, maxGen), fine, books, VectorSearch.IvfStride)
+  }
+
   /** Embedded retrieval serving: the reference engine's in-memory
     * query surface (sparse.rs SparseIndex + hybrid.rs fusion served
     * from RAM) over a collected corpus — BM25, token-containment text

@@ -54,6 +54,21 @@ class PointServeSpec extends GraftSuite {
     assert(approx.map(_.score) == approx.map(_.score).sorted)
   }
 
+  test("IVF-PQ point serve with a rescore matches the batch twin; without one it serves the ADC ranking") {
+    val idx = PointServe.loadIvfPq(spark, sf)
+    assert(idx.size == queryVecs.size, "every corpus vector's codes resident")
+    val batch = VectorIndex.annIvfPqIndexed(spark, sf, qid = 0, k = 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist"))).toSeq
+    val served = idx.query(queryVecs(0L), k = 10, excludeId = 0L,
+      vectorLookup = id => queryVecs.get(id))
+    assert(served.map(h => (h.vecId, h.score)) == batch,
+      s"served=$served batch=$batch")
+    // no lookup: approximate tier — k ADC-ranked hits, ascending dist
+    val approx = idx.query(queryVecs(0L), k = 10, excludeId = 0L)
+    assert(approx.size == 10 && approx.map(_.rank) == (1 to 10))
+    assert(approx.map(_.score) == approx.map(_.score).sorted)
+  }
+
   test("embedded retrieval serve (bm25/text/dense/hybrid-rrf) matches each batch twin bit-for-bit") {
     val emb = PointServe.loadEmbedded(spark, sf)
     val bm25Batch = operators.Bm25.search(spark, sf)

@@ -344,5 +344,18 @@ class StreamingSpec extends GraftSuite {
     q2.processAllAvailable(); q2.stop()
     assert(spark.read.parquet(idxPath).count() == nRows,
       "replayed batch appended duplicate codes")
+    // the IVF-PQ SERVER folds the appended generation and ranks the
+    // clone: identical codes => ADC distance ties vec 0 exactly, so
+    // the served (approximate-tier) ranking must include the clone
+    import graft.sources.PointServe
+    val srv = PointServe.loadIvfPqFrom(spark, idxPath)
+    val before = srv.size
+    // load reads ALL generations — refresh on a fresh load is a no-op
+    assert(srv.refresh() == 0 && srv.size == before)
+    val qv = Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val served = srv.query(qv, k = 5, excludeId = 0L)
+    assert(served.map(_.vecId).contains(maxId + 1),
+      s"streamed codes not served: $served")
   }
 }
