@@ -1723,4 +1723,183 @@ object Analytics {
        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
        |GROUP BY 1
        |ORDER BY cntrycode""".stripMargin
+
+  /** Late-shipment priority census (TPC-H Q12 shape, adapted: the
+    * generator carries no l_shipmode/commitdate/receiptdate, so the
+    * mode axis is l_returnflag and "late" is shipped >30 days after
+    * the order date — the same proxy q4/q21 use). The anchor: the ONE
+    * fact-fact join (lineitem⋈orders on orderkey — both
+    * corpus-proportional → shuffle_hash; rides the bucketed store
+    * when present, like q5/q9/q21), a non-equi predicate evaluated at
+    * the probe, and a two-arm conditional aggregation in one pass
+    * (no second scan for the low-priority arm). The ship-year window
+    * is pushed to the lineitem SCAN. Counts are exact integers —
+    * no rounding to reconcile cross-engine.
+    * Reference: filtering.rs comparison ops over order metadata;
+    * advanced_query.rs batched facet counts.
+    */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    val high = col("o_orderpriority") === "1-URGENT" ||
+               col("o_orderpriority") === "2-HIGH"
+    li.join(o.hint("shuffle_hash"),
+        li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  val q12Sql: String =
+    s"""SELECT l_returnflag AS ship_mode,
+       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+       |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+       |GROUP BY l_returnflag
+       |ORDER BY ship_mode""".stripMargin
+
+  /** Minimum-cost supplier per part (TPC-H Q2 shape, adapted: no
+    * partsupp table, so supply cost is DERIVED — the minimum observed
+    * fixed-point unit price `fx(l_extendedprice / l_quantity)` per
+    * (part, supplier) pair over the fact stream; same-expression IEEE
+    * doubles round identically on both engines before the fx). The
+    * anchor: TPC-H's correlated MIN subquery, decorrelated the way a
+    * 100 TB plan must — the region-gated (part, supplier, cost)
+    * relation is built ONCE and persisted (two consumers: the
+    * per-part MIN aggregate and the winner probe; recomputing it
+    * would re-run the corpus pass), the MIN is a map-side-partial
+    * groupBy (never a per-row subquery), and winners rejoin on the
+    * (partkey, cost) equi pair — no window, no sort. supplier is
+    * corpus-proportional → shuffle_hash; nation/region are fixed
+    * 25/5-row dims → broadcast; the part slice predicates are pushed
+    * to the part scan. Top-100 by account balance is
+    * TakeOrderedAndProject over a totally-ordered key
+    * (balance desc, name, partkey) — bounded output, no global sort.
+    * Reference: query_engine.rs scored top-k over filtered joins.
+    */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val ucost = fx(col("l_extendedprice") / col("l_quantity"), 4)
+    val costs = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(ucost).as("cost_fx"))
+    val nEu = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(nEu), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val ec = costs.join(eu.hint("shuffle_hash"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("cost_fx"), col("s_name"),
+              col("s_acctbal"), col("n_name"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minc = ec.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost_fx")).as("min_cost_fx"))
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_size") >= 40 && col("p_type") === "LARGE")
+      .select(col("p_partkey"))
+    ec.join(minc.hint("shuffle_hash"),
+        col("l_partkey") === col("m_partkey") &&
+        col("cost_fx") === col("min_cost_fx"))
+      .join(slice.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .select(fx(col("s_acctbal"), 2).as("s_acctbal_fx"), col("s_name"),
+              col("n_name"), col("p_partkey"), col("cost_fx"))
+      .orderBy(col("s_acctbal_fx").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    s"""WITH costs AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    MIN(${fxSql("l_extendedprice / l_quantity", 4)}) AS cost_fx
+       |  FROM lineitem GROUP BY 1, 2
+       |), ec AS (
+       |  SELECT l_partkey, cost_fx, s_name, s_acctbal, n_name
+       |  FROM costs
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation   ON s_nationkey = n_nationkey
+       |  JOIN region   ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE'
+       |)
+       |SELECT ${fxSql("s_acctbal", 2)} AS s_acctbal_fx, s_name, n_name,
+       |  l_partkey AS p_partkey, cost_fx
+       |FROM ec JOIN part ON l_partkey = p_partkey
+       |WHERE p_size >= 40 AND p_type = 'LARGE'
+       |  AND cost_fx = (SELECT MIN(cost_fx) FROM ec e2
+       |                 WHERE e2.l_partkey = ec.l_partkey)
+       |ORDER BY s_acctbal_fx DESC, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
+  /** Excess-share suppliers (TPC-H Q20 shape, adapted: availability
+    * is DERIVED — a supplier "holds excess" of a part when their 1996
+    * shipped quantity exceeds 30% of everyone's 1996 shipped quantity
+    * of that part; the region gate replaces Q20's single-nation gate
+    * so the answer set stays non-degenerate at small SF). The anchor:
+    * Q20's double-nested IN subqueries compiled the scale-safe way —
+    * the inner slice restriction joins BEFORE the per-pair aggregate
+    * (the name-sliced part keys prune the corpus pass), per-pair and
+    * per-part quantities are exact fx'd integers summed
+    * order-independently, the share gate is a DECIMAL(38,0)
+    * cross-multiplication (never a double division), and the
+    * qualifying supplier keys reach supplier as a left_semi
+    * shuffle_hash probe — no DISTINCT-then-join, no broadcast of a
+    * corpus-proportional key set. Reference: filtering.rs nested
+    * boolean gates; query_engine.rs two-stage candidate filtering.
+    */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.part(spark, dir)
+      .filter(col("p_name").startsWith("small"))
+      .select(col("p_partkey"))
+    val perPair = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(slice.hint("shuffle_hash"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(fx(sum(col("l_quantity"))).as("qty_fx"))
+    val perPart = perPair.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("qty_fx")).as("total_fx"))
+    val excess = perPair
+      .join(perPart.hint("shuffle_hash"), col("l_partkey") === col("t_partkey"))
+      .filter(col("qty_fx").cast("decimal(38,0)") * lit(10L) >
+              col("total_fx").cast("decimal(38,0)") * lit(3L))
+      .select(col("l_suppkey"))
+    val nEu = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+    Tables.supplier(spark, dir)
+      .join(excess.hint("shuffle_hash"), col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+      .join(broadcast(nEu), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"))
+      .orderBy(col("s_name"))
+  }
+
+  val q20Sql: String =
+    s"""WITH perpair AS (
+       |  SELECT l_partkey, l_suppkey, ${fxSql("SUM(l_quantity)")} AS qty_fx
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE p_name LIKE 'small%'
+       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  GROUP BY 1, 2
+       |), perpart AS (
+       |  SELECT l_partkey, SUM(qty_fx) AS total_fx FROM perpair GROUP BY 1
+       |)
+       |SELECT s_name FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |  AND s_suppkey IN (
+       |    SELECT l_suppkey FROM perpair JOIN perpart USING (l_partkey)
+       |    WHERE qty_fx::HUGEINT * 10 > total_fx::HUGEINT * 3)
+       |ORDER BY s_name""".stripMargin
 }

@@ -449,4 +449,83 @@ class AnalyticsSpec extends GraftSuite {
     assert(byType.forall(_.getAs[Long]("dow") == -1L))
     assert(byDow.forall(_.getAs[String]("event_type") == "ALL"))
   }
+
+  test("q12 conserves late-line mass across the priority arms") {
+    import org.apache.spark.sql.functions.expr
+    val rows = Analytics.q12(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3) // one row per returnflag
+    val modes = rows.map(_.getAs[String]("ship_mode")).toSeq
+    assert(modes == modes.sorted)
+    // independent recount: every 1996 line shipped >30d after its
+    // order lands in exactly one arm of exactly one mode row
+    val li = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val late = li.join(Tables.orders(spark, sf),
+        li("l_orderkey") === col("o_orderkey") &&
+        li("l_shipdate") > expr("o_orderdate + INTERVAL 30 DAYS")).count()
+    val mass = rows.map(r => r.getAs[Long]("high_line_count") +
+                             r.getAs[Long]("low_line_count")).sum
+    assert(mass == late, s"q12 mass $mass != independent late-line count $late")
+  }
+
+  test("q2 winners attain the region-gated per-part minimum cost") {
+    import org.apache.spark.sql.functions.min
+    val rows = Analytics.q2(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // descending by balance, the displayed ranking key
+    val bals = rows.map(_.getAs[Long]("s_acctbal_fx")).toSeq
+    assert(bals == bals.sortBy(-_))
+    // independent recount of the per-part min over the EUROPE-gated
+    // derived costs: every winner row must sit exactly at it
+    val ucost = OracleNum.fx(col("l_extendedprice") / col("l_quantity"), 4)
+    val nEu = Tables.nation(spark, sf)
+      .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+    val minByPart = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(ucost).as("cost_fx"))
+      .join(Tables.supplier(spark, sf), col("l_suppkey") === col("s_suppkey"))
+      .join(nEu, col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .groupBy(col("l_partkey")).agg(min(col("cost_fx")).as("mc"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("mc")).toMap
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("p_partkey")
+      assert(r.getAs[Long]("cost_fx") == minByPart(pk), s"part $pk not at min")
+    }
+  }
+
+  test("q20 suppliers each dominate a sliced part's 1996 shipments") {
+    val rows = Analytics.q20(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val names = rows.map(_.getString(0)).toSeq
+    assert(names == names.sorted && names.distinct == names)
+    // independent recount: each returned supplier holds >30% of some
+    // small-part's 1996 quantity AND sits in the EUROPE region
+    val slice = Tables.part(spark, sf)
+      .filter(col("p_name").startsWith("small")).select(col("p_partkey"))
+    val pairs = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(OracleNum.fx(org.apache.spark.sql.functions.sum(col("l_quantity"))).as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("q")))
+    val totals = pairs.groupBy(_._1).map { case (pk, ps) => pk -> ps.map(_._3).sum }
+    val dominators = pairs.collect {
+      case (pk, sk, q) if q * 10L > totals(pk) * 3L => sk
+    }.toSet
+    val euSupp = Tables.supplier(spark, sf)
+      .join(Tables.nation(spark, sf)
+              .join(Tables.region(spark, sf).filter(col("r_name") === "EUROPE"),
+                    col("n_regionkey") === col("r_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+      .collect().map(r => r.getAs[String]("s_name") ->
+                          r.getAs[Long]("s_suppkey")).toMap
+    names.foreach { n =>
+      assert(euSupp.contains(n), s"$n not a EUROPE supplier")
+      assert(dominators(euSupp(n)), s"$n dominates no sliced part")
+    }
+    assert(names.toSet == euSupp.filter(kv => dominators(kv._2)).keySet)
+  }
 }
