@@ -1902,4 +1902,249 @@ object Analytics {
        |    SELECT l_suppkey FROM perpair JOIN perpart USING (l_partkey)
        |    WHERE qty_fx::HUGEINT * 10 > total_fx::HUGEINT * 3)
        |ORDER BY s_name""".stripMargin
+
+  /** First-/last-touch conversion attribution: for every user whose
+    * journey contains a purchase, which channel (event_type) was the
+    * FIRST touch of their history before the first purchase, and which
+    * was the LAST touch immediately preceding it — the two classic
+    * marketing-attribution models, reported side by side per channel.
+    *
+    * Scale shape: NO windows — a per-user window would sort every
+    * user's full history; instead the first purchase is a
+    * min(struct(ts, event_id)) groupBy (map-side combinable), prior
+    * touches filter against it through one shuffle_hash join on
+    * user_id, and first/last touch are again struct-MIN/MAX aggregates
+    * (the lexicographic struct order carries event_type along for
+    * free). Three keyed shuffles total, per-user state is two structs
+    * regardless of history length. Ties: equal-ts events resolve by
+    * event_id on both engines.
+    */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("fp"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .join(firstPurchase.hint("shuffle_hash"), Seq("user_id"))
+      .filter(struct(col("ts"), col("event_id")) < col("fp"))
+    val perUser = touches.groupBy(col("user_id"))
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+           max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+    // one consumer of perUser: both attribution rows explode from the
+    // same aggregate row (a union would recompute the subtree twice)
+    perUser
+      .select(explode(array(
+        struct(col("f.event_type").as("t"), lit(1L).as("w_first"), lit(0L).as("w_last")),
+        struct(col("l.event_type").as("t"), lit(0L).as("w_first"), lit(1L).as("w_last"))))
+        .as("x"))
+      .groupBy(col("x.t").as("touch_type"))
+      .agg(sum(col("x.w_first")).as("n_first"), sum(col("x.w_last")).as("n_last"))
+      .orderBy(col("touch_type"))
+  }
+
+  val eventsAttributionSql: String =
+    s"""WITH p AS (
+       |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+       |), fp0 AS (
+       |  SELECT user_id, MIN(ts) AS fts FROM p GROUP BY 1
+       |), fp AS (
+       |  SELECT p.user_id, fts, MIN(p.event_id) AS fid
+       |  FROM p JOIN fp0 ON p.user_id = fp0.user_id AND p.ts = fp0.fts
+       |  GROUP BY 1, 2
+       |), tch AS (
+       |  SELECT e.user_id, e.event_type, e.ts, e.event_id
+       |  FROM events e JOIN fp USING (user_id)
+       |  WHERE e.event_type <> 'purchase'
+       |    AND (e.ts < fts OR (e.ts = fts AND e.event_id < fid))
+       |), ranked AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rf,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+       |  FROM tch
+       |)
+       |SELECT event_type AS touch_type,
+       |  SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_first,
+       |  SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END)::BIGINT AS n_last
+       |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top user-journey paths: sessionize (same 30-minute inactivity gap
+    * as [[eventsSession]]), take each session's first
+    * [[PathLen]] event types in time order, and report the most common
+    * paths. The discovery view of the funnel operator — instead of
+    * checking ONE hypothesized sequence, it surfaces which sequences
+    * actually happen.
+    *
+    * Scale shape: one keyed shuffle on user_id for the session window
+    * (per-user partitions — bounded by a user's history, never
+    * corpus-shaped), a session-key aggregate that carries AT MOST
+    * [[PathLen]] (rank, type) pairs per session via sort_array of a
+    * size-capped collect_list, then a path-count aggregate with
+    * map-side partials and a TakeOrdered top-[[PathTopN]] (per-partition
+    * heaps, no global sort). Ties: equal-ts events order by event_id;
+    * equal-count paths rank lexicographically.
+    */
+  def eventsPath(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_seq"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= PathLen)
+    sessioned
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(array_join(transform(col("steps"), s => s("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopN)
+  }
+
+  val PathLen = 4
+  val PathTopN = 20
+
+  val eventsPathSql: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR FLOOR(epoch(ts)) - FLOOR(epoch(lag(ts) OVER w)) > 1800
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sessioned AS (
+       |  SELECT *, SUM(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+       |  FROM marked
+       |), stepped AS (
+       |  SELECT user_id, session_seq, event_type, ts, event_id,
+       |    row_number() OVER (PARTITION BY user_id, session_seq
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM sessioned
+       |), paths AS (
+       |  SELECT string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM stepped WHERE rn <= $PathLen
+       |  GROUP BY user_id, session_seq
+       |)
+       |SELECT path, COUNT(*)::BIGINT AS n_sessions
+       |FROM paths GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT $PathTopN""".stripMargin
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * customer-value scoring. Per user: days since last activity
+    * (vs the corpus's last day), total event count, and purchase value
+    * sum; each dimension scored 1-5 against the corpus's own quintile
+    * thresholds.
+    *
+    * Scale shape: one groupBy(user_id) with map-side partials builds
+    * the per-user triple; quintile thresholds are ONE exact
+    * `percentile` aggregate over that (already users-sized, not
+    * events-sized) relation, emitted as a single row and broadcast
+    * back — the global-ntile formulation would instead sort every user
+    * on one reducer. All threshold comparisons happen in fx-quantized
+    * integer space, so the scores are bit-deterministic across
+    * engines.
+    */
+  def eventsRfm(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).cast("long")
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("day"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+           count(lit(1)).as("frequency"),
+           fx(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)))
+             .as("monetary_fx"))
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val thr = perUser.agg(
+      max(col("last_day")).as("ref_day"),
+      percentile(col("last_day"), qs).as("tl"),
+      percentile(col("frequency"), qs).as("tf"),
+      percentile(col("monetary_fx"), qs).as("tm"))
+    def score(v: org.apache.spark.sql.Column, t: org.apache.spark.sql.Column,
+              asc: Boolean): org.apache.spark.sql.Column = {
+      // fx-quantize the interpolated threshold, compare as BIGINT
+      val cmp = (i: Int) =>
+        if (asc) when(v >= fx(element_at(t, i)), 1L).otherwise(0L)
+        else when(v <= fx(element_at(t, i)), 1L).otherwise(0L)
+      lit(1L) + cmp(1) + cmp(2) + cmp(3) + cmp(4)
+    }
+    perUser.crossJoin(broadcast(thr))
+      .select(col("user_id"),
+        (col("ref_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_fx"),
+        // recency scored on last_day ASCENDING thresholds: later last
+        // activity (bigger day) = better = higher score
+        score(fx(col("last_day")), col("tl"), asc = true).as("r_score"),
+        score(fx(col("frequency")), col("tf"), asc = true).as("f_score"),
+        score(fx(col("monetary_fx")), col("tm"), asc = true).as("m_score"))
+      .orderBy(col("user_id"))
+  }
+
+  val eventsRfmSql: String = {
+    def fxq(t: String, i: Int) = fxSql(s"$t[$i]")
+    def sc(v: String, t: String) =
+      s"(1 + ${(1 to 4).map(i => s"CASE WHEN $v >= ${fxq(t, i)} THEN 1 ELSE 0 END").mkString(" + ")})::BIGINT"
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |    MAX(date_diff('day', DATE '2024-01-01', ts::DATE))::BIGINT AS last_day,
+       |    COUNT(*)::BIGINT AS frequency,
+       |    ${fxSql("SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)")} AS monetary_fx
+       |  FROM events GROUP BY user_id
+       |), thr AS (
+       |  SELECT MAX(last_day) AS ref_day,
+       |    quantile_cont(last_day, [0.2, 0.4, 0.6, 0.8]) AS tl,
+       |    quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS tf,
+       |    quantile_cont(monetary_fx, [0.2, 0.4, 0.6, 0.8]) AS tm
+       |  FROM per_user
+       |)
+       |SELECT user_id, ref_day - last_day AS recency_days, frequency, monetary_fx,
+       |  ${sc(fxSql("last_day"), "tl")} AS r_score,
+       |  ${sc(fxSql("frequency"), "tf")} AS f_score,
+       |  ${sc(fxSql("monetary_fx"), "tm")} AS m_score
+       |FROM per_user, thr
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** Fixed-width value histogram per event type (bucket = value DIV
+    * [[HistWidth]]) — the width_bucket profiling primitive. One
+    * groupBy with map-side partials, no join, output bounded by
+    * types × buckets regardless of event volume.
+    */
+  def eventsHistogram(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value"),
+        floor(col("value") / HistWidth).cast("long").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+           fx(sum(col("value"))).as("sum_value"),
+           fx(min(col("value"))).as("min_value"),
+           fx(max(col("value"))).as("max_value"))
+      .withColumn("lo", (col("bucket") * HistWidth).cast("double"))
+      .select(col("event_type"), col("bucket"), col("lo"),
+        col("n"), col("sum_value"), col("min_value"), col("max_value"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  val HistWidth = 25.0
+
+  val eventsHistogramSql: String =
+    s"""SELECT event_type, FLOOR(value / $HistWidth)::BIGINT AS bucket,
+       |  (FLOOR(value / $HistWidth)::BIGINT * $HistWidth)::DOUBLE AS lo,
+       |  COUNT(*)::BIGINT AS n,
+       |  ${fxSql("SUM(value)")} AS sum_value,
+       |  ${fxSql("MIN(value)")} AS min_value,
+       |  ${fxSql("MAX(value)")} AS max_value
+       |FROM events
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -427,4 +427,88 @@ object Clustering {
        |FROM ranked WHERE rank <= $TopicsK
        |ORDER BY cluster, rank""".stripMargin
   }
+
+  /** PageRank iterations for [[graphPagerank]]: fixed (not
+    * convergence-driven) so the oracle can unroll the same count.
+    */
+  val PrIters = 5
+
+  /** PageRank centrality over the kNN similarity graph — documents
+    * that many near neighbors point AT are the corpus's semantic hubs
+    * (representative-sample selection, diversity weighting, and the
+    * "which docs anchor this cluster" curation question). Rides the
+    * [[VectorSearch.annKnnGraph]] edge list: [[PrIters]] damped
+    * iterations (d = 0.85), uniform split over each node's actual
+    * out-degree, no dangling redistribution (every embedded vector
+    * has neighbors by construction; isolated rows keep base rank).
+    *
+    * Determinism: ranks live in integer parts-per-million — every
+    * contribution is `r DIV deg` and every combine an integer sum, so
+    * iteration results are bit-identical across engines and partition
+    * orders (a double-rank PageRank would drift in the 15th digit per
+    * sum order). The oracle unrolls the same [[PrIters]] steps over
+    * the same banded-LSH edge derivation.
+    *
+    * Scale shape, per iteration: one shuffle_hash join of the
+    * persisted (src, dst, deg) edge relation against the current rank
+    * vector (both keyed on the graph's node id — co-partitioned after
+    * the first iteration) and one map-side-combinable sum per dst.
+    * Nothing is ever collected to the driver; 100 TB graphs iterate
+    * exactly like this (the canonical distributed PageRank shape).
+    */
+  def graphPagerank(spark: SparkSession, dir: String, iters: Int = PrIters): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = VectorSearch.annKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the per-iteration input: every iteration re-reads this relation,
+    // so it persists once (at real scale this is the persisted kNN
+    // layout VectorIndex materializes, not a per-query cache)
+    val withDeg = edges.join(outdeg.hint("shuffle_hash"), Seq("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contribs = withDeg
+        .join(ranks.withColumnRenamed("vec_id", "src").hint("shuffle_hash"), Seq("src"))
+        .select(col("dst").as("vec_id"), expr("r DIV deg").as("c"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contribs.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+    }
+    ranks.select(col("vec_id"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("vec_id"))
+  }
+
+  val graphPagerankSql: String = {
+    val steps = (1 to PrIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.vec_id,
+         |    (150000 + (85 * COALESCE(c.contrib, 0)) // 100)::BIGINT AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ed.dst AS vec_id, SUM(rr.r // ed.deg)::BIGINT AS contrib
+         |    FROM ed JOIN r${i - 1} rr ON ed.src = rr.vec_id
+         |    GROUP BY ed.dst
+         |  ) c USING (vec_id)
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH knn AS (
+       |${VectorSearch.annKnnGraphSql()}
+       |), edges AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM knn
+       |), deg AS (
+       |  SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src
+       |), ed AS (
+       |  SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)
+       |), nodes AS (
+       |  SELECT vec_id FROM embeddings
+       |), r0 AS (
+       |  SELECT vec_id, 1000000::BIGINT AS r FROM nodes
+       |), $steps
+       |SELECT vec_id, r AS rank_ppm FROM r$PrIters
+       |ORDER BY rank_ppm DESC, vec_id""".stripMargin
+  }
 }

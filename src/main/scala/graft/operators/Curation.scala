@@ -752,4 +752,143 @@ object Curation {
        |FROM f
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  /** Graded contamination: per training document, the FRACTION of its
+    * distinct [[DecontN]]-token shingles shared with the eval split —
+    * the published decontamination recipes threshold on overlap ratio
+    * (a doc quoting one benchmark sentence differs from a verbatim
+    * copy), where [[decontaminate]] only reports membership counts.
+    *
+    * Scale shape: same as [[decontaminate]] — the distinct eval
+    * shingle set broadcasts (benchmarks are tiny vs the corpus), the
+    * training side is one sketch-map + LEFT broadcast join + one
+    * groupBy(doc_id); docs with zero overlap keep a row (ratio 0), so
+    * the output is corpus-sized and the driver's hash covers every
+    * decision.
+    */
+  def decontaminateOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), DecontN, Dedup.P))
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // ShingleHashes emits per-doc-DISTINCT hashes (the SQL twin's
+    // list_distinct), so the train posting needs no extra shuffle
+    def posting(side: DataFrame) =
+      Tables.spread(spark, side).select(col("doc_id"), hashes.as("sh"))
+        .select(col("doc_id"), explode(col("sh")).as("h"))
+    val eval = posting(base.filter(col("doc_id") % EvalMod === 0))
+      .select(col("h"), lit(1L).as("hit")).distinct()
+    posting(base.filter(col("doc_id") % EvalMod =!= 0))
+      .join(broadcast(eval), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+           sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("contam_bp", expr("(10000L * n_hits) div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateOverlapSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    list_distinct(${wordShinglesSql(tokensSql("text"), DecontN)}) AS shingles
+       |  FROM documents
+       |), posting AS (
+       |  -- no DISTINCT: list_distinct already deduped the shingle
+       |  -- STRINGS; post-hash collisions must stay, as in ShingleHashes
+       |  SELECT doc_id, ${hash60Sql("sh")} % ${Dedup.P} AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
+       |), ev AS (
+       |  SELECT DISTINCT h FROM posting WHERE doc_id % $EvalMod = 0
+       |)
+       |SELECT p.doc_id, COUNT(*)::BIGINT AS n_shingles,
+       |  SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       |  ((10000 * SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT AS contam_bp
+       |FROM posting p LEFT JOIN ev ON p.h = ev.h
+       |WHERE p.doc_id % $EvalMod <> 0
+       |GROUP BY p.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Temperature exponent for [[corpusSampleTemp]]: α = 0.5 (square
+    * root) — the mT5/XLM-R multilingual rebalancing choice that lifts
+    * low-resource sources without flattening the mix entirely.
+    */
+  val TempAlpha = 0.5
+
+  /** Temperature-based source resampling: re-weight each source
+    * proportional to (n_s/N)^α, then decide per document — by a
+    * deterministic content-free hash coin on doc_id — whether it joins
+    * a corpus-half-sized target mix. The standard multilingual /
+    * multi-source rebalancing stage (sources too big get downsampled
+    * hard, small sources keep nearly everything), reported per source
+    * with a kept-id checksum so every per-doc decision lands in the
+    * driver's hash.
+    *
+    * Determinism: every per-source weight is quantized to 6 dp BEFORE
+    * the normalizing sum (sqrt of the same rational is
+    * correctly-rounded IEEE on both engines; integer sums are
+    * order-free where a double sum is not), and the keep test
+    * `m · Σw · n_s < w_s · T · 10^6` runs entirely in DECIMAL(38,0) /
+    * HUGEINT cross-products — the same overflow-proof idiom as
+    * events_ab — so engines agree bit-for-bit at any corpus size.
+    *
+    * Scale shape: the source census is one tiny groupBy (sources are
+    * dozens); its Σw rides back on a one-row broadcast; the keep
+    * decision is a zero-shuffle map over the corpus; final report is
+    * one sources-ary aggregate. Nothing users- or corpus-shaped ever
+    * sorts or broadcasts.
+    */
+  def corpusSampleTemp(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val census = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val total = census.agg(sum(col("n_s")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    // w6 = round(sqrt(n_s / N) * 1e6): per-source, quantized pre-sum
+    val weighted = census.crossJoin(broadcast(total))
+      .withColumn("w6",
+        floor(sqrt(col("n_s").cast("double") / col("n_total")) * 1e6 + 0.5).cast("long"))
+    val norm = weighted.agg(sum(col("w6")).as("sum_w6")).crossJoin(broadcast(
+      total.select(col("n_total"))))
+    val dec = "decimal(38,0)"
+    val kept = docs
+      .join(broadcast(weighted.select(col("source"), col("n_s"), col("w6"))), Seq("source"))
+      .crossJoin(broadcast(norm))
+      // target size T = N/2; keep iff hash-frac(doc_id) < w_s·T / (Σw·n_s)
+      .withColumn("m", hash60(col("doc_id")) % 1000000L)
+      .withColumn("keep",
+        col("m").cast(dec) * col("sum_w6").cast(dec) * col("n_s").cast(dec) <
+          col("w6").cast(dec) * expr("n_total DIV 2").cast(dec) * lit(1000000L).cast(dec))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("keep").cast("long")).as("n_kept"),
+           sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy(col("source"))
+  }
+
+  val corpusSampleTempSql: String =
+    s"""WITH census AS (
+       |  SELECT source, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY source
+       |), total AS (
+       |  SELECT SUM(n_s)::BIGINT AS n_total FROM census
+       |), weighted AS (
+       |  SELECT source, n_s,
+       |    CAST(FLOOR(SQRT(n_s::DOUBLE / n_total) * 1000000 + 0.5) AS BIGINT) AS w6
+       |  FROM census, total
+       |), norm AS (
+       |  SELECT SUM(w6)::BIGINT AS sum_w6, ANY_VALUE(n_total) AS n_total
+       |  FROM weighted, total
+       |), kept AS (
+       |  SELECT d.doc_id, d.source, w.n_s, w.w6, n.sum_w6, n.n_total,
+       |    (${hash60Sql("d.doc_id")} % 1000000) AS m
+       |  FROM documents d JOIN weighted w USING (source), norm n
+       |)
+       |SELECT source, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN m::HUGEINT * sum_w6::HUGEINT * n_s::HUGEINT
+       |             < w6::HUGEINT * (n_total // 2)::HUGEINT * 1000000::HUGEINT
+       |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       |  SUM(CASE WHEN m::HUGEINT * sum_w6::HUGEINT * n_s::HUGEINT
+       |             < w6::HUGEINT * (n_total // 2)::HUGEINT * 1000000::HUGEINT
+       |      THEN doc_id ELSE 0 END)::BIGINT AS kept_id_sum
+       |FROM kept
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

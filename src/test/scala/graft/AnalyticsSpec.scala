@@ -528,4 +528,70 @@ class AnalyticsSpec extends GraftSuite {
     }
     assert(names.toSet == euSupp.filter(kv => dominators(kv._2)).keySet)
   }
+
+  test("events_attribution balances first and last touches over non-purchase channels") {
+    val rows = Analytics.eventsAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("touch_type")).toSet
+    assert(!types.contains("purchase"), "purchase can never attribute itself")
+    // every converting user with >=1 prior touch contributes exactly
+    // one first-touch AND one last-touch credit
+    assert(rows.map(_.getAs[Long]("n_first")).sum ==
+           rows.map(_.getAs[Long]("n_last")).sum)
+    assert(rows.map(_.getAs[Long]("n_first")).sum > 0)
+  }
+
+  test("events_path caps step count and ranks by support") {
+    val rows = Analytics.eventsPath(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= Analytics.PathTopN)
+    val evTypes = Set("signup", "view", "click", "purchase", "error")
+    rows.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= Analytics.PathLen)
+      steps.foreach(s => assert(evTypes.contains(s), s"unknown step $s"))
+    }
+    val counts = rows.map(_.getAs[Long]("n_sessions")).toSeq
+    assert(counts == counts.sortBy(-_), "paths must rank by support desc")
+    // total support never exceeds the session count
+    val sessions = Analytics.eventsSession(spark, sf).count()
+    assert(counts.sum <= sessions)
+  }
+
+  test("events_rfm scores are quintile-consistent in every dimension") {
+    val rows = Analytics.eventsRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val s = r.getAs[Long](c)
+        assert(s >= 1L && s <= 5L, s"$c out of range: $s")
+      }
+      assert(r.getAs[Long]("recency_days") >= 0L)
+    }
+    // scores are monotone in their underlying dimension
+    def monotone(dim: String, score: String): Unit = {
+      val sorted = rows.sortBy(_.getAs[Long](dim))
+      val scores = sorted.map(_.getAs[Long](score)).toSeq
+      assert(scores == scores.sorted, s"$score not monotone in $dim")
+    }
+    monotone("frequency", "f_score")
+    monotone("monetary_fx", "m_score")
+    // recency: FEWER days since activity = HIGHER score
+    val byRec = rows.sortBy(-_.getAs[Long]("recency_days"))
+    val rs = byRec.map(_.getAs[Long]("r_score")).toSeq
+    assert(rs == rs.sorted, "r_score not anti-monotone in recency_days")
+  }
+
+  test("events_histogram buckets partition each type's events exactly") {
+    val rows = Analytics.eventsHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum == 1000L)
+    rows.foreach { r =>
+      val lo = r.getAs[Double]("lo")
+      val loFx = math.floor(lo * 10000L + 0.5).toLong
+      val hiFx = math.floor((lo + 25.0) * 10000L + 0.5).toLong
+      assert(r.getAs[Long]("min_value") >= loFx, "min below bucket floor")
+      assert(r.getAs[Long]("max_value") < hiFx, "max at/above bucket ceiling")
+      assert(r.getAs[Long]("bucket") == math.floor(lo / 25.0).toLong)
+    }
+  }
 }

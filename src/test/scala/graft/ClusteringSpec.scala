@@ -160,4 +160,22 @@ class ClusteringSpec extends GraftSuite {
     assert(s.getAs[Long]("mean_vec_sq") <
       s.getAs[Long]("sum_sq_norm") / s.getAs[Long]("n_vecs") / 10L)
   }
+
+  test("graph_pagerank conserves damped mass over the kNN graph") {
+    val rows = Clustering.graphPagerank(spark, sf).collect()
+    val n = graft.Tables.embeddings(spark, sf).count()
+    assert(rows.length == n, "every embedded vector keeps a rank row")
+    // base mass floor: (1-d) of a ppm unit, exactly 150000 for
+    // never-pointed-at nodes; DIV truncation only ever loses mass, so
+    // total stays at or under the ppm invariant
+    rows.foreach(r => assert(r.getAs[Long]("rank_ppm") >= 150000L))
+    val total = rows.map(_.getAs[Long]("rank_ppm")).sum
+    assert(total <= 1000000L * n, "integer PageRank cannot create mass")
+    assert(total >= 150000L * n)
+    // ranking order is (rank desc, vec_id asc)
+    val pairs = rows.map(r => (r.getAs[Long]("rank_ppm"), r.getAs[Long]("vec_id"))).toSeq
+    assert(pairs == pairs.sortBy(p => (-p._1, p._2)))
+    // hubs exist: the kNN graph is not regular enough to flatline
+    assert(pairs.head._1 > pairs.last._1, "expected rank spread over the graph")
+  }
 }

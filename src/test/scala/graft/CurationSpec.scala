@@ -365,4 +365,46 @@ class CurationSpec extends GraftSuite {
       Dedup.exact(spark, sf).filter(col("n_copies") > 1).count()
     assert(rows.map(_.getAs[Long]("n_dup")).sum == expected)
   }
+
+  test("decontaminate_overlap grades what decontaminate flags, and covers the rest") {
+    val overlap = Curation.decontaminateOverlap(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hits"), r.getAs[Long]("contam_bp")))
+      .toMap
+    assert(overlap.nonEmpty)
+    overlap.values.foreach { case (nSh, nHits, bp) =>
+      assert(nSh >= 1L && nHits >= 0L && nHits <= nSh)
+      assert(bp == (10000L * nHits) / nSh, "contam_bp must be the exact ratio")
+    }
+    // exact agreement with the membership operator on its flagged set
+    val flagged = Curation.decontaminate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    flagged.foreach { case (id, hits) =>
+      assert(overlap.contains(id), s"flagged doc $id missing from overlap report")
+      assert(overlap(id)._2 == hits, s"hit count mismatch for doc $id")
+    }
+    // and the overlap report also covers the zero-hit majority
+    assert(overlap.count(_._2._2 == 0L) > 0, "zero-overlap docs must keep a row")
+  }
+
+  test("corpus_sample_temp halves the corpus deterministically with source rebalancing") {
+    val rows = Curation.corpusSampleTemp(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val kept = rows.map(_.getAs[Long]("n_kept")).sum
+    // target is N/2; the hash coin is uniform, so realized mass sits
+    // near it (loose band: binomial noise at spec SF)
+    assert(kept > total * 3 / 10 && kept < total * 7 / 10,
+      s"kept $kept of $total outside the target band")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_id_sum") >= 0L)
+    }
+    // deterministic: the same coin flips land identically on re-run
+    val again = Curation.corpusSampleTemp(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("kept_id_sum")))
+    assert(again.toSeq == rows.map(r => (r.getAs[String]("source"),
+      r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"))).toSeq)
+  }
 }
