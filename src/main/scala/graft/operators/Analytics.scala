@@ -2115,6 +2115,91 @@ object Analytics {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** DAU/MAU stickiness — the engagement ratio every growth dashboard
+    * leads with. MAU rides the [[eventsWau]] explode trick at window
+    * 28: each (user, day) activity row at the already-reduced
+    * users×days grain contributes to the 28 report days it covers,
+    * then one distinct aggregate per day — never a 28× fact self-join
+    * nor a windowed COUNT(DISTINCT). Ratio in integer basis points
+    * (`div`), order-free cross-engine.
+    */
+  def eventsStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("long")
+    val userDay = Tables.events(spark, dir)
+      .select(col("user_id"), day.as("day")).distinct()
+    val dau = userDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val mau = userDay
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 27L)).as("day"))
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau.hint("shuffle_hash"), Seq("day"))
+      .withColumn("stickiness_bp", expr("(10000L * dau) div mau"))
+      .orderBy(col("day"))
+  }
+
+  val eventsStickinessSql: String =
+    s"""WITH ud AS (
+       |  SELECT DISTINCT user_id,
+       |    date_diff('day', DATE '2024-01-01', ts::DATE)::BIGINT AS day
+       |  FROM events
+       |), dau AS (
+       |  SELECT day, COUNT(*)::BIGINT AS dau FROM ud GROUP BY day
+       |), contrib AS (
+       |  SELECT user_id, unnest(range(day, day + 28)) AS day FROM ud
+       |), mau AS (
+       |  SELECT day, COUNT(DISTINCT user_id)::BIGINT AS mau FROM contrib GROUP BY day
+       |)
+       |SELECT day, dau, mau, ((10000 * dau) // mau)::BIGINT AS stickiness_bp
+       |FROM dau JOIN mau USING (day)
+       |ORDER BY day""".stripMargin
+
+  /** Audience-overlap matrix: exact Jaccard between every pair of
+    * event types' user bases (which features share an audience — the
+    * cross-sell / cannibalization readout). The naive form self-joins
+    * the (type, user) relation on user_id — quadratic on hot users at
+    * a fact-table fan-out; here each user's DISTINCT type set (hard-
+    * bounded by the type domain, NOT by event volume) is collected
+    * once and its ordered 2-combinations emitted by array HOFs, so the
+    * pair stream is |users|·C(types,2) at worst and the final count is
+    * one types²-bounded aggregate with map-side partials.
+    */
+  def eventsUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+    val pairs = perUser.select(explode(flatten(
+      transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + 2, size(col("ts"))), y =>
+          struct(x.as("t1"), y.as("t2")))))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select(col("event_type").as("t1"), col("n").as("n1"))), Seq("t1"))
+      .join(broadcast(sizes.select(col("event_type").as("t2"), col("n").as("n2"))), Seq("t2"))
+      .select(col("t1"), col("t2"), col("n1"), col("n2"), col("n_common"),
+        expr("(10000L * n_common) div (n1 + n2 - n_common)").as("jaccard_bp"))
+      .orderBy(col("t1"), col("t2"))
+  }
+
+  val eventsUserOverlapSql: String =
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), sz AS (
+       |  SELECT event_type, COUNT(*)::BIGINT AS n FROM tu GROUP BY event_type
+       |), pairs AS (
+       |  SELECT a.event_type AS t1, b.event_type AS t2,
+       |    COUNT(*)::BIGINT AS n_common
+       |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t1, t2, s1.n AS n1, s2.n AS n2, n_common,
+       |  ((10000 * n_common) // (s1.n + s2.n - n_common))::BIGINT AS jaccard_bp
+       |FROM pairs JOIN sz s1 ON t1 = s1.event_type JOIN sz s2 ON t2 = s2.event_type
+       |ORDER BY t1, t2""".stripMargin
+
   /** Fixed-width value histogram per event type (bucket = value DIV
     * [[HistWidth]]) — the width_bucket profiling primitive. One
     * groupBy with map-side partials, no join, output bounded by

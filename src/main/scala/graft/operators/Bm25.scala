@@ -871,4 +871,59 @@ object Bm25 {
        |FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Demo phrase for [[phraseSearch]] (two adjacent corpus tokens). */
+  val DefaultPhrase = "table scan"
+
+  /** Exact-phrase search: documents where the query tokens appear
+    * ADJACENT in order, with occurrence count and first position —
+    * the quoted-phrase operator of a text engine (term search ignores
+    * adjacency; reference sparse.rs tokenizes to a bag). A positional
+    * posting list would pay an explode + self-join per phrase term;
+    * instead adjacency is evaluated IN PLACE over each document's own
+    * token array with array HOFs (`filter` over a position sequence)
+    * — a zero-shuffle map at any corpus size; only the top-k rank
+    * leaves the map stage (TakeOrdered, per-partition heaps).
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+                   phrase: String = DefaultPhrase, k: Int = 20): DataFrame = {
+    val words = phrase.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
+    require(words.size >= 2, "phrase needs at least two tokens")
+    val toks = split(lower(col("text")), " ")
+    val n = size(toks)
+    // positions i (1-based) where every phrase word matches toks[i+j].
+    // Short-doc guard: sequence(1, 0) would DESCEND in Spark (and its
+    // out-of-range element_at would throw under ANSI), so documents
+    // shorter than the phrase map to an explicit empty hit list.
+    val hits = when(n >= words.size,
+      filter(sequence(lit(1), n - (words.size - 1)), i =>
+        words.zipWithIndex.map { case (w, j) =>
+          element_at(toks, (i + j).cast("int")) === w
+        }.reduce(_ && _)))
+      .otherwise(array().cast("array<int>"))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), hits.as("hits"))
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_occurrences"),
+        // get() is 0-based and null-on-missing (ANSI-safe on empty hits)
+        coalesce(get(col("hits"), lit(0)).cast("long"), lit(-1L)).as("first_pos"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def phraseSearchSql(phrase: String = DefaultPhrase, k: Int = 20): String = {
+    val words = phrase.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
+    val cond = words.zipWithIndex
+      .map { case (w, j) => s"toks[i + $j] = '$w'" }.mkString(" AND ")
+    s"""WITH hits AS (
+       |  SELECT doc_id,
+       |    list_filter(range(1, len(toks) - ${words.size - 2}), i -> $cond) AS hs
+       |  FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+       |)
+       |SELECT doc_id, len(hs)::BIGINT AS n_occurrences,
+       |  COALESCE(hs[1], -1)::BIGINT AS first_pos
+       |FROM hits WHERE len(hs) > 0
+       |ORDER BY n_occurrences DESC, doc_id
+       |LIMIT $k""".stripMargin
+  }
 }

@@ -483,6 +483,41 @@ object Clustering {
       .orderBy(col("rank_ppm").desc, col("vec_id"))
   }
 
+  /** Coreset / medoid extraction: each cluster's most-central member
+    * (minimum exact quantized distance to its centroid, vec_id
+    * tie-break) plus the cluster population — the
+    * representative-sample selection step of embedding-based curation
+    * (herding/k-center coresets pick exactly these anchors; SemDeDup
+    * keeps one representative per semantic cluster).
+    *
+    * Scale shape: rides the persisted k-means assignment; the medoid
+    * is a min(struct(dist, vec_id)) aggregate with map-side partials
+    * — NEVER a per-cluster sort — and the output is k rows. The
+    * oracle replays the full Lloyd derivation plus a windowed argmin.
+    */
+  def embedCoreset(spark: SparkSession, dir: String): DataFrame = {
+    val asg = finalAssign(spark, dir)
+    asg.groupBy(col("cluster"))
+      .agg(min(struct(col("dist"), col("vec_id"))).as("m"),
+           count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("m.vec_id").as("medoid_id"),
+        col("m.dist").as("dist"), col("n_members"))
+      .orderBy(col("cluster"))
+  }
+
+  val embedCoresetSql: String =
+    s"""WITH $kmeansCtesSql, ranked AS (
+       |  SELECT cluster, vec_id, dist,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY dist, vec_id) AS rn
+       |  FROM a2
+       |), sz AS (
+       |  SELECT cluster, COUNT(*)::BIGINT AS n_members FROM a2 GROUP BY cluster
+       |)
+       |SELECT cluster, vec_id AS medoid_id, dist, n_members
+       |FROM ranked JOIN sz USING (cluster)
+       |WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
+
   val graphPagerankSql: String = {
     val steps = (1 to PrIters).map { i =>
       s"""r$i AS (

@@ -59,6 +59,57 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Language-metadata QC: documents whose DECLARED lang tag
+    * disagrees with the stopword-profile prediction (confident
+    * predictions only — 'und' rows are skipped, not flagged). Mislabeled
+    * language metadata is a top corpus-quality defect (a crawl's
+    * lang tags come from unreliable upstream detectors); this is the
+    * audit a pipeline runs before trusting `lang` for partitioning or
+    * per-language sampling. Zero-shuffle map + pushed lang
+    * projection; output is the (small) disagreement set.
+    */
+  def langMismatch(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val n = size(toks).cast("double")
+    val scores = LangProfiles.map { case (code, words) =>
+      code -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / n)
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val predFirst = scores.foldLeft(Option.empty[Column]) {
+      case (None, (code, s)) => Some(when(s === best && best > 0.0, code))
+      case (Some(c), (code, s)) => Some(c.when(s === best && best > 0.0, code))
+    }.get.otherwise("und")
+    Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang")))
+      .select(col("doc_id"), col("lang").as("declared_lang"),
+        predFirst.as("pred_lang"), fx(best, 6).as("confidence"))
+      .filter(col("pred_lang") =!= "und" && col("pred_lang") =!= col("declared_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langMismatchSql: String = {
+    val toks = "string_split(lower(text), ' ')"
+    val scoreE = LangProfiles.map { case (code, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      code -> s"(len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks)::DOUBLE)"
+    }
+    val best = scoreE.map(_._2).mkString("greatest(", ", ", ")")
+    val pred = scoreE.map { case (code, s) =>
+      s"WHEN $s = best AND best > 0.0 THEN '$code'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, text, lang AS declared_lang, $best AS best FROM documents
+       |), labeled AS (
+       |  SELECT doc_id, declared_lang, $pred AS pred_lang,
+       |    ${fxSql("best", 6)} AS confidence
+       |  FROM scored
+       |)
+       |SELECT doc_id, declared_lang, pred_lang, confidence
+       |FROM labeled
+       |WHERE pred_lang <> 'und' AND pred_lang <> declared_lang
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Quality scoring from surface statistics: token volume, noise
     * (punctuation/digit) ratios and stopword naturalness.
     */

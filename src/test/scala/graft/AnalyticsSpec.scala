@@ -594,4 +594,42 @@ class AnalyticsSpec extends GraftSuite {
       assert(r.getAs[Long]("bucket") == math.floor(lo / 25.0).toLong)
     }
   }
+
+  test("events_stickiness: MAU dominates DAU and the first day collapses to DAU") {
+    val rows = Analytics.eventsStickiness(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mau") >= r.getAs[Long]("dau"))
+      val bp = r.getAs[Long]("stickiness_bp")
+      assert(bp >= 0L && bp <= 10000L)
+      assert(bp == (10000L * r.getAs[Long]("dau")) / r.getAs[Long]("mau"))
+    }
+    // day 0 has no history: its trailing-28 window is exactly its DAU
+    val d0 = rows.find(_.getAs[Long]("day") == 0L)
+    d0.foreach(r => assert(r.getAs[Long]("mau") == r.getAs[Long]("dau")))
+  }
+
+  test("events_user_overlap matches a brute-force audience Jaccard") {
+    val rows = Analytics.eventsUserOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val tu = graft.Tables.events(spark, sf).select("event_type", "user_id")
+      .distinct().collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val audiences = tu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = audiences.keys.toSeq.sorted
+    val expect = (for {
+      i <- types.indices; j <- (i + 1) until types.length
+      a = audiences(types(i)); b = audiences(types(j))
+      common = (a & b).size if common > 0
+    } yield (types(i), types(j)) ->
+        (a.size.toLong, b.size.toLong, common.toLong,
+          10000L * common / (a.size + b.size - common))).toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val k = (r.getAs[String]("t1"), r.getAs[String]("t2"))
+      val (n1, n2, common, bp) = expect(k)
+      assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2, k)
+      assert(r.getAs[Long]("n_common") == common && r.getAs[Long]("jaccard_bp") == bp, k)
+    }
+  }
 }

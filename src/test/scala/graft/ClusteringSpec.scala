@@ -178,4 +178,22 @@ class ClusteringSpec extends GraftSuite {
     // hubs exist: the kNN graph is not regular enough to flatline
     assert(pairs.head._1 > pairs.last._1, "expected rank spread over the graph")
   }
+
+  test("embed_coreset medoids are each cluster's closest member and populations add up") {
+    val asg = Clustering.embedKmeans(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster"), r.getAs[Long]("dist")))
+    val core = Clustering.embedCoreset(spark, sf).collect()
+    assert(core.nonEmpty)
+    assert(core.map(_.getAs[Long]("n_members")).sum == asg.length)
+    core.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      val members = asg.filter(_._2 == c)
+      assert(members.nonEmpty)
+      // argmin with (dist, vec_id) tie-break
+      val best = members.minBy(m => (m._3, m._1))
+      assert(r.getAs[Long]("medoid_id") == best._1, s"cluster $c medoid")
+      assert(r.getAs[Long]("dist") == best._3, s"cluster $c dist")
+      assert(r.getAs[Long]("n_members") == members.length, s"cluster $c size")
+    }
+  }
 }

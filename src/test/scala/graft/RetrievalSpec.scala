@@ -315,4 +315,35 @@ class RetrievalSpec extends GraftSuite {
       assert(r.getAs[Long]("df") == df(t) && r.getAs[Long]("cf") == cf(t), t)
     }
   }
+
+  test("phrase_search finds exactly the adjacent-token matches, counted and positioned") {
+    val rows = Bm25.phraseSearch(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // driver-side recount over the raw corpus
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val words = Bm25.DefaultPhrase.split(" ")
+    def occ(text: String): Seq[Int] = {
+      val t = text.toLowerCase.split(" ", -1)
+      (0 to t.length - words.length)
+        .filter(i => words.indices.forall(j => t(i + j) == words(j)))
+        .map(_ + 1) // 1-based
+    }
+    rows.foreach { r =>
+      val os = occ(docs(r.getAs[Long]("doc_id")))
+      assert(r.getAs[Long]("n_occurrences") == os.length)
+      assert(r.getAs[Long]("first_pos") == os.head)
+    }
+    // ranking: occurrence-count desc, doc_id tie-break; and the top-k
+    // really is the k best — no skipped doc has more occurrences than
+    // the last returned row
+    val ns = rows.map(_.getAs[Long]("n_occurrences")).toSeq
+    assert(ns == ns.sortBy(-_))
+    val returned = rows.map(_.getAs[Long]("doc_id")).toSet
+    val floor = ns.last
+    docs.foreach { case (id, text) =>
+      if (!returned(id)) assert(occ(text).length <= floor, s"doc $id outranks the cut")
+    }
+  }
 }

@@ -356,4 +356,22 @@ class TextAnalysisSpec extends GraftSuite {
       assert(r.getAs[Long]("entropy") <= fx4(math.log(math.max(1, tf.size).toDouble)) + 1)
     }
   }
+
+  test("lang_mismatch flags exactly the confident disagreements with the declared tag") {
+    val mismatch = TextAnalysis.langMismatch(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("declared_lang"), r.getAs[String]("pred_lang"),
+          r.getAs[Long]("confidence"))).toMap
+    val pred = TextAnalysis.langId(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[Long]("confidence"))).toMap
+    val declared = graft.Tables.documents(spark, sf).select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    // flag set == the independent recomposition from lang_id + metadata
+    val expect = pred.collect {
+      case (id, (p, c)) if p != "und" && p != declared(id) => id -> (declared(id), p, c)
+    }.toMap
+    assert(mismatch == expect)
+    assert(mismatch.nonEmpty, "the synthetic corpus has shuffled lang tags")
+  }
 }
