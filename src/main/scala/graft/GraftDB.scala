@@ -316,6 +316,10 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     Bm25.search(spark, dir, query, capped(k),
       config.hybridSearch.bm25.k1, config.hybridSearch.bm25.b)
 
+  /** Exact quoted-phrase search (adjacent tokens in order). */
+  def phraseSearch(phrase: String, k: Int = 20): DataFrame =
+    Bm25.phraseSearch(spark, dir, phrase, capped(k))
+
   /** Sliding-window chunking with the handle's configured geometry
     * (config.rs ContentAnalysisConfig chunk_size/chunk_overlap via
     * [[GraftConfig.ChunkConfig]]).

@@ -672,6 +672,38 @@ object PointServe {
         .map(e => (e.getKey.longValue(), fx6(e.getValue)))
       topK(cands, limit)
     }
+
+    /** Exact-phrase point query — [[graft.operators.Bm25.phraseSearch]]
+      * semantics served from the resident lowercased texts: adjacent
+      * in-order token runs, (occurrences desc, doc_id asc) ranking.
+      * Returns (doc_id, n_occurrences, first_pos) rows, bit-identical
+      * to the batch twin (split(" ", -1) mirrors Spark's split, which
+      * keeps trailing empties).
+      */
+    def phrase(query: String, k: Int = 20): Seq[(Long, Long, Long)] = {
+      val words = query.toLowerCase.split(" ").filter(_.nonEmpty)
+      require(words.length >= 2, "phrase needs at least two tokens")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var i = 0
+      while (i < nDocs) {
+        val toks = lowerTexts(i).split(" ", -1)
+        var n = 0L
+        var first = -1L
+        var p = 0
+        while (p <= toks.length - words.length) {
+          var j = 0
+          while (j < words.length && toks(p + j) == words(j)) j += 1
+          if (j == words.length) {
+            n += 1
+            if (first < 0) first = p + 1 // 1-based, batch contract
+          }
+          p += 1
+        }
+        if (n > 0) out += ((docIds(i), n, first))
+        i += 1
+      }
+      out.sortBy(t => (-t._2, t._1)).take(k).toSeq
+    }
   }
 
   private def fx6(x: Double): Long = math.floor(x * 1000000L + 0.5).toLong

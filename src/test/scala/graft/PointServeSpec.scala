@@ -94,6 +94,10 @@ class PointServeSpec extends GraftSuite {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cosine"))).toSeq
     assert(emb.moreLike(7L).map(h => (h.vecId, h.score)) == similarBatch)
     assert(emb.moreLike(-42L).isEmpty, "unknown anchor returns empty, never throws")
+    val phraseBatch = operators.Bm25.phraseSearch(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("first_pos"))).toSeq
+    assert(emb.phrase(operators.Bm25.DefaultPhrase) == phraseBatch)
   }
 
   test("refresh folds streaming-appended generations into the served snapshot") {
