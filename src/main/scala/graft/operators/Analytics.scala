@@ -2115,6 +2115,85 @@ object Analytics {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Range-join window for [[eventsRangeJoin]] (seconds). */
+  val RangeJoinWindowS = 300L
+
+  /** Bounded time-range join: every purchase within
+    * [[RangeJoinWindowS]] seconds AFTER the same user's error event —
+    * the "did the error precede a conversion" correlation question,
+    * and the canonical RANGE JOIN Spark has no native operator for. A
+    * literal inequality join explodes to a per-user cross product
+    * before filtering; here both sides key on (user,
+    * floor(epoch/window)) and each probe checks exactly TWO buckets
+    * (its own and the previous — any in-window antecedent lands in
+    * one of them, and an error's single home bucket means no pair can
+    * match twice, so no dedup pass). Equi-join + bounded 2× fan-out =
+    * the scalable range-join decomposition at any volume.
+    */
+  def eventsRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    val winUs = RangeJoinWindowS * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("event_id"), us.as("us"))
+    val bucket = expr(s"us DIV ${winUs}L") // exact integer division
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), bucket.as("bucket"),
+        col("event_id").as("error_id"), col("us").as("e_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("us").as("p_us"),
+        explode(array(bucket - 1L, bucket)).as("bucket"))
+    errors.join(purchases.hint("shuffle_hash"), Seq("user_id", "bucket"))
+      .filter(col("p_us") > col("e_us") && col("p_us") <= col("e_us") + winUs)
+      .select(col("error_id"), col("purchase_id"),
+        (col("p_us") - col("e_us")).as("gap_us"))
+      .orderBy(col("error_id"), col("purchase_id"))
+  }
+
+  val eventsRangeJoinSql: String =
+    s"""SELECT e.event_id AS error_id, p.event_id AS purchase_id,
+       |  epoch_us(p.ts) - epoch_us(e.ts) AS gap_us
+       |FROM events e JOIN events p
+       |  ON e.user_id = p.user_id
+       | AND e.event_type = 'error' AND p.event_type = 'purchase'
+       | AND epoch_us(p.ts) > epoch_us(e.ts)
+       | AND epoch_us(p.ts) <= epoch_us(e.ts) + ${RangeJoinWindowS}000000
+       |ORDER BY error_id, purchase_id""".stripMargin
+
+  /** Debounce gap for [[eventsDebounce]] (seconds). */
+  val DebounceGapS = 60L
+
+  /** Telemetry debounce: keep an event only if the same user's
+    * PREVIOUS event of the same type is more than [[DebounceGapS]]
+    * seconds older (or absent) — the repeat-click / retry-storm
+    * suppression pass an event pipeline runs before counting anything.
+    * One lag window keyed (user, type) — partitions bounded by a
+    * user's own history, the same partitioning sessionization already
+    * shuffles on; survivors stream out with their gap evidence.
+    */
+  def eventsDebounce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("gap_us",
+        coalesce(unix_micros(col("ts")) - col("prev_us"), lit(-1L)))
+      .filter(col("gap_us") === -1L || col("gap_us") > DebounceGapS * 1000000L)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val eventsDebounceSql: String =
+    s"""WITH g AS (
+       |  SELECT event_id, user_id, event_type,
+       |    COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY ts, event_id), -1) AS gap_us
+       |  FROM events
+       |)
+       |SELECT event_id, user_id, event_type, gap_us
+       |FROM g WHERE gap_us = -1 OR gap_us > ${DebounceGapS}000000
+       |ORDER BY event_id""".stripMargin
+
   /** DAU/MAU stickiness — the engagement ratio every growth dashboard
     * leads with. MAU rides the [[eventsWau]] explode trick at window
     * 28: each (user, day) activity row at the already-reduced

@@ -595,6 +595,63 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("events_range_join matches the brute-force inequality join") {
+    val rows = Analytics.eventsRangeJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"),
+        r.getAs[Long]("gap_us"))).toSet
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("us")))
+    val win = Analytics.RangeJoinWindowS * 1000000L
+    val expect = (for {
+      (ue, te, ide, use) <- ev if te == "error"
+      (up, tp, idp, usp) <- ev if tp == "purchase" && up == ue
+      if usp > use && usp <= use + win
+    } yield (ide, idp, usp - use)).toSet
+    assert(rows == expect)
+    assert(rows.nonEmpty, "window wide enough to pair at spec SF")
+  }
+
+  test("events_debounce keeps exactly the events with a quiet prior gap") {
+    val kept = Analytics.eventsDebounce(spark, sf).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("gap_us"))).toMap
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS us")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("us")))
+    val gap = Analytics.DebounceGapS * 1000000L
+    val expect = ev.groupBy(t => (t._1, t._2)).values.flatMap { g =>
+      val sorted = g.sortBy(t => (t._4, t._3))
+      sorted.zipWithIndex.collect {
+        case ((_, _, id, us), 0) => id -> -1L
+        case ((_, _, id, us), i) if us - sorted(i - 1)._4 > gap =>
+          id -> (us - sorted(i - 1)._4)
+      }
+    }.toMap
+    assert(kept == expect)
+    // the spec SF has no same-(user,type) burst inside 60s, so the
+    // suppression arm is driven through a planted burst: four clicks
+    // 10s apart then one 100s later -> only the first and last survive
+    val tmp = java.nio.file.Files.createTempDirectory("debounce").toString
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(t0.getTime + s * 1000)
+    Seq(
+      (1L, at(0L), 7L, "click", 1.0, "{}"),
+      (2L, at(10L), 7L, "click", 1.0, "{}"),
+      (3L, at(20L), 7L, "click", 1.0, "{}"),
+      (4L, at(30L), 7L, "click", 1.0, "{}"),
+      (5L, at(130L), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val burst = Analytics.eventsDebounce(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("gap_us")))
+    assert(burst.toSeq == Seq((1L, -1L), (5L, 100000000L)))
+  }
+
   test("events_stickiness: MAU dominates DAU and the first day collapses to DAU") {
     val rows = Analytics.eventsStickiness(spark, sf).collect()
     assert(rows.nonEmpty)

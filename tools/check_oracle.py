@@ -19,6 +19,9 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # this sandbox's duckdb defaults to few threads; the knn-family
+    # oracles are ~100x faster fully parallel at sf>=1
+    con.execute("SET threads TO 24")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
