@@ -595,6 +595,19 @@ class AnalyticsSpec extends GraftSuite {
     }
   }
 
+  test("events_range_join pushes both type filters and forces no broadcast") {
+    val df = Analytics.eventsRangeJoin(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    // each side's event_type equality must reach its parquet scan
+    assert("PushedFilters: \\[[^\\]]*event_type[^\\]]*\\]".r
+      .findAllIn(plan).size >= 2, "type filters not pushed to both scans")
+    import org.apache.spark.sql.catalyst.plans.logical.{ResolvedHint, BROADCAST}
+    val broadcasts = df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }.size
+    assert(broadcasts == 0, "both range-join sides are event-volume-sized")
+  }
+
   test("events_range_join matches the brute-force inequality join") {
     val rows = Analytics.eventsRangeJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("error_id"), r.getAs[Long]("purchase_id"),

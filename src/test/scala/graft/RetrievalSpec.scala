@@ -316,6 +316,23 @@ class RetrievalSpec extends GraftSuite {
     }
   }
 
+  test("phrase_search reads only (doc_id, text) and plans zero pre-rank exchanges") {
+    val df = Bm25.phraseSearch(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    val readSchema = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"unpruned scan: $readSchema")
+    // the map is zero-shuffle: the only allowed exchange feeds the
+    // final top-k single partition
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e.outputPartitioning.numPartitions
+    }
+    assert(exchanges.forall(_ == 1), s"unexpected wide exchange: $exchanges")
+  }
+
   test("phrase_search finds exactly the adjacent-token matches, counted and positioned") {
     val rows = Bm25.phraseSearch(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
