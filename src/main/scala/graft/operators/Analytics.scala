@@ -116,7 +116,9 @@ object Analytics {
         window(col("ts"), "1 hour").getField("start").as("w_start"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           fx(sum(col("value"))).as("sum_value"),
+           // (hour,type) groups are event-volume-shaped too — same
+           // order-independent decimal-sum treatment as eventsHistogram
+           moneyFx(col("value"), 4).as("sum_value"),
            countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("w_start"), col("event_type"))
   }
@@ -124,7 +126,7 @@ object Analytics {
   val eventsWindowSql: String =
     s"""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
        |  COUNT(*) AS n_events,
-       |  ${fxSql("SUM(value)")} AS sum_value,
+       |  ${moneyFxSql("value", 4)} AS sum_value,
        |  COUNT(DISTINCT user_id) AS n_users
        |FROM events
        |GROUP BY 1, 2
@@ -2062,7 +2064,9 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(max(col("day")).as("last_day"),
            count(lit(1)).as("frequency"),
-           fx(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)))
+           // decimal-sum then quantize: monetary drift would cascade into
+           // the quintile thresholds and every user's m_score
+           moneyFx(when(col("event_type") === "purchase", col("value")).otherwise(0.0), 4)
              .as("monetary_fx"))
     val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
     val thr = perUser.agg(
@@ -2098,7 +2102,7 @@ object Analytics {
        |  SELECT user_id,
        |    MAX(date_diff('day', DATE '2024-01-01', ts::DATE))::BIGINT AS last_day,
        |    COUNT(*)::BIGINT AS frequency,
-       |    ${fxSql("SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)")} AS monetary_fx
+       |    ${moneyFxSql("CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END", 4)} AS monetary_fx
        |  FROM events GROUP BY user_id
        |), thr AS (
        |  SELECT MAX(last_day) AS ref_day,
@@ -2290,7 +2294,10 @@ object Analytics {
         floor(col("value") / HistWidth).cast("long").as("bucket"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n"),
-           fx(sum(col("value"))).as("sum_value"),
+           // order-independent decimal sum: per-(type,bucket) groups are
+           // event-volume-shaped, so a raw double SUM can land on an fx
+           // rounding boundary at scale (see OracleNum.moneySum)
+           moneyFx(col("value"), 4).as("sum_value"),
            fx(min(col("value"))).as("min_value"),
            fx(max(col("value"))).as("max_value"))
       .withColumn("lo", (col("bucket") * HistWidth).cast("double"))
@@ -2305,7 +2312,7 @@ object Analytics {
     s"""SELECT event_type, FLOOR(value / $HistWidth)::BIGINT AS bucket,
        |  (FLOOR(value / $HistWidth)::BIGINT * $HistWidth)::DOUBLE AS lo,
        |  COUNT(*)::BIGINT AS n,
-       |  ${fxSql("SUM(value)")} AS sum_value,
+       |  ${moneyFxSql("value", 4)} AS sum_value,
        |  ${fxSql("MIN(value)")} AS min_value,
        |  ${fxSql("MAX(value)")} AS max_value
        |FROM events

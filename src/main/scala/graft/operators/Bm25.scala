@@ -913,8 +913,11 @@ object Bm25 {
 
   def phraseSearchSql(phrase: String = DefaultPhrase, k: Int = 20): String = {
     val words = phrase.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
+    // SQL-escape each token: a phrase like "don't panic" must render a
+    // valid (and non-injectable) literal, same as the DataFrame twin
     val cond = words.zipWithIndex
-      .map { case (w, j) => s"toks[i + $j] = '$w'" }.mkString(" AND ")
+      .map { case (w, j) => s"toks[i + $j] = '${w.replace("'", "''")}'" }
+      .mkString(" AND ")
     s"""WITH hits AS (
        |  SELECT doc_id,
        |    list_filter(range(1, len(toks) - ${words.size - 2}), i -> $cond) AS hs

@@ -455,6 +455,13 @@ object Clustering {
     * the first iteration) and one map-side-combinable sum per dst.
     * Nothing is ever collected to the driver; 100 TB graphs iterate
     * exactly like this (the canonical distributed PageRank shape).
+    *
+    * Output contract: UNSORTED corpus-sized relation — one
+    * (vec_id, rank_ppm) row per embedded vector, in partition order.
+    * A trailing global sort would be the plan's single largest
+    * avoidable cost at scale (a full range-partition exchange buying
+    * presentation order only); the hub-discovery use case rides
+    * [[graphPagerankTop]]'s TakeOrdered instead.
     */
   def graphPagerank(spark: SparkSession, dir: String, iters: Int = PrIters): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -480,8 +487,21 @@ object Clustering {
           (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
     }
     ranks.select(col("vec_id"), col("r").as("rank_ppm"))
-      .orderBy(col("rank_ppm").desc, col("vec_id"))
   }
+
+  /** Top hubs for [[graphPagerank]]: k = [[PrTopK]]. */
+  val PrTopK = 100
+
+  /** Hub discovery over the kNN graph: the [[PrTopK]] highest-ranked
+    * vectors by integer-ppm PageRank, total-ordered on
+    * (rank desc, vec_id). orderBy+limit plans as TakeOrderedAndProject
+    * — per-partition heaps and a k-row driver merge, NEVER a
+    * corpus-sized Sort exchange; this is the driver-compared form.
+    */
+  def graphPagerankTop(spark: SparkSession, dir: String, k: Int = PrTopK): DataFrame =
+    graphPagerank(spark, dir)
+      .orderBy(col("rank_ppm").desc, col("vec_id"))
+      .limit(k)
 
   /** Coreset / medoid extraction: each cluster's most-central member
     * (minimum exact quantized distance to its centroid, vec_id
@@ -544,6 +564,7 @@ object Clustering {
        |  SELECT vec_id, 1000000::BIGINT AS r FROM nodes
        |), $steps
        |SELECT vec_id, r AS rank_ppm FROM r$PrIters
-       |ORDER BY rank_ppm DESC, vec_id""".stripMargin
+       |ORDER BY rank_ppm DESC, vec_id
+       |LIMIT $PrTopK""".stripMargin
   }
 }

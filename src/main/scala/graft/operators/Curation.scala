@@ -762,9 +762,12 @@ object Curation {
     * Scale shape: same as [[decontaminate]] — the distinct eval
     * shingle set broadcasts (benchmarks are tiny vs the corpus), the
     * training side is one sketch-map + LEFT broadcast join + one
-    * groupBy(doc_id); docs with zero overlap keep a row (ratio 0), so
-    * the output is corpus-sized and the driver's hash covers every
-    * decision.
+    * groupBy(doc_id), then one co-partitioned doc_id left join back
+    * onto the training base so EVERY training doc keeps a row: zero
+    * overlap reports ratio 0, and a doc too short to produce a single
+    * [[DecontN]]-token shingle reports n_shingles = 0 / contam_bp = 0
+    * instead of silently vanishing. The output is corpus-sized and
+    * the driver's hash covers every decision.
     */
   def decontaminateOverlap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
@@ -778,12 +781,20 @@ object Curation {
         .select(col("doc_id"), explode(col("sh")).as("h"))
     val eval = posting(base.filter(col("doc_id") % EvalMod === 0))
       .select(col("h"), lit(1L).as("hit")).distinct()
-    posting(base.filter(col("doc_id") % EvalMod =!= 0))
+    val train = Tables.spread(spark, base.filter(col("doc_id") % EvalMod =!= 0))
+    val agg = posting(train)
       .join(broadcast(eval), Seq("h"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-      .withColumn("contam_bp", expr("(10000L * n_hits) div n_shingles"))
+    train.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contam_bp",
+        when(col("n_shingles") > 0, expr("(10000L * n_hits) div n_shingles"))
+          .otherwise(lit(0L)))
       .orderBy(col("doc_id"))
   }
 
@@ -799,14 +810,22 @@ object Curation {
        |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
        |), ev AS (
        |  SELECT DISTINCT h FROM posting WHERE doc_id % $EvalMod = 0
+       |), agg AS (
+       |  SELECT p.doc_id, COUNT(*)::BIGINT AS n_shingles,
+       |    SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+       |  FROM posting p LEFT JOIN ev ON p.h = ev.h
+       |  WHERE p.doc_id % $EvalMod <> 0
+       |  GROUP BY p.doc_id
        |)
-       |SELECT p.doc_id, COUNT(*)::BIGINT AS n_shingles,
-       |  SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
-       |  ((10000 * SUM(CASE WHEN ev.h IS NOT NULL THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT AS contam_bp
-       |FROM posting p LEFT JOIN ev ON p.h = ev.h
-       |WHERE p.doc_id % $EvalMod <> 0
-       |GROUP BY p.doc_id
-       |ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id,
+       |  COALESCE(a.n_shingles, 0)::BIGINT AS n_shingles,
+       |  COALESCE(a.n_hits, 0)::BIGINT AS n_hits,
+       |  CASE WHEN COALESCE(a.n_shingles, 0) > 0
+       |       THEN ((10000 * a.n_hits) // a.n_shingles)::BIGINT
+       |       ELSE 0::BIGINT END AS contam_bp
+       |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+       |WHERE d.doc_id % $EvalMod <> 0
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Temperature exponent for [[corpusSampleTemp]]: α = 0.5 (square
     * root) — the mT5/XLM-R multilingual rebalancing choice that lifts

@@ -21,36 +21,55 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un", "es", "por"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"))
 
-  /** Language identification by stopword-profile hit ratio; ties are
-    * broken by profile order (alphabetical code).
+  /** Shared stopword-profile scorer over a `text` column:
+    * (pred_lang, confidence) — the SINGLE source for [[langId]] and
+    * [[langMismatch]]; the lang_mismatch-vs-lang_id consistency the
+    * spec pins rides on this sharing. Ties break by profile order
+    * (alphabetical code) via chained whens keeping the FIRST match.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
+  private def langPrediction: (Column, Column) = {
     val toks = split(lower(col("text")), " ")
     val n = size(toks).cast("double")
     val scores = LangProfiles.map { case (code, words) =>
       code -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / n)
     }
     val best = greatest(scores.map(_._2): _*)
-    // chained whens keep the FIRST matching profile as the winner
     val predFirst = scores.foldLeft(Option.empty[Column]) {
       case (None, (code, s)) => Some(when(s === best && best > 0.0, code))
       case (Some(c), (code, s)) => Some(c.when(s === best && best > 0.0, code))
     }.get.otherwise("und")
-    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), predFirst.as("pred_lang"), fx(best, 6).as("confidence"))
-      .orderBy(col("doc_id"))
+    (predFirst, fx(best, 6))
   }
 
-  val langIdSql: String = {
+  /** DuckDB rendering of [[langPrediction]]: (best-score expr,
+    * CASE pred expr referencing a `best` alias). Profile words are
+    * SQL-escaped like every generated literal should be.
+    */
+  private val langPredictionSql: (String, String) = {
     val toks = "string_split(lower(text), ' ')"
     val scoreE = LangProfiles.map { case (code, words) =>
-      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      val lst = words.map(w => s"'${w.replace("'", "''")}'").mkString("[", ", ", "]")
       code -> s"(len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks)::DOUBLE)"
     }
     val best = scoreE.map(_._2).mkString("greatest(", ", ", ")")
     val pred = scoreE.map { case (code, s) =>
       s"WHEN $s = best AND best > 0.0 THEN '$code'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
+    (best, pred)
+  }
+
+  /** Language identification by stopword-profile hit ratio; ties are
+    * broken by profile order (alphabetical code).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val (pred, conf) = langPrediction
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), pred.as("pred_lang"), conf.as("confidence"))
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val (best, pred) = langPredictionSql
     s"""WITH scored AS (
        |  SELECT doc_id, text, $best AS best FROM documents
        |)
@@ -69,34 +88,17 @@ object TextAnalysis {
     * projection; output is the (small) disagreement set.
     */
   def langMismatch(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(col("text")), " ")
-    val n = size(toks).cast("double")
-    val scores = LangProfiles.map { case (code, words) =>
-      code -> (size(filter(toks, t => t.isin(words: _*))).cast("double") / n)
-    }
-    val best = greatest(scores.map(_._2): _*)
-    val predFirst = scores.foldLeft(Option.empty[Column]) {
-      case (None, (code, s)) => Some(when(s === best && best > 0.0, code))
-      case (Some(c), (code, s)) => Some(c.when(s === best && best > 0.0, code))
-    }.get.otherwise("und")
+    val (pred, conf) = langPrediction
     Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang")))
       .select(col("doc_id"), col("lang").as("declared_lang"),
-        predFirst.as("pred_lang"), fx(best, 6).as("confidence"))
+        pred.as("pred_lang"), conf.as("confidence"))
       .filter(col("pred_lang") =!= "und" && col("pred_lang") =!= col("declared_lang"))
       .orderBy(col("doc_id"))
   }
 
   val langMismatchSql: String = {
-    val toks = "string_split(lower(text), ' ')"
-    val scoreE = LangProfiles.map { case (code, words) =>
-      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
-      code -> s"(len(list_filter($toks, t -> list_contains($lst, t)))::DOUBLE / len($toks)::DOUBLE)"
-    }
-    val best = scoreE.map(_._2).mkString("greatest(", ", ", ")")
-    val pred = scoreE.map { case (code, s) =>
-      s"WHEN $s = best AND best > 0.0 THEN '$code'"
-    }.mkString("CASE ", " ", " ELSE 'und' END")
+    val (best, pred) = langPredictionSql
     s"""WITH scored AS (
        |  SELECT doc_id, text, lang AS declared_lang, $best AS best FROM documents
        |), labeled AS (

@@ -172,11 +172,28 @@ class ClusteringSpec extends GraftSuite {
     val total = rows.map(_.getAs[Long]("rank_ppm")).sum
     assert(total <= 1000000L * n, "integer PageRank cannot create mass")
     assert(total >= 150000L * n)
-    // ranking order is (rank desc, vec_id asc)
-    val pairs = rows.map(r => (r.getAs[Long]("rank_ppm"), r.getAs[Long]("vec_id"))).toSeq
-    assert(pairs == pairs.sortBy(p => (-p._1, p._2)))
     // hubs exist: the kNN graph is not regular enough to flatline
-    assert(pairs.head._1 > pairs.last._1, "expected rank spread over the graph")
+    val ranks = rows.map(_.getAs[Long]("rank_ppm"))
+    assert(ranks.max > ranks.min, "expected rank spread over the graph")
+
+    // the hub-discovery entry: the global top-k of the same ranks,
+    // total-ordered, and planned as TakeOrdered — never a corpus Sort
+    val top = Clustering.graphPagerankTop(spark, sf)
+    val topRows = top.collect()
+    assert(topRows.length == math.min(Clustering.PrTopK, n).toInt)
+    val pairs = topRows.map(r => (r.getAs[Long]("rank_ppm"), r.getAs[Long]("vec_id"))).toSeq
+    assert(pairs == pairs.sortBy(p => (-p._1, p._2)))
+    val expected = rows.map(r => (r.getAs[Long]("rank_ppm"), r.getAs[Long]("vec_id")))
+      .sortBy(p => (-p._1, p._2)).take(pairs.length).toSeq
+    assert(pairs == expected, "top-k must agree with the full ranking")
+    val exec = top.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered plan:\n$exec")
+    val globalSorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"corpus-sized global Sort crept back into the plan:\n$exec")
   }
 
   test("embed_coreset medoids are each cluster's closest member and populations add up") {

@@ -65,7 +65,7 @@ class StoreLayoutSpec extends GraftSuite {
     }
   }
 
-  test("the Tables switch serves the bucketed store: q5/q9/q21 drop their fact-fact exchanges, rows unchanged") {
+  test("the Tables switch serves the bucketed store: q5/q9/q12/q21 drop their fact-fact exchanges, rows unchanged") {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -84,6 +84,7 @@ class StoreLayoutSpec extends GraftSuite {
           "q5"  -> (() => operators.Analytics.q5(spark, sf)),
           "q9"  -> (() => operators.Analytics.q9(spark, sf)),
           "q21" -> (() => operators.Analytics.q21(spark, sf)),
+          "q12" -> (() => operators.Analytics.q12(spark, sf)),
           // the per-user window family: bucketed events feed WindowExec
           // with no exchange (user_id distribution + in-file sort)
           "events_session" -> (() => operators.Analytics.eventsSession(spark, sf)))) {

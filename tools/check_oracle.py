@@ -9,7 +9,7 @@ row/schema/hash check.
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
 (assumes Verify already wrote outDir; pass --run to invoke sbt first)
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
@@ -21,7 +21,7 @@ def main():
     con = duckdb.connect()
     # this sandbox's duckdb defaults to few threads; the knn-family
     # oracles are ~100x faster fully parallel at sf>=1
-    con.execute("SET threads TO 24")
+    con.execute(f"SET threads TO {os.cpu_count() or 4}")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
