@@ -322,6 +322,57 @@ object PairOverlap {
   }
 }
 
+/** Query-term tf lookups against a [[TermCounts]] sketch: given the
+  * per-doc (term, tf) struct array and a fixed term list, one linear
+  * scan yields [tf_0, ..., tf_{k-1}] (0 for absent terms). Lets a
+  * query that already carries the TermCounts sketch (prfSearch's
+  * shared corpus pass) score its literal terms as a zero-shuffle map
+  * instead of re-tokenizing through [[TokenTfs]] — one corpus
+  * materialization serves the feedback pass, the stats aggregate and
+  * the final expansion scoring.
+  */
+case class TermLookups(child: Expression, terms: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val termArr: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any =
+    TermLookups.compute(input.asInstanceOf[ArrayData], termArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termArr,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TermLookups.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TermLookups {
+  def compute(arr: ArrayData, terms: Array[UTF8String]): GenericArrayData = {
+    val out = new Array[Long](terms.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      val t = row.getUTF8String(0)
+      var j = 0
+      while (j < terms.length) {
+        // sketch terms are per-doc distinct: assign, don't accumulate
+        if (terms(j).equals(t)) { out(j) = row.getLong(1); j = terms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Per-document query-term frequency counter: given the token array
   * and the query's term list, one linear scan yields
   * [dl, tf_0, ..., tf_{k-1}] (dl = token count, tf_j = occurrences of

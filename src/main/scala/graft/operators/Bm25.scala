@@ -406,21 +406,25 @@ object Bm25 {
     * order). Expansion selection is integer feedback mass with a
     * (wfb DESC, term) total order.
     *
-    * Scale shape — ONE plan, no driver round-trips: the corpus is
-    * term-counted in one [[graft.functions.expressions.TermCounts]]
-    * pass (persisted — stats, expansion and scoring consume it);
-    * expansion terms are mined from ONLY the [[PrfDocs]] feedback
-    * documents (the broadcast id join runs BEFORE the aggregate, so
-    * it sees 10 documents, not the corpus) and stay a RELATION — a
+    * Scale shape — ONE plan over ONE corpus materialization: the
+    * corpus is term-counted in a single
+    * [[graft.functions.expressions.TermCounts]] pass (persisted), and
+    * EVERY stage consumes that sketch — the feedback BM25 scores its
+    * literal query terms via [[graft.functions.expressions.TermLookups]]
+    * (a zero-shuffle map; corpus stats + per-orig-term df are ONE
+    * scalar aggregate), the feedback TakeOrdered CARRIES each winning
+    * doc's sketch so the expansion mine explodes 10 broadcast rows
+    * instead of re-scanning the corpus, and the final scoring pass
+    * reads the same cache. Expansion terms stay a RELATION — a
     * ≤[[PrfTerms]]-row TakeOrdered subquery ranked by a trivial
     * window, broadcast-joined into the scoring pass rather than
-    * collected to the driver (the earlier form's mid-plan collect
-    * cost two extra jobs per query — the interactive latency floor).
-    * Per-term df and the corpus stats are bounded aggregates riding
-    * broadcasts; per-(doc, term) contributions are fx-quantized to
-    * integers BEFORE the order-independent per-doc sum; TakeOrdered
-    * finishes. No corpus-sized shuffle anywhere: the only exchanges
-    * carry ≤terms rows, one stats row, and the doc-keyed integer sum.
+    * collected to the driver (a mid-plan collect costs two extra jobs
+    * per query — the interactive latency floor; a second tokenize
+    * pass for the feedback arm, the r6 one-plan fold's cost, is gone
+    * too). Per-(doc, term) contributions are fx-quantized to integers
+    * BEFORE the order-independent per-doc sum; TakeOrdered finishes.
+    * No corpus-sized shuffle anywhere: the only exchanges carry
+    * ≤terms rows, one stats row, and the doc-keyed integer sum.
     */
   def prfSearch(spark: SparkSession, dir: String,
                 query: String = DefaultQuery, k: Int = 20): DataFrame = {
@@ -431,8 +435,9 @@ object Bm25 {
     val orig = tokenizeQuery(query)
     if (orig.isEmpty)
       return docs.select(col("doc_id"), lit(0L).as("score", ScoreTag.metadata)).filter(lit(false))
-    val fbIds = searchDocs(spark, docs, query, PrfDocs).select(col("doc_id"))
-    // one corpus pass: per-doc (dl, [(term, tf)]) — three consumers
+    // THE corpus pass: per-doc (dl, [(term, tf)]) — every stage below
+    // (feedback scoring, stats, expansion mine, final scoring) reads
+    // this one cached relation; nothing re-tokenizes
     val tc = Tables.spread(spark, docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         column(graft.functions.expressions.TermCounts(
@@ -440,14 +445,37 @@ object Bm25 {
       .select(col("doc_id"),
         expr("aggregate(tc, 0L, (a, e) -> a + e.tf)").as("dl"), col("tc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = tc
-      .select(col("doc_id"), col("dl"), explode(col("tc")).as("e"))
-      .select(col("doc_id"), col("dl"),
-        col("e.term").as("term"), col("e.tf").as("tf"))
+    // feedback arm — value-identical to searchDocs over the same
+    // corpus (same IEEE expression tree, same fx(Σ,6) quantization),
+    // but riding the shared sketch: orig-term tfs are a TermLookups
+    // map and stats + per-orig-term df are ONE aggregate
+    val origTfs = tc.select(col("doc_id"), col("dl"), col("tc"),
+      column(graft.functions.expressions.TermLookups(
+        expression(col("tc")), orig)).as("otf"))
+    val statsAgg = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      orig.indices.map(j =>
+        sum((col("otf").getItem(j) > 0).cast("long")).cast("double").as(s"df$j"))
+    val stats = origTfs.agg(statsAgg.head, statsAgg.tail: _*)
+    val fbScore = orig.indices.map { j =>
+      val tf = col("otf").getItem(j).cast("double")
+      val idf = log((col("n_docs") - col(s"df$j") + 0.5) / (col(s"df$j") + 0.5))
+      idf * (tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
+    }.reduce(_ + _)
+    // the TakeOrdered carries each feedback doc's sketch: the mine
+    // below explodes 10 rows, never the corpus
+    val fb = origTfs
+      .filter(orig.indices.map(j => col("otf").getItem(j)).reduce(_ + _) > 0)
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), fx(fbScore, 6).as("fbscore"), col("tc"))
+      .orderBy(col("fbscore").desc, col("doc_id"))
+      .limit(PrfDocs)
     // expansion relation: top-PrfTerms feedback terms by integer mass
     // (wfb DESC, term), weight PrfTerms..1 — the 8-row window is over
     // an already-LIMITed relation, never data-sized
-    val expansion = exploded.join(broadcast(fbIds), Seq("doc_id"))
+    val expansion = fb
+      .select(explode(col("tc")).as("e"))
+      .select(col("e.term").as("term"), col("e.tf").as("tf"))
       .filter(!col("term").isin(orig: _*))
       .groupBy(col("term")).agg(sum(col("tf")).as("wfb"))
       .orderBy(col("wfb").desc, col("term")).limit(PrfTerms)
@@ -456,9 +484,13 @@ object Bm25 {
       .select(col("term"), (lit(PrfTerms + 1L) - col("rank")).cast("long").as("w"))
     val termRel = orig.map(t => (t, PrfOrigWeight)).toDF("term", "w")
       .unionByName(expansion)
-    // corpus stats (ALL docs — zero-token docs still count) + per-term
-    // df over the matched posting rows; both bounded, both broadcast
-    val stats = tc.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // per-term df over the matched posting rows — bounded, broadcast;
+    // n_docs/avgdl reuse the feedback stats broadcast (same subtree →
+    // ReusedExchange, no extra aggregate job)
+    val exploded = tc
+      .select(col("doc_id"), col("dl"), explode(col("tc")).as("e"))
+      .select(col("doc_id"), col("dl"),
+        col("e.term").as("term"), col("e.tf").as("tf"))
     val matched = exploded.join(broadcast(termRel), Seq("term"))
     val dfRel = matched.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
@@ -468,7 +500,7 @@ object Bm25 {
       (tf + lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast("double") / col("avgdl"))))
     matched
       .join(broadcast(dfRel), Seq("term"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
       .select(col("doc_id"), (col("w") * fx(idf * tfPart, 6)).as("contrib"))
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib")).as("score", ScoreTag.metadata))

@@ -192,6 +192,27 @@ class NativeExpressionPropertySpec extends GraftSuite {
     }
   }
 
+  test("TermLookups over a TermCounts sketch agrees with TokenTfs over the tokens") {
+    import graft.functions.expressions.{TermCounts, TermLookups, TokenTfs}
+    // includes a duplicated query term: both expressions leave the
+    // SECOND copy at 0 (first-match-wins), and prfSearch relies on the
+    // two derivations agreeing exactly
+    val queryTerms = Seq("spark", "vector", "no1such2term", "spark", "a")
+    val termArr = queryTerms.map(UTF8String.fromString).toArray
+    samples.foreach { s =>
+      val sketch = TermCounts.compute(UTF8String.fromString(s))
+      val viaSketch = TermLookups.compute(sketch, termArr).toLongArray()
+      val l = Tok.tokens(s)
+      val toks = (0 until l.size).map(l.get)
+      val arr = new GenericArrayData(toks.map(UTF8String.fromString).toArray[Any])
+      val viaTokens = TokenTfs.compute(arr, termArr).toLongArray()
+      queryTerms.indices.foreach { j =>
+        assert(viaSketch(j) == viaTokens(j + 1),
+          s"tf(${queryTerms(j)}) sketch=${viaSketch(j)} tokens=${viaTokens(j + 1)} for '$s'")
+      }
+    }
+  }
+
   test("hash60 matches Spark's md5-conv formulation on random tokens") {
     import spark.implicits._
     val toks = samples.flatMap(s => {

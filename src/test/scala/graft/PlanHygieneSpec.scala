@@ -170,4 +170,63 @@ class PlanHygieneSpec extends GraftSuite {
     assert(hintCount(operators.Dedup.spanCoverage(spark, sf), BROADCAST) == 0)
     assert(hintCount(operators.Analytics.eventsWau(spark, sf), BROADCAST) == 0)
   }
+
+  test("every unpartitioned window rides a bounded input") {
+    // An empty-partition-spec WindowExec funnels its whole input
+    // through ONE task — fine over a bounded relation, a scale-killer
+    // over a corpus-shaped one. Sweep every driver entry: the window's
+    // input must carry a limit / TakeOrdered / scalar aggregate
+    // beneath, or the query must be on the justified whitelist.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val whitelist = Map(
+      // bounded by construction, invisible to the plan-shape heuristic:
+      "corpus_mix"     -> "window over the per-source census — sources are dozens, never corpus-shaped",
+      "shard_manifest" -> "window over the NumShards-row aggregate — constant shard domain",
+      // the one documented true exception (SURVEY §2): full-vocabulary
+      // rank on one partition, distributed swap documented
+      "vocabulary"     -> "full-vocab rank window; bounded by vocabulary size, swap documented")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def bounded(p: SparkPlan): Boolean = p.exists {
+        case _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+        case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+        case _ => false
+      }
+      val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val exec = fn(spark, sf).queryExecution.executedPlan
+        val bad = exec.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !w.children.forall(bounded) => w
+        }
+        if (bad.nonEmpty) Seq(name) else Nil
+      }.toSet
+      val unexpected = flagged -- whitelist.keySet
+      assert(unexpected.isEmpty,
+        s"new corpus-sized unpartitioned window(s) in: ${unexpected.mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("bm25_prf stays one plan: bounded job count, one corpus materialization") {
+    // RM3's serial depth is 5 bounded-row broadcast barriers
+    // (stats → feedback top-k → expansion terms → per-term df → score);
+    // under AQE each barrier materializes as a small number of jobs.
+    // A silent re-split (a mid-plan collect, or a second tokenize pass
+    // for the feedback arm) shows up as extra jobs — pin the ceiling.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    spark.catalog.clearCache()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = operators.Bm25.prfSearch(spark, sf).collect()
+      assert(rows.nonEmpty)
+      Thread.sleep(1000) // listener bus is async
+      assert(jobs.get() <= 25,
+        s"bm25_prf launched ${jobs.get()} jobs — the one-plan fold re-split")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
