@@ -68,7 +68,12 @@ object Bench {
     // headline line carries rounded per-query minima only; the two-pass
     // means + errors (cold-path regression visibility, advisor ask) go to
     // BENCH_DETAIL.json in the repo root for the judge to read directly.
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-3 (warm); best-2-of-3 mean in queries_mean (steal-robust); raw pass 1 in queries_cold","queries":${obj(mins)},"queries_mean":${obj(means)},"queries_cold":${obj(colds)},"errors":${obj(errors.toMap)},"sf":"$sfDir"}"""
+    // serving-tier micro-bench (reference regime: >10k QPS / <5ms
+    // point lookups) — zero-Spark-job tier behind a replica router;
+    // full runs only, and never allowed to sink the bench line
+    val serving = if (only.isEmpty) ServeBench.run(spark, sfDir)
+      else """{"skipped":"subset run"}"""
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-3 (warm); best-2-of-3 mean in queries_mean (steal-robust); raw pass 1 in queries_cold","queries":${obj(mins)},"queries_mean":${obj(means)},"queries_cold":${obj(colds)},"errors":${obj(errors.toMap)},"serving":$serving,"sf":"$sfDir"}"""
     // detail path is env-overridable so a different launch cwd can't
     // silently strand the file; failures warn on stderr (stdout must
     // stay the single parseable JSON line). A SPARK_GRAFT_QUERIES

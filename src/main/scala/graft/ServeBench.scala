@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import graft.sources.{PointServe, ReplicaRouter, Router}
+
+/** Serving-tier throughput micro-bench: sustained QPS and latency
+  * percentiles for the zero-Spark-job point-query tier — the regime
+  * the reference's README quotes (>10k QPS, <5ms cached lookup) and a
+  * Spark JOB cannot express. Drives the embedded retrieval tier
+  * through a [[ReplicaRouter]] over three replica handles from N
+  * concurrent threads with a deterministic query mix, plus the
+  * resident kNN-graph dense index; emits one JSON object that
+  * [[Bench]] embeds as BENCH_DETAIL's `serving` section.
+  *
+  * Measured AFTER load (the reference measures steady-state serving
+  * on a built index too); load cost is Spark-job territory and is
+  * reported separately as load_sec.
+  */
+object ServeBench {
+
+  private def pct(sorted: Array[Long], q: Double): Double =
+    sorted(math.min(sorted.length - 1, (sorted.length * q).toInt)) / 1e6
+
+  /** Run `op` from `nThreads` threads, `opsPerThread` each; returns
+    * (qps, p50 ms, p99 ms). Deterministic op index per call.
+    */
+  private def measure(nThreads: Int, opsPerThread: Int)(op: Int => Unit): (Double, Double, Double) = {
+    (0 until 200).foreach(op) // warm JIT + router state
+    val lats = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val t0 = System.nanoTime()
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        var i = 0
+        while (i < opsPerThread) {
+          val s = System.nanoTime()
+          op(t * opsPerThread + i)
+          lats.add(System.nanoTime() - s)
+          i += 1
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val arr = lats.toArray(Array.empty[java.lang.Long]).map(_.longValue()).sorted
+    (arr.length / wall, pct(arr, 0.5), pct(arr, 0.99))
+  }
+
+  private def fmt(x: Double): String =
+    if (x >= 100) f"$x%.0f" else f"$x%.3f"
+
+  /** Returns the serving-section JSON object (never throws — a
+    * failure is reported inside the JSON so the bench line survives).
+    */
+  def run(spark: SparkSession, dir: String,
+          nThreads: Int = 16, opsPerThread: Int = 2000): String = try {
+    val tLoad0 = System.nanoTime()
+    val emb = PointServe.loadEmbedded(spark, dir)
+    val graph = PointServe.loadGraph(spark, dir)
+    val loadSec = (System.nanoTime() - tLoad0) / 1e9
+    // three replica handles over the resident tier — single-process
+    // stand-ins for three serving replicas; the router's dispatch +
+    // in-flight/EMA bookkeeping is part of the measured path
+    val router = new ReplicaRouter[PointServe.Embedded](
+      IndexedSeq(emb, emb, emb), Router.LoadBased)
+    // deterministic query mix over the corpus vocabulary
+    val textQueries = Array(
+      "spark vector join stream window", "vector index search",
+      "stream window join", "spark join", "window stream vector spark",
+      "index vector", "spark stream", "join window index")
+    val sparseQueries = textQueries.map(q =>
+      q.split(" ").toSeq.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) })
+    val queryVecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id")).limit(16).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+    val (bq, bp50, bp99) = measure(nThreads, opsPerThread) { i =>
+      router.route(_.bm25(textQueries(i % textQueries.length), k = 10))
+    }
+    val (sq, sp50, sp99) = measure(nThreads, opsPerThread) { i =>
+      router.route(_.sparse(sparseQueries(i % sparseQueries.length), k = 10))
+    }
+    val (gq, gp50, gp99) = measure(nThreads, opsPerThread) { i =>
+      graph.query(queryVecs(i % queryVecs.length), k = 5)
+    }
+    def sec(q: Double, p50: Double, p99: Double) =
+      s"""{"qps":${fmt(q)},"p50_ms":${fmt(p50)},"p99_ms":${fmt(p99)}}"""
+    s"""{"replicas":3,"threads":$nThreads,"ops_per_thread":$opsPerThread,""" +
+      s""""load_sec":${fmt(loadSec)},"bm25":${sec(bq, bp50, bp99)},""" +
+      s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)}}"""
+  } catch {
+    case e: Throwable =>
+      val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        .replace("\\", "\\\\").replace("\"", "\\\"").take(160)
+      s"""{"error":"$msg"}"""
+  }
+}

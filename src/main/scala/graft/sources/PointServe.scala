@@ -872,7 +872,12 @@ object PointServe {
     val it = nodes.keySet().iterator()
     while (it.hasNext) { ids(i) = it.next(); i += 1 }
     java.util.Arrays.sort(ids)
-    ids.take(GraphEntryPoints)
+    // evenly SPREAD over the sorted id space (not the 8 lowest ids):
+    // disconnected banded components cluster by build order, so spread
+    // seeds cover far more components for the same walk budget —
+    // still fully deterministic
+    if (ids.length <= GraphEntryPoints) ids
+    else Array.tabulate(GraphEntryPoints)(j => ids(j * (ids.length / GraphEntryPoints)))
   }
 
   /** (vec_id, emb, neighbors, gen) rows, optionally only beyond a

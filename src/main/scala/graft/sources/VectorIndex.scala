@@ -664,10 +664,35 @@ object VectorIndex {
     * Degree is 2k worst-case, k=10 by default (denser than the batch
     * operator's k=5 display graph — graph degree IS the serving
     * recall/memory knob, the reference's `m` parameter).
+    *
+    * Exact-duplicate canonicalization (r7, found by the sf1
+    * clone-dense recall sweep): a per-vector kNN over a corpus where
+    * every embedding carries D exact duplicates spends min(k, D−1)
+    * neighbor slots on the vector's OWN clones — at 10× clone density
+    * the inter-content graph fragmented and greedy recall collapsed
+    * 0.8 → 0.125, ef-independent (connectivity, not exploration).
+    * The graph is therefore built over ONE REPRESENTATIVE per
+    * distinct embedding (min vec_id), so every rep slot carries an
+    * inter-content edge regardless of duplication; each duplicate
+    * group rides an id-ordered chain (rep → m1 → m2 → …, every
+    * member also pointing back at its rep), keeping every member
+    * reachable at constant degree — the walk enumerates a tied group
+    * in ascending-id order, exactly the (score DESC, id ASC) serve
+    * contract. A duplicate-free corpus reduces to the old build
+    * (every group is a singleton).
     */
   def buildKnnGraphIndex(spark: SparkSession, dir: String, path: String,
                          k: Int = 2 * VectorSearch.KnnGraphK): Unit = {
-    val graph = VectorSearch.annKnnGraph(spark, dir, k)
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // one rep per distinct embedding; the shuffle key is the exact
+    // vector (same bytes the rows carry anyway — no collision risk a
+    // hashed key would introduce)
+    val grouped = emb.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val reps = grouped.select(col("rep").as("vec_id"),
+      toDouble(col("embedding")).as("emb"))
+    val graph = VectorSearch.annKnnGraphFromVecs(reps, k,
+      VectorSearch.KnnGraphRadius, VectorSearch.KnnBucketCap)
     val fwd = graph.select(col("vec_id"), col("rank"), col("neighbor_id"))
     val rev = graph.select(col("neighbor_id").as("vec_id"),
       (col("rank") + k).as("rank"), col("vec_id").as("neighbor_id"))
@@ -675,15 +700,26 @@ object VectorIndex {
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("rank"), col("neighbor_id"))))
         .as("ranked"))
-      .select(col("vec_id"),
+      .select(col("vec_id").as("rep"),
         expr("array_distinct(transform(ranked, e -> e.neighbor_id))")
-          .as("neighbors"))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-      .join(adj.hint("shuffle_hash"), Seq("vec_id"), "left")
-      .withColumn("neighbors",
-        coalesce(col("neighbors"), expr("array()").cast("array<bigint>")))
-      .withColumn("gen", lit(0L))
+          .as("rep_nbrs"))
+    // duplicate-group chain successor per member (groups sort within
+    // their own partition — linear, never corpus-global)
+    val members = emb.join(grouped.hint("shuffle_hash"), Seq("embedding"))
+      .select(col("vec_id"), col("rep"), col("embedding"))
+    val chained = members.withColumn("next",
+      lead(col("vec_id"), 1).over(Window.partitionBy(col("rep")).orderBy(col("vec_id"))))
+    chained.join(adj.hint("shuffle_hash"), Seq("rep"), "left")
+      .withColumn("rep_nbrs",
+        coalesce(col("rep_nbrs"), expr("array()").cast("array<bigint>")))
+      .withColumn("neighbors", expr(
+        // nearest-first: chain successor and rep (both cosine 1.0 by
+        // construction) ahead of the rep's inter-content list
+        """filter(array_distinct(concat(
+          |  CASE WHEN next IS NULL THEN CAST(array() AS array<bigint>) ELSE array(next) END,
+          |  CASE WHEN vec_id = rep THEN CAST(array() AS array<bigint>) ELSE array(rep) END,
+          |  rep_nbrs)), x -> x != vec_id)""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("neighbors"), lit(0L).as("gen"))
       .write.mode("overwrite").parquet(path)
   }
 
