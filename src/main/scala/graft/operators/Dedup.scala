@@ -1233,4 +1233,206 @@ object Dedup {
        |JOIN s b ON p.id2 = b.doc_id
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
+
+  // ---- content-canonical oracle twins (sf1 scale evidence) ----
+  //
+  // Every value these queries emit is a pure function of document
+  // CONTENT (shingle sets, MinHash signatures, Jaccard, span grams),
+  // so on a clone-dense corpus the oracle may run the content-derived
+  // stages once per DISTINCT content and fan results back out by
+  // content hash — EXACTLY the same output rows as the literal SQL,
+  // at ~1/clone² the pair-join mass and ~1/clone the shingling mass.
+  // The banded CANDIDATE generation stays the literal doc-level form
+  // (bucket caps and QUALIFY replayed on real doc rows). These twins
+  // exist ONLY for the sf1 oracle budget (SURVEY §5); the driver's
+  // gate keeps comparing the literal forms.
+
+  /** Shared canonicalization CTEs: content hash per doc, min-id
+    * representative per content, rep-level shingle docs + posting.
+    */
+  private def canonicalCtes: String =
+    s"""ch AS (
+       |  SELECT doc_id, md5(text) AS chash FROM documents
+       |), rep AS (
+       |  SELECT chash, MIN(doc_id) AS rid FROM ch GROUP BY chash
+       |), docs AS (
+       |  SELECT r.rid AS doc_id,
+       |    list_distinct(${wordShinglesSql(tokensSql("d.text"), 3)}) AS shingles
+       |  FROM rep r JOIN documents d ON d.doc_id = r.rid
+       |), posting AS (
+       |  SELECT doc_id, ${hash60Sql("sh")} % $P AS h
+       |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
+       |)""".stripMargin
+
+  /** Canonical verify tail: Jaccard per DISTINCT content pair over
+    * the rep posting (self-pairs ride the same join — their
+    * multiplicity arithmetic matches the literal doc-pair form), then
+    * the per-doc candidate pairs map onto their content-pair value.
+    */
+  private def canonicalVerifySql(thresholdFx: Long): String =
+    s"""cpair AS (
+       |  SELECT DISTINCT least(r1.rid, r2.rid) AS rid1,
+       |    greatest(r1.rid, r2.rid) AS rid2
+       |  FROM cand
+       |  JOIN ch c1 ON c1.doc_id = cand.id1 JOIN rep r1 ON r1.chash = c1.chash
+       |  JOIN ch c2 ON c2.doc_id = cand.id2 JOIN rep r2 ON r2.chash = c2.chash
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id
+       |), inter AS (
+       |  SELECT cp.rid1, cp.rid2, COUNT(*)::DOUBLE AS inter
+       |  FROM cpair cp
+       |  JOIN posting p1 ON p1.doc_id = cp.rid1
+       |  JOIN posting p2 ON p2.doc_id = cp.rid2 AND p2.h = p1.h
+       |  GROUP BY cp.rid1, cp.rid2
+       |), jac AS (
+       |  SELECT i.rid1, i.rid2,
+       |    ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes s1 ON s1.doc_id = i.rid1
+       |  JOIN sizes s2 ON s2.doc_id = i.rid2
+       |)
+       |SELECT c.id1, c.id2, j.jaccard
+       |FROM cand c
+       |JOIN ch c1 ON c1.doc_id = c.id1 JOIN rep r1 ON r1.chash = c1.chash
+       |JOIN ch c2 ON c2.doc_id = c.id2 JOIN rep r2 ON r2.chash = c2.chash
+       |JOIN jac j ON j.rid1 = least(r1.rid, r2.rid)
+       |          AND j.rid2 = greatest(r1.rid, r2.rid)
+       |WHERE j.jaccard >= $thresholdFx
+       |ORDER BY id1, id2""".stripMargin
+
+  /** Content-canonical twin of [[minhashSql]]: signatures computed
+    * per rep and fanned out by content hash (identical posting ⇒
+    * identical signature), doc-level banding/caps/candidates literal.
+    */
+  private[graft] def minhashCanonicalSql(threshold: Double = 0.5): String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { b =>
+      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"s${b * BandRows + r}"))
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
+    }.mkString("[", ",\n    ", "]")
+    s"""WITH $canonicalCtes,
+       |sigsr AS (
+       |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT c.doc_id, ${(0 until NumHashes).map(j => s"s.s$j").mkString(", ")}
+       |  FROM ch c JOIN rep r USING (chash) JOIN sigsr s ON s.doc_id = r.rid
+       |), bands AS (
+       |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
+       |), bounded AS (
+       |  SELECT * FROM bands QUALIFY ${boundBucketsSql("band, band_key")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |${canonicalVerifySql((threshold * 1e4).toLong)}""".stripMargin
+  }
+
+  /** Content-canonical twin of [[ngramJaccardSql]]: rep-level posting
+    * with doc-level df (rep df × clone count), literal rare-gram
+    * candidate join over the fanned-out doc posting (df ≤ cap bounds
+    * it), canonical verify.
+    */
+  private[graft] def ngramCanonicalSql(dfCap: Int = 20, threshold: Double = 0.3): String =
+    s"""WITH $canonicalCtes,
+       |cnts AS (
+       |  SELECT r.rid, COUNT(*) AS n FROM ch c JOIN rep r USING (chash) GROUP BY r.rid
+       |), rare AS (
+       |  SELECT h FROM (
+       |    SELECT p.h, SUM(c.n) AS df
+       |    FROM posting p JOIN cnts c ON c.rid = p.doc_id
+       |    GROUP BY p.h
+       |  ) WHERE df <= $dfCap AND df >= 2
+       |), rpd AS (
+       |  -- doc-level rare posting: rep rows fanned out by content
+       |  SELECT c.doc_id, p.h
+       |  FROM posting p JOIN rare USING (h)
+       |  JOIN rep r ON r.rid = p.doc_id
+       |  JOIN ch c ON c.chash = r.chash
+       |), cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM rpd a JOIN rpd b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $NgramMinCommon
+       |),
+       |${canonicalVerifySql((threshold * 1e4).toLong)}""".stripMargin
+
+  /** Content-canonical twin of [[sourceOverlapSql]] (wraps the
+    * canonical minhash pairs — the aggregation is unchanged).
+    */
+  private[graft] def sourceOverlapCanonicalSql(): String =
+    s"""WITH pairs AS (
+       |${minhashCanonicalSql().replace("\n", "\n  ")}
+       |), s AS (
+       |  SELECT doc_id, source FROM documents
+       |)
+       |SELECT least(a.source, b.source) AS src_a,
+       |  greatest(a.source, b.source) AS src_b,
+       |  COUNT(*) AS n_pairs, MAX(p.jaccard) AS max_jaccard
+       |FROM pairs p
+       |JOIN s a ON p.id1 = a.doc_id
+       |JOIN s b ON p.id2 = b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY src_a, src_b""".stripMargin
+
+  /** Content-canonical twin of [[spanCoverageSql]]: gram extraction
+    * and interval union per rep; "seen in ≥2 docs" becomes "shared by
+    * ≥2 contents OR carried by a content with ≥2 clones"; per-doc
+    * output fans out by content hash (coverage is content-determined).
+    */
+  private[graft] def spanCoverageCanonicalSql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, md5(text) AS chash FROM documents
+       |), rep AS (
+       |  SELECT chash, MIN(doc_id) AS rid FROM ch GROUP BY chash
+       |), cnts AS (
+       |  SELECT r.rid, COUNT(*) AS n FROM ch c JOIN rep r USING (chash) GROUP BY r.rid
+       |), base AS (
+       |  SELECT r.rid AS doc_id, ${tokensSql("d.text")} AS toks
+       |  FROM rep r JOIN documents d ON d.doc_id = r.rid
+       |), g AS (
+       |  SELECT doc_id, pos,
+       |    ${hash60Sql(s"array_to_string(list_slice(toks, pos, pos + ${SpanW - 1}), ' ')")} AS h
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(1, greatest(len(toks) - ${SpanW - 1}, 0) + 1)) AS pos
+       |        FROM base)
+       |), duph AS (
+       |  SELECT h FROM (
+       |    SELECT g.h, COUNT(DISTINCT g.doc_id) AS dd, MAX(c.n) AS mx
+       |    FROM g JOIN cnts c ON c.rid = g.doc_id GROUP BY g.h
+       |  ) WHERE dd >= 2 OR mx >= 2
+       |), ds AS (
+       |  SELECT g.doc_id, g.pos FROM g JOIN duph USING (h)
+       |), cov AS (
+       |  SELECT doc_id, SUM(c)::BIGINT AS dup_toks FROM (
+       |    SELECT doc_id, LEAST(pos - COALESCE(
+       |        lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - $SpanW),
+       |      $SpanW) AS c
+       |    FROM ds)
+       |  GROUP BY doc_id
+       |)
+       |SELECT c.doc_id, len(b.toks)::BIGINT AS n_toks,
+       |  COALESCE(cov.dup_toks, 0)::BIGINT AS dup_toks,
+       |  (CASE WHEN len(b.toks) > 0
+       |        THEN (COALESCE(cov.dup_toks, 0) * 10000) // len(b.toks)
+       |        ELSE 0 END)::BIGINT AS dup_bp,
+       |  ((CASE WHEN len(b.toks) > 0
+       |         THEN (COALESCE(cov.dup_toks, 0) * 10000) // len(b.toks)
+       |         ELSE 0 END) >= $SpanFlagBp)::BIGINT AS is_span_dup
+       |FROM ch c
+       |JOIN rep r USING (chash)
+       |JOIN base b ON b.doc_id = r.rid
+       |LEFT JOIN cov ON cov.doc_id = r.rid
+       |ORDER BY c.doc_id""".stripMargin
+
+  /** The canonical twins by driver query key — consumed by
+    * [[graft.ScaleOracles]] for the sf1 sweep.
+    */
+  private[graft] def canonicalOracleSqls: Map[String, String] = Map(
+    "dedup_minhash"  -> minhashCanonicalSql(),
+    "dedup_ngram"    -> ngramCanonicalSql(),
+    "dedup_span"     -> spanCoverageCanonicalSql,
+    "source_overlap" -> sourceOverlapCanonicalSql())
 }

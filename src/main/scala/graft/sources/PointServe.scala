@@ -531,6 +531,7 @@ object PointServe {
       docIds: Array[Long], lowerTexts: Array[String], dls: Array[Long],
       tfs: Array[java.util.HashMap[String, Int]],
       inverted: java.util.HashMap[String, Array[Int]], // term -> doc positions
+      invertedTf: java.util.HashMap[String, Array[Int]], // tf aligned to inverted
       denseIds: Array[Long], denseVecs: Array[Array[Double]]) {
 
     import graft.operators.Bm25.{B, K1, tokenizeQuery}
@@ -559,8 +560,30 @@ object PointServe {
       weights(i).forEach((_, w) => s += w * w)
       s
     }
+    // per-term fixed-point weights aligned to `inverted`'s postings —
+    // the sparse() hot loop reads a flat long array per term
+    private val invertedW: java.util.HashMap[String, Array[Long]] = {
+      val out = new java.util.HashMap[String, Array[Long]]()
+      inverted.forEach { (t, posting) =>
+        val arr = new Array[Long](posting.length)
+        var p = 0
+        while (p < posting.length) { arr(p) = weights(posting(p)).get(t); p += 1 }
+        out.put(t, arr)
+      }
+      out
+    }
 
-    /** Okapi BM25 — [[graft.operators.Bm25.search]] semantics. */
+    /** Okapi BM25 — [[graft.operators.Bm25.search]] semantics.
+      *
+      * Accumulates over posting entries instead of candidate×term
+      * probes: a candidate absent from a term's posting contributes
+      * exactly 0.0 for that term (idf·0/denominator — the batch
+      * sketch's zero slot), and each candidate's surviving
+      * contributions still add in ascending term order, so the double
+      * sum is bit-identical to the per-candidate loop while the work
+      * drops from O(candidates × terms) map probes (plus a
+      * flatten+distinct allocation) to O(Σ posting lengths).
+      */
     def bm25(query: String, k: Int = 20): Seq[Hit] = {
       val terms = tokenizeQuery(query).toArray
       if (terms.isEmpty) return Seq.empty
@@ -569,20 +592,25 @@ object PointServe {
         val df = p.length.toDouble
         math.log((nDocs - df + 0.5) / (df + 0.5))
       }
-      val cands = postings.flatten.distinct
-      topK(cands.iterator.map { i =>
-        var score = 0.0
-        var j = 0
-        while (j < terms.length) {
-          val tf = tfs(i).getOrDefault(terms(j), 0).toDouble
-          // absent term: tf 0 contributes idf*0/(denominator) exactly
-          // like the batch sketch's zero slot
-          score += idfs(j) * (tf * (K1 + 1.0)) /
+      val scores = scala.collection.mutable.LongMap.empty[Double]
+      var j = 0
+      while (j < terms.length) {
+        val posting = postings(j)
+        // tf array aligned to the posting — zero per-entry map probes
+        val ptf = invertedTf.getOrDefault(terms(j), Array.empty)
+        val idf = idfs(j)
+        var p = 0
+        while (p < posting.length) {
+          val i = posting(p)
+          val tf = ptf(p).toDouble
+          val c = idf * (tf * (K1 + 1.0)) /
             (tf + K1 * ((1.0 - B) + B * (dls(i) / avgdl)))
-          j += 1
+          scores(i) = scores.getOrElse(i.toLong, 0.0) + c
+          p += 1
         }
-        (docIds(i), fx6(score))
-      }, k)
+        j += 1
+      }
+      topK(scores.iterator.map { case (i, s) => (docIds(i.toInt), fx6(s)) }, k)
     }
 
     /** Token-containment text search — `Bm25.textSearch` semantics. */
@@ -606,10 +634,14 @@ object PointServe {
       val scores = scala.collection.mutable.LongMap.empty[Long] // doc idx -> score
       merged.foreach { case (t, w) =>
         val posting = inverted.getOrDefault(t, Array.empty)
+        // per-(term,doc) fixed-point weights aligned to the posting —
+        // integer sums, so accumulation order can't matter; the flat
+        // array replaces a per-doc map probe per entry
+        val pw = invertedW.getOrDefault(t, Array.empty)
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          scores(i) = scores.getOrElse(i.toLong, 0L) + weights(i).get(t) * w
+          scores(i) = scores.getOrElse(i.toLong, 0L) + pw(p) * w
           p += 1
         }
       }
@@ -723,25 +755,32 @@ object PointServe {
     val dls = new Array[Long](n)
     val tfs = new Array[java.util.HashMap[String, Int]](n)
     val inv = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    val invTfB = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
     var i = 0
     while (i < n) {
       val toks = docRows(i).getSeq[String](2)
       dls(i) = toks.size.toLong
       val m = new java.util.HashMap[String, Int]()
-      toks.foreach { t =>
-        if (m.merge(t, 1, (a, b) => a + b) == 1)
-          inv.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += i
+      toks.foreach(t => m.merge(t, 1, (a, b) => a + b))
+      // posting + aligned tf built AFTER the count so the bm25 hot
+      // loop reads a flat int array instead of probing per-doc maps
+      val di = i
+      m.forEach { (t, tf) =>
+        inv.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += di
+        invTfB.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += tf
       }
       tfs(i) = m
       i += 1
     }
     val inverted = new java.util.HashMap[String, Array[Int]]()
     inv.forEach((t, b) => inverted.put(t, b.toArray))
+    val invertedTf = new java.util.HashMap[String, Array[Int]]()
+    invTfB.forEach((t, b) => invertedTf.put(t, b.toArray))
     val embRows = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(col("vec_id"))
       .collect()
-    new Embedded(docIds, lowerTexts, dls, tfs, inverted,
+    new Embedded(docIds, lowerTexts, dls, tfs, inverted, invertedTf,
       embRows.map(_.getLong(0)), embRows.map(_.getSeq[Double](1).toArray))
   }
 
