@@ -392,6 +392,120 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Gate-ablation census over the [[curateCorpus]] gates: for each
+    * gate, how many documents it FLAGS (independent of the verdict's
+    * priority order) and how many it UNIQUELY kills (flagged by that
+    * gate alone, outside the eval split) — the report a pipeline
+    * owner reads to decide whether a gate earns its cost ("would
+    * removing the repetition gate change the kept set at all?").
+    * [[curateCorpus]]'s `reason` attributes each doc to ONE gate by
+    * priority; this is the per-gate truth the priority view hides.
+    *
+    * Scale shape: the same four corpus-fraction flag relations as
+    * curateCorpus (shuffle_hash joined, never broadcast) feeding ONE
+    * scalar aggregate with map-side partials — output is a single
+    * row, everything integer, no new pair-shaped work.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.hash60
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), hash60(col("text")).as("h"))
+    val keepPerHash = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    val exactDup = docs.join(keepPerHash, Seq("h"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"), lit(1L).as("f_exact"))
+    val nearDup = Dedup.clusters(spark, dir)
+      .filter(col("is_dup") === 1L)
+      .select(col("doc_id"), lit(1L).as("f_near"))
+    val contaminated = decontaminate(spark, dir)
+      .select(col("doc_id"), lit(1L).as("f_cont"))
+    val repetitive = textRepetition(spark, dir)
+      .filter(col("is_repetitive") === 1L)
+      .select(col("doc_id"), lit(1L).as("f_rep"))
+    val flagged = docs.select(col("doc_id"))
+      .join(exactDup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(nearDup.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(repetitive.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") % EvalMod === 0).cast("long").as("g_eval"),
+        coalesce(col("f_exact"), lit(0L)).as("g_exact"),
+        coalesce(col("f_near"), lit(0L)).as("g_near"),
+        coalesce(col("f_cont"), lit(0L)).as("g_cont"),
+        coalesce(col("f_rep"), lit(0L)).as("g_rep"))
+    val others = Map(
+      "g_exact" -> Seq("g_near", "g_cont", "g_rep"),
+      "g_near"  -> Seq("g_exact", "g_cont", "g_rep"),
+      "g_cont"  -> Seq("g_exact", "g_near", "g_rep"),
+      "g_rep"   -> Seq("g_exact", "g_near", "g_cont"))
+    def unique(g: String) = sum(
+      (col(g) === 1L && col("g_eval") === 0L &&
+        others(g).map(col(_) === 0L).reduce(_ && _)).cast("long"))
+    flagged.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("g_eval")).as("n_eval"),
+      sum(col("g_exact")).as("n_exact"),
+      sum(col("g_near")).as("n_near"),
+      sum(col("g_cont")).as("n_cont"),
+      sum(col("g_rep")).as("n_rep"),
+      unique("g_exact").as("u_exact"),
+      unique("g_near").as("u_near"),
+      unique("g_cont").as("u_cont"),
+      unique("g_rep").as("u_rep"),
+      sum((col("g_eval") === 0L && col("g_exact") === 0L && col("g_near") === 0L &&
+        col("g_cont") === 0L && col("g_rep") === 0L).cast("long")).as("n_kept"))
+  }
+
+  lazy val curationFunnelSql: String = {
+    val h = hash60Sql("text")
+    def u(g: String, o1: String, o2: String, o3: String) =
+      s"SUM(CASE WHEN $g = 1 AND g_eval = 0 AND $o1 = 0 AND $o2 = 0 AND $o3 = 0 THEN 1 ELSE 0 END)::BIGINT"
+    s"""WITH hashed AS (
+       |  SELECT doc_id, $h AS h FROM documents
+       |), e AS (
+       |  SELECT d.doc_id FROM hashed d
+       |  JOIN (SELECT h, MIN(doc_id) AS keep_id FROM hashed GROUP BY h) m USING (h)
+       |  WHERE d.doc_id <> m.keep_id
+       |), nd AS (
+       |  SELECT doc_id FROM (
+       |  ${Dedup.clustersSql().replace("\n", "\n  ")}
+       |  ) WHERE is_dup = 1
+       |), cont AS (
+       |  SELECT doc_id FROM (
+       |  ${decontaminateSql.replace("\n", "\n  ")}
+       |  )
+       |), rep AS (
+       |  SELECT doc_id FROM (
+       |  ${textRepetitionSql.replace("\n", "\n  ")}
+       |  ) WHERE is_repetitive = 1
+       |), flagged AS (
+       |  SELECT d.doc_id,
+       |    (d.doc_id % $EvalMod = 0)::BIGINT AS g_eval,
+       |    (e.doc_id IS NOT NULL)::BIGINT AS g_exact,
+       |    (nd.doc_id IS NOT NULL)::BIGINT AS g_near,
+       |    (cont.doc_id IS NOT NULL)::BIGINT AS g_cont,
+       |    (rep.doc_id IS NOT NULL)::BIGINT AS g_rep
+       |  FROM documents d
+       |  LEFT JOIN e ON e.doc_id = d.doc_id
+       |  LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |  LEFT JOIN cont ON cont.doc_id = d.doc_id
+       |  LEFT JOIN rep ON rep.doc_id = d.doc_id
+       |)
+       |SELECT COUNT(*)::BIGINT AS n_docs,
+       |  SUM(g_eval)::BIGINT AS n_eval,
+       |  SUM(g_exact)::BIGINT AS n_exact,
+       |  SUM(g_near)::BIGINT AS n_near,
+       |  SUM(g_cont)::BIGINT AS n_cont,
+       |  SUM(g_rep)::BIGINT AS n_rep,
+       |  ${u("g_exact", "g_near", "g_cont", "g_rep")} AS u_exact,
+       |  ${u("g_near", "g_exact", "g_cont", "g_rep")} AS u_near,
+       |  ${u("g_cont", "g_exact", "g_near", "g_rep")} AS u_cont,
+       |  ${u("g_rep", "g_exact", "g_near", "g_cont")} AS u_rep,
+       |  SUM(CASE WHEN g_eval = 0 AND g_exact = 0 AND g_near = 0
+       |           AND g_cont = 0 AND g_rep = 0 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+       |FROM flagged""".stripMargin
+  }
+
   /** Target mixture weights in basis points per source domain — the
     * declared recipe a pretraining run mixes its corpus to (Pile/Dolma
     * style domain weighting). Three upweighted domains exercise the

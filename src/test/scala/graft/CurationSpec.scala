@@ -194,6 +194,29 @@ class CurationSpec extends GraftSuite {
     }
     val kept = rows.count(_.getAs[Long]("kept") == 1L)
     assert(kept > 0 && kept < 500)
+
+    // the funnel census agrees with the same independently-computed
+    // gate sets, per-gate and kept (its counts ignore the verdict's
+    // precedence — that's the point of the ablation view)
+    val f = Curation.curationFunnel(spark, sf).collect()
+    assert(f.length == 1)
+    val fr = f.head
+    val evalSet = rows.map(_.getAs[Long]("doc_id"))
+      .filter(_ % Curation.EvalMod == 0).toSet
+    assert(fr.getAs[Long]("n_docs") == 500L)
+    assert(fr.getAs[Long]("n_eval") == evalSet.size.toLong)
+    assert(fr.getAs[Long]("n_exact") == 0L, "corpus has no exact dups by construction")
+    assert(fr.getAs[Long]("n_near") == nearDup.size.toLong)
+    assert(fr.getAs[Long]("n_cont") == contaminated.size.toLong)
+    assert(fr.getAs[Long]("n_rep") == repetitive.size.toLong)
+    assert(fr.getAs[Long]("n_kept") == kept.toLong)
+    def uniq(g: Set[Long], others: Set[Long]*) =
+      (g -- evalSet -- others.reduce(_ ++ _)).size.toLong
+    assert(fr.getAs[Long]("u_near") == uniq(nearDup, contaminated, repetitive))
+    assert(fr.getAs[Long]("u_cont") == uniq(contaminated, nearDup, repetitive))
+    assert(fr.getAs[Long]("u_rep") == uniq(repetitive, nearDup, contaminated))
+    // a gate's unique kills never exceed its flags
+    assert(fr.getAs[Long]("u_near") <= fr.getAs[Long]("n_near"))
   }
 
   test("pii_scrub redacts exactly the injected PII and nothing survives") {
