@@ -1234,6 +1234,110 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY src_a, src_b""".stripMargin
 
+  // ---- incremental near-dedup ----
+
+  /** Which doc_ids play the "arriving increment" in the driver query:
+    * doc_id % [[IncrMod]] == [[IncrRes]] (~10% of the corpus).
+    */
+  val IncrMod = 10L
+  val IncrRes = 7L
+
+  /** Incremental near-dedup: the verified MinHash near-dup matches of
+    * a corpus INCREMENT (a crawl batch) against the EXISTING corpus —
+    * the admit/reject decision of incremental ingestion, and the
+    * batch-side half of the lambda split whose streaming half is
+    * [[graft.streaming.EventStreams.dedupStream]] (exact hashes only).
+    * One row per (new doc, matched existing doc) with exact shingle
+    * Jaccard ≥ threshold.
+    *
+    * Scale shape — O(batch × bucket), NEVER corpus × corpus: both
+    * sides band on the shared MinHash family (at 100 TB the corpus
+    * side is the persisted signature layout, not a re-scan — the
+    * same pattern as [[graft.operators.VectorSearch.knnForProbes]]);
+    * candidates come from a batch-probe ⋈ corpus equi-join on
+    * (band, band_key), so corpus docs never pair with each other.
+    * Degenerate corpus buckets (> [[MaxBucket]] members agreeing on a
+    * 60-bit band key = boilerplate mega-cluster) are capped on the
+    * CORPUS side only — each batch doc still probes its 8 buckets,
+    * and no lower bound applies (one corpus doc + one batch doc IS a
+    * meaningful pair, unlike the self-join's singleton buckets).
+    * Batch-batch pairs are deliberately excluded: the increment
+    * self-dedups in the regular [[minhash]] job.
+    */
+  def minhashIncremental(spark: SparkSession, dir: String,
+                         threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.expressions.Window
+    val docs = shingleDocs(spark, dir)
+    val sigs = docs.select(col("doc_id"),
+      column(graft.functions.expressions.MinHashSig(
+        expression(col("sh")), NumHashes, P)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = sigs.select(col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        struct(lit(b).as("band"),
+          hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
+            col("sig").getItem(b * BandRows + r)): _*)).as("band_key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val corpusB = bands.filter(col("doc_id") % IncrMod =!= IncrRes)
+      .withColumn("_bn", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_bn") <= MaxBucket)
+      .select(col("doc_id").as("id2"), col("band"), col("band_key"))
+    val batchB = bands.filter(col("doc_id") % IncrMod === IncrRes)
+      .select(col("doc_id").as("id1"), col("band"), col("band_key"))
+    val cand = batchB
+      .join(corpusB.hint("shuffle_hash"), Seq("band", "band_key"))
+      .select(col("id1"), col("id2")).distinct()
+    verifyJaccard(cand, docs)
+      .filter(col("jaccard") >= (threshold * 1e4).toLong)
+      .select(col("id1").as("id_new"), col("id2").as("id_old"), col("jaccard"))
+      .orderBy(col("id_new"), col("id_old"))
+  }
+
+  def minhashIncrementalSql(threshold: Double = 0.5): String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { b =>
+      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"s${b * BandRows + r}"))
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
+    }.mkString("[", ",\n    ", "]")
+    val fx = fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")
+    s"""WITH docs AS ($shinglesSqlCte),
+       |$postingSqlCte,
+       |sigs AS (
+       |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
+       |), corpusb AS (
+       |  SELECT * FROM (SELECT * FROM bands WHERE doc_id % $IncrMod <> $IncrRes)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= $MaxBucket
+       |), batchb AS (
+       |  SELECT * FROM bands WHERE doc_id % $IncrMod = $IncrRes
+       |), cand AS (
+       |  SELECT DISTINCT b.doc_id AS id1, c.doc_id AS id2
+       |  FROM batchb b JOIN corpusb c
+       |    ON b.band = c.band AND b.band_key = c.band_key
+       |), sizes AS (
+       |  SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.id1, c.id2, COUNT(*)::DOUBLE AS inter
+       |  FROM cand c
+       |  JOIN posting p1 ON p1.doc_id = c.id1
+       |  JOIN posting p2 ON p2.doc_id = c.id2 AND p2.h = p1.h
+       |  GROUP BY c.id1, c.id2
+       |)
+       |SELECT i.id1 AS id_new, i.id2 AS id_old, $fx AS jaccard
+       |FROM inter i
+       |JOIN sizes s1 ON s1.doc_id = i.id1
+       |JOIN sizes s2 ON s2.doc_id = i.id2
+       |WHERE $fx >= ${(threshold * 1e4).toLong}
+       |ORDER BY id_new, id_old""".stripMargin
+  }
+
   // ---- content-canonical oracle twins (sf1 scale evidence) ----
   //
   // Every value these queries emit is a pure function of document

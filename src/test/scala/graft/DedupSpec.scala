@@ -255,4 +255,29 @@ class DedupSpec extends GraftSuite {
       assert(c.getAs[Long]("n_pairs") == expect(k), s"cell $k")
     }
   }
+
+  test("dedup_incremental equals the full near-dup pairs restricted to batch×corpus") {
+    // on a corpus without degenerate buckets the incremental probe
+    // must find EXACTLY the full self-join's pairs that cross the
+    // increment boundary — oriented (new, old); batch-batch pairs are
+    // deliberately excluded (the increment self-dedups separately)
+    val full = Dedup.minhash(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("jaccard")))
+    def isBatch(id: Long) = id % Dedup.IncrMod == Dedup.IncrRes
+    val expected = full.flatMap { case (a, b, j) =>
+      if (isBatch(a) && !isBatch(b)) Some((a, b, j))
+      else if (isBatch(b) && !isBatch(a)) Some((b, a, j))
+      else None
+    }.toSet
+    val got = Dedup.minhashIncremental(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_new"), r.getAs[Long]("id_old"),
+        r.getAs[Long]("jaccard"))).toSet
+    assert(got == expected,
+      s"incremental=${got.size} expected=${expected.size} " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    got.foreach { case (n, o, j) =>
+      assert(isBatch(n) && !isBatch(o), s"orientation ($n,$o)")
+      assert(j >= 5000L, "0.5 gate")
+    }
+  }
 }
