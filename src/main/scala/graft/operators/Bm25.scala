@@ -585,7 +585,7 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val tfs = column(graft.functions.expressions.TermCounts(expression(col("text"))))
-    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val v = Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(tfs).as("e"))
       .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
       .groupBy(col("term"))
@@ -593,9 +593,31 @@ object Bm25 {
       // first): on a store with duplicate doc_id rows a plain row
       // count would diverge from the document frequency it claims
       .agg(countDistinct(col("doc_id")).as("df"), sum(col("tf")).as("cf"))
-      .withColumn("term_id",
-        row_number().over(Window.orderBy(col("df").desc, col("term"))).cast("long"))
-      .select(col("term_id"), col("term"), col("df"), col("cf"))
+    // DISTRIBUTED dense-id assignment (r7 — a web-corpus vocabulary is
+    // 1e8+ terms; the old global row_number sorted all of it on ONE
+    // partition): range-partition on the rank key, rank locally, add
+    // broadcast per-partition prefix offsets. term_id values are
+    // identical to the global rank wherever the range boundaries fall
+    // (offset + local rank IS the global rank under a total order);
+    // the only remaining unpartitioned window is the ≤numPartitions
+    // offsets prefix-sum — bounded by cluster parallelism, a config
+    // constant, never by data.
+    val parted = v.repartitionByRange(col("df").desc, col("term"))
+      .withColumn("_pid", spark_partition_id())
+      // two consumers (local ranks + offsets census) of the
+      // explode+aggregate+range-exchange subtree
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parted.withColumn("_lrank",
+      row_number().over(Window.partitionBy(col("_pid"))
+        .orderBy(col("df").desc, col("term"))).cast("long"))
+    val offsets = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select((col("_off") + col("_lrank")).as("term_id"),
+        col("term"), col("df"), col("cf"))
       .orderBy(col("term_id"))
   }
 

@@ -184,9 +184,12 @@ class PlanHygieneSpec extends GraftSuite {
       // bounded by construction, invisible to the plan-shape heuristic:
       "corpus_mix"     -> "window over the per-source census — sources are dozens, never corpus-shaped",
       "shard_manifest" -> "window over the NumShards-row aggregate — constant shard domain",
-      // the one documented true exception (SURVEY §2): full-vocabulary
-      // rank on one partition, distributed swap documented
-      "vocabulary"     -> "full-vocab rank window; bounded by vocabulary size, swap documented")
+      // vocabulary's remaining unpartitioned window is the
+      // ≤numPartitions offsets prefix-sum of the distributed
+      // dense-id assignment — bounded by cluster parallelism (a
+      // config constant); the heuristic can't see that the _pid
+      // grouping is constant-bounded
+      "vocabulary"     -> "offsets prefix-sum over ≤numPartitions rows (distributed rank, r7)")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
