@@ -1531,6 +1531,45 @@ object Dedup {
        |LEFT JOIN cov ON cov.doc_id = r.rid
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Content-canonical twin of [[minhashIncrementalSql]]: rep-level
+    * signatures fanned out, literal doc-level split candidates
+    * (corpus-side QUALIFY cap on real doc rows), canonical verify
+    * re-oriented to (id_new, id_old).
+    */
+  private[graft] def minhashIncrementalCanonicalSql(threshold: Double = 0.5): String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { b =>
+      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"s${b * BandRows + r}"))
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
+    }.mkString("[", ",\n    ", "]")
+    val tail = canonicalVerifySql((threshold * 1e4).toLong)
+      .replace("SELECT c.id1, c.id2, j.jaccard",
+        "SELECT c.id1 AS id_new, c.id2 AS id_old, j.jaccard")
+      .replace("ORDER BY id1, id2", "ORDER BY id_new, id_old")
+    s"""WITH $canonicalCtes,
+       |sigsr AS (
+       |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
+       |), sigs AS (
+       |  SELECT c.doc_id, ${(0 until NumHashes).map(j => s"s.s$j").mkString(", ")}
+       |  FROM ch c JOIN rep r USING (chash) JOIN sigsr s ON s.doc_id = r.rid
+       |), bands AS (
+       |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
+       |), corpusb AS (
+       |  SELECT * FROM (SELECT * FROM bands WHERE doc_id % $IncrMod <> $IncrRes)
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band, band_key) <= $MaxBucket
+       |), batchb AS (
+       |  SELECT * FROM bands WHERE doc_id % $IncrMod = $IncrRes
+       |), cand AS (
+       |  SELECT DISTINCT b.doc_id AS id1, c.doc_id AS id2
+       |  FROM batchb b JOIN corpusb c
+       |    ON b.band = c.band AND b.band_key = c.band_key
+       |),
+       |$tail""".stripMargin
+  }
+
   /** The canonical twins by driver query key — consumed by
     * [[graft.ScaleOracles]] for the sf1 sweep.
     */
@@ -1538,5 +1577,6 @@ object Dedup {
     "dedup_minhash"  -> minhashCanonicalSql(),
     "dedup_ngram"    -> ngramCanonicalSql(),
     "dedup_span"     -> spanCoverageCanonicalSql,
-    "source_overlap" -> sourceOverlapCanonicalSql())
+    "source_overlap" -> sourceOverlapCanonicalSql(),
+    "dedup_incremental" -> minhashIncrementalCanonicalSql())
 }

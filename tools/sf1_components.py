@@ -118,18 +118,22 @@ def main():
     ok += compare("dedup_semantic_clusters",
                   spark_df(out_dir, "dedup_semantic_clusters"), sem)
 
-    # corpus_curate: swap ONLY the recursive nd arm for the union-find
-    # labels; every other arm runs as written
-    cc = oracles["corpus_curate"]
-    start = cc.index("), nd AS (")
-    end = cc.index("), cont AS (")
+    # corpus_curate / curation_funnel: swap ONLY the recursive nd arm
+    # for the union-find labels; every other arm runs as written
     con.register("nd_labels", lex[lex["is_dup"] == 1][["doc_id"]])
-    patched = cc[:start] + "), nd AS (\n  SELECT doc_id FROM nd_labels\n" + cc[end:]
-    cur = con.execute(patched).df()
-    ok += compare("corpus_curate", spark_df(out_dir, "corpus_curate"), cur)
+    n = 2
+    for q in ("corpus_curate", "curation_funnel"):
+        if q not in oracles or not glob.glob(f"{out_dir}/{q}/*.parquet"):
+            continue
+        n += 1
+        cc = oracles[q]
+        start = cc.index("), nd AS (")
+        end = cc.index("), cont AS (")
+        patched = cc[:start] + "), nd AS (\n  SELECT doc_id FROM nd_labels\n" + cc[end:]
+        ok += compare(q, spark_df(out_dir, q), con.execute(patched).df())
 
-    print(f"\n{ok} ok, {3 - ok} bad")
-    sys.exit(0 if ok == 3 else 1)
+    print(f"\n{ok} ok, {n - ok} bad")
+    sys.exit(0 if ok == n else 1)
 
 
 if __name__ == "__main__":
