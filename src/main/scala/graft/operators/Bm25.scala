@@ -575,11 +575,17 @@ object Bm25 {
     * content-derived hash ids — no global pass), but the dense-id
     * artifact is what embedding tables and tokenizer exports consume.
     * Per-doc tf pairs are the zero-shuffle native TermCounts sketch;
-    * the term aggregate shuffles vocabulary-sized rows only. The
-    * rank window is a single-partition sort of the VOCABULARY —
-    * fine to ~1e7 terms, the oracle-comparable form; past that the
-    * same total order feeds a distributed sort + zipWithIndex (two
-    * passes, no single reducer) behind the same output shape.
+    * the term aggregate shuffles vocabulary-sized rows only.
+    *
+    * Output contract: UNSORTED vocabulary-sized relation — the ids
+    * are already the global rank, so a trailing sort would buy
+    * presentation order only at the price of one more full
+    * range-partition exchange (a 1e8-term web vocabulary re-sorted
+    * just to be read in id order). Tokenizer exports write the
+    * relation partition-parallel; the human-readable head rides
+    * [[vocabularyTop]]'s TakeOrdered instead (the same contract
+    * split as [[graft.operators.Clustering.graphPagerank]] /
+    * `graphPagerankTop`).
     */
   def vocabulary(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -618,8 +624,22 @@ object Bm25 {
     local.join(broadcast(offsets), Seq("_pid"))
       .select((col("_off") + col("_lrank")).as("term_id"),
         col("term"), col("df"), col("cf"))
-      .orderBy(col("term_id"))
   }
+
+  /** Head size for [[vocabularyTop]] — the driver-compared entry. */
+  val VocabTopK = 100
+
+  /** Vocabulary head: the [[VocabTopK]] most frequent terms in dense-id
+    * order (term_id 1..k IS the (df desc, term) rank). orderBy+limit
+    * plans as TakeOrderedAndProject — per-partition heaps and a k-row
+    * driver merge, NEVER a vocabulary-sized Sort exchange; this is the
+    * driver-compared form (RetrievalSpec pins head==full and no
+    * global Sort).
+    */
+  def vocabularyTop(spark: SparkSession, dir: String, k: Int = VocabTopK): DataFrame =
+    vocabulary(spark, dir)
+      .orderBy(col("term_id"))
+      .limit(k)
 
   val vocabularySql: String =
     s"""WITH tf AS (
@@ -634,6 +654,9 @@ object Bm25 {
        |  term, df, cf
        |FROM v
        |ORDER BY term_id""".stripMargin
+
+  def vocabularyTopSql(k: Int = VocabTopK): String =
+    vocabularySql + s"\nLIMIT $k"
 
   /** Fixed demo sparse query: (term, integer weight) — the shape a
     * learned-sparse encoder (SPLADE / uniCOIL) emits for a query.

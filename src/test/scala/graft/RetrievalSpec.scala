@@ -292,7 +292,9 @@ class RetrievalSpec extends GraftSuite {
   test("vocabulary dense ids are a gapless df-descending enumeration") {
     import graft.functions.expressions.Tok
     import scala.jdk.CollectionConverters._
+    // UNSORTED relation contract (r8): sort on the driver, not the plan
     val rows = Bm25.vocabulary(spark, sf).collect()
+      .sortBy(_.getAs[Long]("term_id"))
     assert(rows.nonEmpty)
     // gapless 1..V enumeration in (df desc, term) order
     assert(rows.map(_.getAs[Long]("term_id")).toSeq == (1L to rows.length).toSeq)
@@ -314,6 +316,26 @@ class RetrievalSpec extends GraftSuite {
       val t = r.getAs[String]("term")
       assert(r.getAs[Long]("df") == df(t) && r.getAs[Long]("cf") == cf(t), t)
     }
+
+    // the driver-compared head: top-VocabTopK by term_id, planned as
+    // TakeOrdered — never a vocabulary-sized Sort exchange (the
+    // pagerank/pagerankTop contract split, r8)
+    val top = Bm25.vocabularyTop(spark, sf)
+    val topRows = top.collect()
+    assert(topRows.length == math.min(Bm25.VocabTopK, rows.length))
+    val got = topRows.map(r => (r.getAs[Long]("term_id"), r.getAs[String]("term"),
+      r.getAs[Long]("df"), r.getAs[Long]("cf"))).toSeq
+    val expected = rows.take(topRows.length).map(r => (r.getAs[Long]("term_id"),
+      r.getAs[String]("term"), r.getAs[Long]("df"), r.getAs[Long]("cf"))).toSeq
+    assert(got == expected, "head must agree with the full ranking")
+    val exec = top.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered plan:\n$exec")
+    val globalSorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty,
+      s"vocabulary-sized global Sort crept back into the plan:\n$exec")
   }
 
   test("phrase_search reads only (doc_id, text) and plans zero pre-rank exchanges") {
