@@ -101,7 +101,7 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     val session = GraftDB.CheckResult(!spark.sparkContext.isStopped,
       if (spark.sparkContext.isStopped) "SparkContext stopped" else s"master=${spark.sparkContext.master}")
     val index = {
-      val kinds = Seq("lsh", "ivf", "pq", "ivfpq").filter { k =>
+      val kinds = Seq("lsh", "ivf", "pq", "ivfpq", "graph", "minhash").filter { k =>
         new java.io.File(VectorIndex.indexPath(dir, k), "_SUCCESS").exists()
       }
       val debt =
@@ -433,6 +433,16 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     * (lib.rs:317 batch_add_documents).
     */
   def ingest(outPath: String): Unit = Ingest.ingestDocuments(spark, dir, outPath)
+
+  /** The admit/reject decision of incremental ingestion: near-dup
+    * matches of the arriving increment against the existing corpus,
+    * served from the persisted MinHash band layout (sparse.rs:71
+    * add_document incremental form) — one row per (id_new, id_old)
+    * pair at exact shingle Jaccard ≥ threshold; an id_new with no row
+    * is admit.
+    */
+  def dedupIncremental(threshold: Double = 0.5): DataFrame =
+    Dedup.minhashIncrementalIndexed(spark, dir, threshold)
 
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).

@@ -224,7 +224,7 @@ object Dedup {
     * no string column ever enters a shuffle and the sketch itself
     * costs zero shuffles.
     */
-  private def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingleDocs(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val hashes = column(graft.functions.expressions.ShingleHashes(
       expression(col("text")), 3, P))
@@ -270,20 +270,31 @@ object Dedup {
     * h_j(x) = ((2j+1) * x + 7919j + 12345) mod (2^31-1) — products
     * stay far below 2^63 in both engines.
     */
-  def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** (doc_id, band, band_key) banding of a shingle-sketch frame — the
+    * shared derivation of [[minhash]], [[minhashIncremental]] and the
+    * persisted band layout
+    * ([[graft.sources.VectorIndex.buildMinhashIndex]]): 32 permutation
+    * minima via the native one-pass MinHashSig map, 8 four-row 60-bit
+    * band keys per doc. Zero shuffle — a pure map over `docs`.
+    */
+  private[graft] def minhashBands(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    val docs = shingleDocs(spark, dir)
     val sigs = docs.select(col("doc_id"),
       column(graft.functions.expressions.MinHashSig(
         expression(col("sh")), NumHashes, P)).as("sig"))
       .filter(col("sig").isNotNull)
-    val bands = sigs.select(col("doc_id"),
+    sigs.select(col("doc_id"),
       explode(array((0 until NumBands).map { b =>
         struct(lit(b).as("band"),
           hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
             col("sig").getItem(b * BandRows + r)): _*)).as("band_key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = shingleDocs(spark, dir)
+    val bands = minhashBands(docs)
     val bounded = boundBuckets(bands, col("band"), col("band_key"))
     val cand = bounded.select(col("doc_id").as("id1"), col("band"), col("band_key"))
       .join(bounded.select(col("doc_id").as("id2"), col("band"), col("band_key")),
@@ -1251,9 +1262,11 @@ object Dedup {
     * Jaccard ≥ threshold.
     *
     * Scale shape — O(batch × bucket), NEVER corpus × corpus: both
-    * sides band on the shared MinHash family (at 100 TB the corpus
-    * side is the persisted signature layout, not a re-scan — the
-    * same pattern as [[graft.operators.VectorSearch.knnForProbes]]);
+    * sides band on the shared MinHash family. This recompute form
+    * re-signs the corpus per query and exists as the oracle-comparable
+    * derivation; the 100 TB ingestion path is
+    * [[minhashIncrementalIndexed]], which probes the PERSISTED band
+    * layout instead (hash-identical output, spec-pinned);
     * candidates come from a batch-probe ⋈ corpus equi-join on
     * (band, band_key), so corpus docs never pair with each other.
     * Degenerate corpus buckets (> [[MaxBucket]] members agreeing on a
@@ -1266,20 +1279,9 @@ object Dedup {
     */
   def minhashIncremental(spark: SparkSession, dir: String,
                          threshold: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     import org.apache.spark.sql.expressions.Window
     val docs = shingleDocs(spark, dir)
-    val sigs = docs.select(col("doc_id"),
-      column(graft.functions.expressions.MinHashSig(
-        expression(col("sh")), NumHashes, P)).as("sig"))
-      .filter(col("sig").isNotNull)
-    val bands = sigs.select(col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        struct(lit(b).as("band"),
-          hash60(concat_ws(",", lit(b) +: (0 until BandRows).map(r =>
-            col("sig").getItem(b * BandRows + r)): _*)).as("band_key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+    val bands = minhashBands(docs)
     val corpusB = bands.filter(col("doc_id") % IncrMod =!= IncrRes)
       .withColumn("_bn", count(lit(1))
         .over(Window.partitionBy(col("band"), col("band_key"))))
@@ -1294,6 +1296,93 @@ object Dedup {
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .select(col("id1").as("id_new"), col("id2").as("id_old"), col("jaccard"))
       .orderBy(col("id_new"), col("id_old"))
+  }
+
+  /** band_key sub-bucket count for the persisted band layout's second
+    * partition column: 8 band directories alone cannot prune a probe
+    * (every query touches all 8), so each band splits into
+    * `pmod(band_key, BandSubBuckets)` sub-directories and the probe
+    * join's (band, bkt) equi-keys dynamic-partition-prune the scan to
+    * the batch's buckets. 64 × 8 = 512 directories — the same
+    * granularity as the LSH layout's 2^9 buckets.
+    */
+  val BandSubBuckets = 64
+
+  /** The batch half of [[minhashIncremental]]'s corpus/batch split,
+    * shingled from source: ONLY the increment's documents are read —
+    * the corpus side must come from the persisted layout, never a
+    * re-scan.
+    */
+  private def batchShingles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val hashes = column(graft.functions.expressions.ShingleHashes(
+      expression(col("text")), 3, P))
+    Tables.spread(spark, Tables.documents(spark, dir)
+        .filter(col("doc_id") % IncrMod === IncrRes)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), hashes.as("sh"))
+      // two consumers: batch bands + batch-side Jaccard verify
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[minhashIncremental]] served from the persisted MinHash band
+    * layout ([[graft.sources.VectorIndex.buildMinhashIndex]]) —
+    * identical rows, but the corpus side is never re-shingled or
+    * re-signed: band rows come from the layout's (band, bkt)
+    * directories (the probe join dynamic-partition-prunes the scan to
+    * the batch's buckets) and the Jaccard verify reads the corpus
+    * shingle sketches from the companion `_sh` relation. Per-query
+    * work is O(batch × bucket) — the amortized form the 100 TB
+    * ingestion path runs (reference sparse.rs:71 add_document: probe
+    * the maintained index, don't rebuild it).
+    *
+    * The corpus-side bucket cap is computed with a window over the
+    * PRUNED scan only: a (band, band_key) bucket is entirely inside
+    * one (band, bkt) directory, so the per-bucket count over the
+    * probed directories equals the global count — bit-identical cap
+    * decisions to the recompute form without a layout-wide pass.
+    */
+  def minhashIncrementalFromIndex(spark: SparkSession, path: String,
+                                  batchSh: DataFrame,
+                                  threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val batchB = minhashBands(batchSh)
+      .withColumn("bkt", pmod(col("band_key"), lit(BandSubBuckets.toLong)).cast("int"))
+      .select(col("doc_id").as("id1"), col("band"), col("bkt"), col("band_key"))
+    // tiny distinct probe-key set: broadcast side of the DPP join
+    val probeKeys = batchB.select(col("band"), col("bkt"), col("band_key")).distinct()
+    val layout = spark.read.parquet(path)
+    val pruned = layout.join(broadcast(probeKeys), Seq("band", "bkt", "band_key"))
+    val corpusB = pruned.filter(col("doc_id") % IncrMod =!= IncrRes)
+      .withColumn("_bn", count(lit(1))
+        .over(Window.partitionBy(col("band"), col("band_key"))))
+      .filter(col("_bn") <= MaxBucket)
+      .select(col("doc_id").as("id2"), col("band"), col("band_key"))
+    val cand = batchB
+      .join(corpusB.hint("shuffle_hash"), Seq("band", "band_key"))
+      .select(col("id1"), col("id2")).distinct()
+    val corpusSh = spark.read.parquet(path + "_sh")
+    cand
+      .join(batchSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(corpusSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+        .hint("shuffle_hash"), "id2")
+      .withColumn("inter", pairOverlap(col("sh1"), col("sh2")).cast("double"))
+      .select(col("id1"), col("id2"),
+        fx(col("inter") / (size(col("sh1")).cast("long") + size(col("sh2")).cast("long")
+          - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= (threshold * 1e4).toLong)
+      .select(col("id1").as("id_new"), col("id2").as("id_old"), col("jaccard"))
+      .orderBy(col("id_new"), col("id_old"))
+  }
+
+  /** Build-if-missing entry for the layout-served incremental dedup —
+    * the driver-compared `dedup_incremental_indexed` form (DedupSpec
+    * pins hash-equality to the recompute form).
+    */
+  def minhashIncrementalIndexed(spark: SparkSession, dir: String,
+                                threshold: Double = 0.5): DataFrame = {
+    val path = graft.sources.VectorIndex.minhashIndexReady(spark, dir)
+    minhashIncrementalFromIndex(spark, path, batchShingles(spark, dir), threshold)
   }
 
   def minhashIncrementalSql(threshold: Double = 0.5): String = {

@@ -328,7 +328,12 @@ object VectorIndex {
         val cs = f.listFiles().map(stat)
         (cs.map(_._1).sum, (0L +: cs.map(_._2)).max)
       } else (f.length, f.lastModified)
-    val (sz, mt) = stat(new java.io.File(dir, "embeddings.parquet"))
+    // the stamp tracks the layout's SOURCE table: the minhash band
+    // layout derives from document text, the vector layouts from
+    // embeddings — a regenerated table invalidates only its layouts
+    val srcTable =
+      if (kind == "minhash") "documents.parquet" else "embeddings.parquet"
+    val (sz, mt) = stat(new java.io.File(dir, srcTable))
     System.getProperty("java.io.tmpdir") + "/graft_vindex_" + kind + "_" +
       dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + sz + "_" + mt
   }
@@ -405,6 +410,8 @@ object VectorIndex {
       buildPqIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "ivfpq"), Seq("_centroids", "_books", ""))(
       buildIvfPqIndex(spark, dir, _))
+    rebuildStaged(indexPath(dir, "minhash"), Seq("_sh", ""))(
+      buildMinhashIndex(spark, dir, _))
   }
 
   /** Auto-optimize heuristic (reference
@@ -466,6 +473,9 @@ object VectorIndex {
     val dim = kind match {
       // codes layouts carry no embedding column: report subspace count
       case "pq" | "ivfpq" => layout.columns.count(_.startsWith("code"))
+      // band rows carry no vector either: report the signature width
+      // the bands are derived from
+      case "minhash" => graft.operators.Dedup.NumHashes
       case _ =>
         // head(1) not head(): a built-but-empty layout (zero rows,
         // _SUCCESS present) must report dimension 0, not crash the
@@ -503,7 +513,10 @@ object VectorIndex {
       // graph debt matters doubly: appended nodes carry un-pruned
       // reverse-edge growth in the served snapshot; a rebuild restores
       // the nearest-first 2k-degree invariant
-      ("graph", Seq(""), buildKnnGraphIndex(spark, dir, _)))
+      ("graph", Seq(""), buildKnnGraphIndex(spark, dir, _)),
+      // minhash debt: appended generations fragment the probed band
+      // directories into per-batch files exactly like the LSH buckets
+      ("minhash", Seq("_sh", ""), buildMinhashIndex(spark, dir, _)))
     kinds.collect {
       case (kind, sfx, build)
         if exists(spark, indexPath(dir, kind)) &&
@@ -726,6 +739,42 @@ object VectorIndex {
   def knnGraphIndexReady(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir, "graph")
     buildIfMissing(path, Seq(""))(buildKnnGraphIndex(spark, dir, _))
+    path
+  }
+
+  /** Build (or rebuild) the MinHash BAND layout — the dedup-side
+    * index the incremental-ingestion path probes
+    * ([[graft.operators.Dedup.minhashIncrementalFromIndex]];
+    * reference sparse.rs:71 add_document maintains exactly this
+    * signature index). One row per (doc, band) with the 60-bit band
+    * key, written `partitionBy(band, bkt)` (bkt = band_key mod
+    * [[graft.operators.Dedup.BandSubBuckets]]) so a batch probe
+    * dynamic-partition-prunes to its buckets; the doc-level shingle
+    * sketch is saved alongside as `<path>_sh` so candidate
+    * verification never re-reads corpus text. `gen` 0 marks
+    * base-build rows; [[graft.streaming.EventStreams.minhashIndexStream]]
+    * appends later generations.
+    */
+  def buildMinhashIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    import graft.operators.Dedup
+    val docs = Dedup.shingleDocs(spark, dir)
+    try {
+      Dedup.minhashBands(docs)
+        .withColumn("bkt",
+          pmod(col("band_key"), lit(Dedup.BandSubBuckets.toLong)).cast("int"))
+        .withColumn("gen", lit(0L))
+        // co-locate each directory before the partitioned write: one
+        // file per (band, bkt) instead of one per (task x directory)
+        .repartition(col("band"), col("bkt"))
+        .write.mode("overwrite").partitionBy("band", "bkt").parquet(path)
+      docs.select(col("doc_id"), col("sh"), lit(0L).as("gen"))
+        .write.mode("overwrite").parquet(path + "_sh")
+    } finally docs.unpersist()
+  }
+
+  def minhashIndexReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "minhash")
+    buildIfMissing(path, Seq("_sh", ""))(buildMinhashIndex(spark, dir, _))
     path
   }
 

@@ -412,6 +412,52 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming maintenance of the persisted MinHash band layout
+    * ([[graft.sources.VectorIndex.buildMinhashIndex]]; reference
+    * sparse.rs:71 add_document — the signature index is maintained,
+    * never rebuilt per batch): each micro-batch of (doc_id, text)
+    * rows is shingled and banded with the SAME permutation family as
+    * the base build; band rows append into the (band, bkt)
+    * directories incremental-dedup probes already prune to, and the
+    * doc-level shingle sketches append into the companion `_sh`
+    * relation so verification covers the new docs too. Same
+    * effectively-once contract as [[indexStream]]: batchId-derived
+    * generations, replays detected and skipped. The `_sh` append runs
+    * BEFORE the band append — the probed main layout's generation
+    * marker is the commit point, so a crash between the two jobs
+    * leaves orphan sketches (harmless: joined only via candidates),
+    * never bands whose verify side is missing.
+    */
+  def minhashIndexStream(docs: DataFrame, path: String,
+                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val gen = baseGen + batchId
+        import graft.operators.Dedup
+        import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+        if (!generationPresent(spark.read.parquet(path), gen)) {
+          val sh = batch
+            .select(col("doc_id"),
+              column(graft.functions.expressions.ShingleHashes(
+                expression(col("text")), 3, Dedup.P)).as("sh"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            if (!generationPresent(spark.read.parquet(path + "_sh"), gen))
+              sh.select(col("doc_id"), col("sh"), lit(gen).as("gen"))
+                .write.mode("append").parquet(path + "_sh")
+            Dedup.minhashBands(sh)
+              .withColumn("bkt", pmod(col("band_key"),
+                lit(Dedup.BandSubBuckets.toLong)).cast("int"))
+              .withColumn("gen", lit(gen))
+              .repartition(col("band"), col("bkt"))
+              .write.mode("append").partitionBy("band", "bkt").parquet(path)
+          } finally sh.unpersist()
+        }
+      }
+      .start()
+
   def vectorIndexStream(vecs: DataFrame, path: String,
                         baseGen: Long = 1L): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream

@@ -151,6 +151,11 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.sources.VectorIndex.annIvfFilteredIndexed(spark, sf, 0, Seq(1, 3, 5), k = 10)))
   }
 
+  test("dedupIncremental delegates to the layout-probed admit/reject decision") {
+    assert(rows(db.dedupIncremental()) ==
+      rows(graft.operators.Dedup.minhashIncrementalIndexed(spark, sf)))
+  }
+
   test("cachedQuery serves semantically equal plans from the handle cache") {
     val fresh = GraftDB(spark, sf)
     assert(fresh.getCacheStats == ((0L, 0L)))

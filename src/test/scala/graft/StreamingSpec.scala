@@ -239,6 +239,51 @@ class StreamingSpec extends GraftSuite {
       "replayed batch appended duplicate vectors")
   }
 
+  test("streamed documents join incremental dedup through MinHash band maintenance") {
+    import graft.operators.Dedup
+    import graft.sources.VectorIndex
+    val idxPath = java.nio.file.Files.createTempDirectory("mh_stream").toString + "/minhash"
+    VectorIndex.buildMinhashIndex(spark, sf, idxPath)
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    // a new CORPUS doc with text identical to some increment doc: once
+    // its bands+sketch land in the layout, the increment doc MUST match
+    // it at jaccard 10000 through the probe path
+    val batchDoc = docs.filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRes)
+      .filter(length(col("text")) > 50)
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text")).head
+    val newId = { val c = maxId + 1; if (c % Dedup.IncrMod == Dedup.IncrRes) c + 1 else c }
+    val stageDir = java.nio.file.Files.createTempDirectory("mh_docs_stream")
+    docs.filter(col("doc_id") === batchDoc.getLong(0))
+      .select(lit(newId).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = docs.select(col("doc_id"), col("text")).schema
+    def newStream() = spark.readStream.schema(schema).parquet(stageDir.toString)
+    val q = EventStreams.minhashIndexStream(newStream(), idxPath)
+    q.processAllAvailable(); q.stop()
+    val batchSh = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      docs.filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRes)
+        .select(col("doc_id"),
+          column(graft.functions.expressions.ShingleHashes(
+            expression(col("text")), 3, Dedup.P)).as("sh"))
+    }
+    val matches = Dedup.minhashIncrementalFromIndex(spark, idxPath, batchSh).collect()
+    val hit = matches.find(r => r.getAs[Long]("id_new") == batchDoc.getLong(0) &&
+      r.getAs[Long]("id_old") == newId)
+    assert(hit.nonEmpty,
+      s"streamed corpus doc not probed: ${matches.map(_.toSeq).take(5).toSeq}")
+    assert(hit.get.getAs[Long]("jaccard") == 10000L, "identical text = jaccard 1.0")
+    // replay safety: generation check must skip the re-delivered batch
+    val nBands = spark.read.parquet(idxPath).count()
+    val nSh = spark.read.parquet(idxPath + "_sh").count()
+    val q2 = EventStreams.minhashIndexStream(newStream(), idxPath)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(idxPath).count() == nBands &&
+      spark.read.parquet(idxPath + "_sh").count() == nSh,
+      "replayed batch appended duplicate band/sketch rows")
+  }
+
   test("streamed vectors become servable through incremental kNN-graph maintenance") {
     import graft.sources.{PointServe, VectorIndex}
     val idxPath = java.nio.file.Files.createTempDirectory("gidx_stream").toString + "/graph"

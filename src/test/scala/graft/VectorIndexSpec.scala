@@ -36,6 +36,51 @@ class VectorIndexSpec extends GraftSuite {
     assert(parts.nonEmpty && parts.forall(_.matches("bucket=\\d+")))
   }
 
+  test("MinHash band layout serves incremental dedup bit-identically with a pruned probe") {
+    import graft.operators.Dedup
+    val path = tmpDir("graft_minhash_idx")
+    VectorIndex.buildMinhashIndex(spark, sf, path)
+    val recompute = rows(Dedup.minhashIncremental(spark, sf))
+    val served = Dedup.minhashIncrementalIndexed(spark, sf)
+    // the indexed entry builds-if-missing into the stamped tmp path;
+    // also pin the explicitly-built layout at `path` to the same rows
+    assert(rows(served) == recompute,
+      "layout-probed incremental dedup must reproduce the recompute form bit-for-bit")
+    val explicit = Dedup.minhashIncrementalFromIndex(spark, path,
+      sparkDocsBatch())
+    assert(rows(explicit) == recompute)
+    // the band probe must reach the layout scan as DPP: only the
+    // batch's (band, bkt) directories are read
+    val plan = explicit.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP on band probe join:\n$plan")
+    // corpus text is NEVER re-read on the probe path: the corpus side
+    // comes from the layout directories, and every source-table read
+    // sits under the increment filter (batch side only)
+    assert(plan.contains("graft_minhash_idx"), s"probe does not read the layout:\n$plan")
+    assert(plan.contains("% 10) = 7"), s"batch side not increment-filtered:\n$plan")
+    // the layout is partitioned by (band, bkt)
+    val bands = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("band=")).map(_.getName)
+    assert(bands.length == Dedup.NumBands && bands.forall(_.matches("band=\\d+")))
+    val bkts = new java.io.File(path + "/" + bands.head).listFiles()
+      .filter(_.getName.startsWith("bkt=")).map(_.getName)
+    assert(bkts.nonEmpty && bkts.forall(_.matches("bkt=\\d+")))
+    // observability: the layout reports through the same stats surface
+    val stats = VectorIndex.indexStats(spark, sf, "minhash")
+    assert(stats.isBuilt && stats.pointCount > 0 &&
+      stats.dimension == Dedup.NumHashes)
+  }
+
+  private def sparkDocsBatch(): org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRes)
+      .select(col("doc_id"),
+        column(graft.functions.expressions.ShingleHashes(
+          expression(col("text")), 3, Dedup.P)).as("sh"))
+  }
+
   test("IVF index serves the exact annIvf results with a partition-pruned scan") {
     val path = tmpDir("graft_ivf_idx")
     VectorIndex.buildIvfIndex(spark, sf, path)
