@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.VectorSearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-SF ANN recall sweep — the evidence harness behind the recall
+  * figures SURVEY §5 records (the r7 sf1 sweep that caught the
+  * kNN-graph clone-collapse ran this derivation by hand; r8 makes it
+  * a repeatable main). For a panel of query ids it measures
+  * recall@k of the approximate families against their exact
+  * brute-force twins AT UNTOUCHED DEFAULTS — so a default that stops
+  * scaling (the r7 PQ coarseK finding) shows up as a dropped floor
+  * here, not in production.
+  *
+  * Usage: runMain graft.RecallSweep <sfDir> [nQueries]
+  * Prints one JSON line: {"sf":…,"n":…,"pq":…,"ivfpq":…,"ivf":…,"coarse_k":…}
+  */
+object RecallSweep {
+
+  private def bruteL2(emb: DataFrame, qid: Long, k: Int): Set[Long] = {
+    import graft.functions.VectorFunctions.l2DistanceSq
+    val q = emb.filter(col("vec_id") === qid).select(col("emb").as("qv"))
+    emb.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2DistanceSq(col("emb"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+  }
+
+  private def recallOf(got: Set[Long], brute: Set[Long]): Double =
+    if (brute.isEmpty) 1.0 else (brute intersect got).size.toDouble / brute.size
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQueries = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .appName("graft-recall-sweep").master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val emb = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .persist()
+      val n = emb.count()
+      // spread the query panel over the id space (clone-replicated SFs
+      // repeat low ids; an all-low panel would under-sample)
+      val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries.toLong))
+      def mean(xs: Seq[Double]) = xs.sum / xs.length
+      val pq = mean(qids.map { qid =>
+        val got = VectorSearch.annPq(spark, sfDir, qid, k = 20).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        recallOf(got, bruteL2(emb, qid, 20))
+      })
+      val ivfpq = mean(qids.map { qid =>
+        val got = VectorSearch.annIvfPq(spark, sfDir, qid, k = 10).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        recallOf(got, bruteL2(emb, qid, 10))
+      })
+      val ivf = mean(qids.map { qid =>
+        val got = VectorSearch.annIvf(spark, sfDir, qid, k = 10).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        recallOf(got, bruteL2(emb, qid, 10))
+      })
+      val ck = VectorSearch.pqCoarseKFor(n)
+      def f(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+        java.lang.Double.valueOf(x))
+      println(s"""{"sf":"$sfDir","n":$n,"queries":$nQueries,""" +
+        s""""coarse_k":$ck,"pq":${f(pq)},"ivfpq":${f(ivfpq)},"ivf":${f(ivf)}}""")
+    } finally spark.stop()
+  }
+}

@@ -767,8 +767,55 @@ object VectorSearch {
   val PqSubDim = 4
   val PqK = 32
   val PqStride = 13
-  /** ADC candidates kept for the exact rescore pass. */
+  /** FLOOR of the rescore pool — the old absolute default. */
   val PqCoarseK = 100
+
+  /** Rescore-pool FRACTION (FAISS refine-factor style): the r7 sf1
+    * sweep showed the absolute default silently becoming a smaller
+    * fraction as the corpus grows (recall 0.8 → 0.5 at 10× until
+    * retuned to the SAME 5% the smaller SF had), so the default pool
+    * is clamp([[PqCoarseK]], ⌈[[PqCoarseFrac]] × corpus⌉,
+    * [[PqCoarseMax]]) — recall holds across SFs with untouched knobs
+    * (reference index.rs FaissIndexType::IvfPq).
+    */
+  val PqCoarseFrac = 0.05
+
+  /** Absolute pool ceiling: the rescore pass broadcasts the pool's
+    * ids back against the flat vector table, so the default must stay
+    * broadcast-bounded at ANY corpus size (1e5 ids ≈ 1 MB); a
+    * billion-vector deployment that wants a >1e5 pool raises the
+    * explicit coarseK knob with eyes open.
+    */
+  val PqCoarseMax = 100000
+
+  /** coarseK sentinel: resolve the pool from the corpus size. */
+  val AutoCoarseK = -1
+
+  /** The scale-relative rescore pool for an n-vector corpus. */
+  def pqCoarseKFor(n: Long): Int =
+    math.min(PqCoarseMax.toLong,
+      math.max(PqCoarseK.toLong, math.ceil(PqCoarseFrac * n).toLong)).toInt
+
+  // one count job per table directory per JVM, not per query — the
+  // bench drives many PQ entries over the same corpus
+  private val corpusCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def corpusCount(spark: SparkSession, dir: String): Long =
+    corpusCountCache.computeIfAbsent(dir,
+      _ => Long.box(Tables.embeddings(spark, dir).count())).longValue
+
+  private[graft] def resolveCoarseK(spark: SparkSession, dir: String,
+                                    coarseK: Int): Int =
+    if (coarseK == AutoCoarseK) pqCoarseKFor(corpusCount(spark, dir)) else coarseK
+
+  /** DuckDB twin of the auto pool: same GREATEST/CEIL arithmetic over
+    * the same COUNT, evaluated inside the LIMIT.
+    */
+  private[graft] def coarseKSql(coarseK: Int): String =
+    if (coarseK == AutoCoarseK)
+      s"(SELECT LEAST($PqCoarseMax, GREATEST($PqCoarseK, CAST(CEIL($PqCoarseFrac * COUNT(*)) AS BIGINT))) FROM embeddings)"
+    else coarseK.toString
 
   /** PQ-ADC ANN with exact rescore (Jégou et al., "Product
     * Quantization for Nearest Neighbor Search", TPAMI 2011; the IVF_PQ
@@ -825,7 +872,8 @@ object VectorSearch {
     element_at(col(s"adc$m"), (col(s"code$m") + 1).cast("int"))).reduce(_ + _)
 
   def annPq(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 20,
-            coarseK: Int = PqCoarseK): DataFrame = {
+            coarseK: Int = AutoCoarseK): DataFrame = {
+    val ck = resolveCoarseK(spark, dir, coarseK)
     val corpus = embCorpus(spark, dir)
     val books = pqBooks(corpus)
     val query = queryVec(spark, dir, qid)
@@ -837,7 +885,7 @@ object VectorSearch {
       .filter(col("vec_id") =!= qid)
       .select(col("vec_id"), col("emb"), fx(pqAdcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(coarseK)
+      .limit(ck)
     coarse.crossJoin(broadcast(query))
       .select(col("vec_id"), fx(l2DistanceSq(col("emb"), col("qv"))).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -848,7 +896,7 @@ object VectorSearch {
   private def l2SubSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
-  def annPqSql(qid: Long = 0, k: Int = 20, coarseK: Int = PqCoarseK): String =
+  def annPqSql(qid: Long = 0, k: Int = 20, coarseK: Int = AutoCoarseK): String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
        |), subs AS (SELECT unnest(range(0, $PqM)) AS m),
@@ -877,7 +925,7 @@ object VectorSearch {
        |  WHERE c.vec_id <> $qid
        |  GROUP BY c.vec_id
        |  ORDER BY adc_dist, c.vec_id
-       |  LIMIT $coarseK
+       |  LIMIT ${coarseKSql(coarseK)}
        |)
        |SELECT e.vec_id,
        |  ${fxSql("list_sum(list_transform(range(1, 65), i -> (e.emb[i] - q.qv[i]) * (e.emb[i] - q.qv[i])))")} AS dist
@@ -901,11 +949,12 @@ object VectorSearch {
     */
   def annIvfPq(spark: SparkSession, dir: String, qid: Long = 0, k: Int = 10,
                stride: Int = IvfStride, nprobe: Int = IvfNprobe,
-               coarseK: Int = PqCoarseK): DataFrame = {
+               coarseK: Int = AutoCoarseK): DataFrame = {
     // IVF probe machinery shared verbatim with [[annIvf]]; PQ
     // codebook/ADC machinery shared verbatim with [[annPq]] — only
     // the composition (ADC over the probed fraction, then exact
     // rescore) lives here.
+    val ck = resolveCoarseK(spark, dir, coarseK)
     val candidates = ivfProbedCandidates(spark, dir, qid, stride, nprobe)
     val books = pqBooks(embCorpus(spark, dir))
     val adc = queryVec(spark, dir, qid).crossJoin(broadcast(books)).select(pqAdcCols: _*)
@@ -914,7 +963,7 @@ object VectorSearch {
     val ranked = encoded.crossJoin(broadcast(adc))
       .select(col("vec_id"), col("emb"), col("qv"), fx(pqAdcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(coarseK)
+      .limit(ck)
     ranked
       .select(col("vec_id"), fx(l2DistanceSq(col("emb"), col("qv"))).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
@@ -922,7 +971,7 @@ object VectorSearch {
   }
 
   def annIvfPqSql(qid: Long = 0, k: Int = 10, stride: Int = IvfStride,
-                  nprobe: Int = IvfNprobe, coarseK: Int = PqCoarseK): String =
+                  nprobe: Int = IvfNprobe, coarseK: Int = AutoCoarseK): String =
     s"""${ivfProbeSqlPrefix(qid, stride, nprobe)},
        |cand AS (
        |  SELECT a.vec_id, a.emb
@@ -950,7 +999,7 @@ object VectorSearch {
        |  FROM codes c JOIN adctab a ON c.m = a.m AND c.code = a.cid
        |  GROUP BY c.vec_id
        |  ORDER BY adc_dist, c.vec_id
-       |  LIMIT $coarseK
+       |  LIMIT ${coarseKSql(coarseK)}
        |)
        |SELECT e.vec_id,
        |  ${fxSql("list_sum(list_transform(range(1, 65), i -> (e.emb[i] - q.qv[i]) * (e.emb[i] - q.qv[i])))")} AS dist

@@ -321,7 +321,7 @@ object PointServe {
   /** PQ point index: codes + codebook resident (no vectors — the
     * compressed serving shape). Query mirrors
     * [[VectorIndex.annPqFromIndex]]: per-query ADC table, coarse
-    * (adc_dist ASC, vec_id ASC) top-[[VectorSearch.PqCoarseK]], then
+    * (adc_dist ASC, vec_id ASC) top-coarseK (scale-relative default, [[VectorSearch.pqCoarseKFor]]), then
     * exact-L2 rescore through `vectorLookup` when provided — with a
     * lookup the result set is bit-identical to the batch twin; without
     * one the fx4 ADC ranking is returned as-is (approximate tier).
@@ -334,9 +334,13 @@ object PointServe {
     import VectorSearch.{PqM, PqSubDim}
 
     def query(qv: Array[Double], k: Int = 20, excludeId: Long = -1L,
-              coarseK: Int = VectorSearch.PqCoarseK,
+              coarseK: Int = VectorSearch.AutoCoarseK,
               vectorLookup: Long => Option[Array[Double]] = _ => None): Seq[Hit] = {
       val (ids, codes, _) = snap
+      // resident row count IS the served corpus size: the same n the
+      // batch twin resolves its scale-relative pool from
+      val ck = if (coarseK == VectorSearch.AutoCoarseK)
+        VectorSearch.pqCoarseKFor(ids.length.toLong) else coarseK
       val adc = Array.tabulate(PqM, books(0).length) { (m, c) =>
         l2Sq(qv, books(m)(c), m * PqSubDim, PqSubDim, 0)
       }
@@ -347,7 +351,7 @@ object PointServe {
             var m = 0
             while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
             (id, fx4(dist))
-        }, coarseK, ascending = true)
+        }, ck, ascending = true)
       val rescored = coarse.flatMap(h => vectorLookup(h.vecId).map(emb =>
         (h.vecId, fx4(l2Sq(emb, qv, 0, math.min(emb.length, qv.length), 0)))))
       if (rescored.isEmpty) coarse.take(k).zipWithIndex.map {
@@ -410,9 +414,15 @@ object PointServe {
 
     def query(qv: Array[Double], k: Int = 10, excludeId: Long = -1L,
               nprobe: Int = VectorSearch.IvfNprobe,
-              coarseK: Int = VectorSearch.PqCoarseK,
+              coarseK: Int = VectorSearch.AutoCoarseK,
               vectorLookup: Long => Option[Array[Double]] = _ => None): Seq[Hit] = {
       val cells = snap._1
+      val ck = if (coarseK == VectorSearch.AutoCoarseK) {
+        var n = 0L
+        val it = cells.values().iterator()
+        while (it.hasNext) n += it.next().length
+        VectorSearch.pqCoarseKFor(n)
+      } else coarseK
       val coarseMod = stride.toLong * VectorSearch.IvfCoarse
       val qcoarse = fine.iterator.filter(_._1 % coarseMod == 0)
         .map { case (cid, cemb, _) => (cid, l2Sq(cemb, qv, 0, math.min(cemb.length, qv.length), 0)) }
@@ -435,7 +445,7 @@ object PointServe {
             while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
             (id, fx4(dist))
           }
-        }, coarseK, ascending = true)
+        }, ck, ascending = true)
       val rescored = coarse.flatMap(h => vectorLookup(h.vecId).map(emb =>
         (h.vecId, fx4(l2Sq(emb, qv, 0, math.min(emb.length, qv.length), 0)))))
       if (rescored.isEmpty) coarse.take(k).zipWithIndex.map {

@@ -287,8 +287,9 @@ object VectorIndex {
     */
   def annPqFromIndex(spark: SparkSession, dir: String, path: String,
                      queries: DataFrame, qid: Long = 0, k: Int = 20,
-                     coarseK: Int = VectorSearch.PqCoarseK): DataFrame = {
+                     coarseK: Int = VectorSearch.AutoCoarseK): DataFrame = {
     import VectorSearch.{PqM, PqSubDim}
+    val ck = VectorSearch.resolveCoarseK(spark, dir, coarseK)
     val books = spark.read.parquet(path + "_books")
     val codes = spark.read.parquet(path)
     val qv = queries.filter(col("query_id") === qid).select(col("qv"))
@@ -305,7 +306,7 @@ object VectorIndex {
       .filter(col("vec_id") =!= qid)
       .select(col("vec_id"), fx(adcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(coarseK)
+      .limit(ck)
     val full = Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
     full.join(broadcast(coarse), Seq("vec_id"))
@@ -604,8 +605,9 @@ object VectorIndex {
                         queries: DataFrame, qid: Long = 0, k: Int = 10,
                         stride: Int = VectorSearch.IvfStride,
                         nprobe: Int = VectorSearch.IvfNprobe,
-                        coarseK: Int = VectorSearch.PqCoarseK): DataFrame = {
+                        coarseK: Int = VectorSearch.AutoCoarseK): DataFrame = {
     import VectorSearch.{PqM, PqSubDim}
+    val ck = VectorSearch.resolveCoarseK(spark, dir, coarseK)
     val fine = spark.read.parquet(path + "_centroids")
     val books = spark.read.parquet(path + "_books")
     val codes = spark.read.parquet(path)
@@ -636,7 +638,7 @@ object VectorIndex {
       .crossJoin(broadcast(adc))
       .select(col("vec_id"), fx(adcDist).as("adc_dist"))
       .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(coarseK)
+      .limit(ck)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
       .join(broadcast(ranked), Seq("vec_id"))

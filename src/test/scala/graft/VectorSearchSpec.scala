@@ -250,6 +250,15 @@ class VectorSearchSpec extends GraftSuite {
     assert((brute intersect lsh).nonEmpty)
   }
 
+  test("scale-relative rescore pool: floor, fraction, ceiling") {
+    import VectorSearch.{pqCoarseKFor, PqCoarseK, PqCoarseMax}
+    assert(pqCoarseKFor(0L) == PqCoarseK)
+    assert(pqCoarseKFor(2000L) == PqCoarseK)       // 5% = floor exactly
+    assert(pqCoarseKFor(20000L) == 1000)           // the r7 sf1 recovery pool
+    assert(pqCoarseKFor(200000L) == 10000)
+    assert(pqCoarseKFor(1000000000L) == PqCoarseMax, "broadcast-bounded ceiling")
+  }
+
   test("ann_pq ADC+rescore recovers exact-L2 neighbors, distances ascending") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorFunctions.l2DistanceSq
