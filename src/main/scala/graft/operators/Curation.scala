@@ -319,7 +319,18 @@ object Curation {
     * materialization; the label-propagation rounds inside the
     * near-dup arm are the only iterative piece).
     */
-  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+  /** The per-doc gate-flag relation shared by [[curateCorpus]] and
+    * [[curationFunnel]]: one row per document with 0/1 columns for
+    * every gate (eval split, exact dup, near dup, contaminated,
+    * repetitive). Both composites derive from this ONE relation, and
+    * it is persisted — within a session the expensive near-dup
+    * cluster pass (full minhash + label propagation) runs once and
+    * the second composite rides the cache (Spark's plan-fingerprint
+    * CacheManager matches the shared subtree), exactly the
+    * derived-relation reuse a 100 TB curation run materializes
+    * between its verdict and its gate-ablation report.
+    */
+  private[graft] def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.hash60
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), hash60(col("text")).as("h"))
@@ -335,17 +346,28 @@ object Curation {
     val repetitive = textRepetition(spark, dir)
       .filter(col("is_repetitive") === 1L)
       .select(col("doc_id"), lit(1L).as("f_rep"))
-    val reason = when(col("doc_id") % EvalMod === 0, "eval")
-      .when(col("f_exact").isNotNull, "exact_dup")
-      .when(col("f_near").isNotNull, "near_dup")
-      .when(col("f_cont").isNotNull, "contaminated")
-      .when(col("f_rep").isNotNull, "repetitive")
-      .otherwise("kept")
     docs.select(col("doc_id"))
       .join(exactDup.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(nearDup.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(repetitive.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("doc_id") % EvalMod === 0).cast("long").as("g_eval"),
+        coalesce(col("f_exact"), lit(0L)).as("g_exact"),
+        coalesce(col("f_near"), lit(0L)).as("g_near"),
+        coalesce(col("f_cont"), lit(0L)).as("g_cont"),
+        coalesce(col("f_rep"), lit(0L)).as("g_rep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def curateCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val reason = when(col("g_eval") === 1L, "eval")
+      .when(col("g_exact") === 1L, "exact_dup")
+      .when(col("g_near") === 1L, "near_dup")
+      .when(col("g_cont") === 1L, "contaminated")
+      .when(col("g_rep") === 1L, "repetitive")
+      .otherwise("kept")
+    curationFlags(spark, dir)
       .select(col("doc_id"), reason.as("reason"))
       .withColumn("kept", (col("reason") === "kept").cast("long"))
       .orderBy(col("doc_id"))
@@ -407,32 +429,7 @@ object Curation {
     * row, everything integer, no new pair-shaped work.
     */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.hash60
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), hash60(col("text")).as("h"))
-    val keepPerHash = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
-    val exactDup = docs.join(keepPerHash, Seq("h"))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"), lit(1L).as("f_exact"))
-    val nearDup = Dedup.clusters(spark, dir)
-      .filter(col("is_dup") === 1L)
-      .select(col("doc_id"), lit(1L).as("f_near"))
-    val contaminated = decontaminate(spark, dir)
-      .select(col("doc_id"), lit(1L).as("f_cont"))
-    val repetitive = textRepetition(spark, dir)
-      .filter(col("is_repetitive") === 1L)
-      .select(col("doc_id"), lit(1L).as("f_rep"))
-    val flagged = docs.select(col("doc_id"))
-      .join(exactDup.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .join(nearDup.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .join(repetitive.hint("shuffle_hash"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (col("doc_id") % EvalMod === 0).cast("long").as("g_eval"),
-        coalesce(col("f_exact"), lit(0L)).as("g_exact"),
-        coalesce(col("f_near"), lit(0L)).as("g_near"),
-        coalesce(col("f_cont"), lit(0L)).as("g_cont"),
-        coalesce(col("f_rep"), lit(0L)).as("g_rep"))
+    val flagged = curationFlags(spark, dir)
     val others = Map(
       "g_exact" -> Seq("g_near", "g_cont", "g_rep"),
       "g_near"  -> Seq("g_exact", "g_cont", "g_rep"),

@@ -413,6 +413,8 @@ object VectorIndex {
       buildIvfPqIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "minhash"), Seq("_sh", ""))(
       buildMinhashIndex(spark, dir, _))
+    rebuildStaged(indexPath(dir, "knn_edges"), Seq(""))(
+      buildKnnEdgesIndex(spark, dir, _))
   }
 
   /** Auto-optimize heuristic (reference
@@ -477,6 +479,8 @@ object VectorIndex {
       // band rows carry no vector either: report the signature width
       // the bands are derived from
       case "minhash" => graft.operators.Dedup.NumHashes
+      // an edge relation has no vector column at all
+      case "knn_edges" => 0
       case _ =>
         // head(1) not head(): a built-but-empty layout (zero rows,
         // _SUCCESS present) must report dimension 0, not crash the
@@ -743,6 +747,34 @@ object VectorIndex {
     buildIfMissing(path, Seq(""))(buildKnnGraphIndex(spark, dir, _))
     path
   }
+
+  /** Build (or rebuild) the kNN EDGE layout: the exact
+    * [[VectorSearch.annKnnGraph]] relation — (vec_id, rank,
+    * neighbor_id, score) — persisted once per corpus so the
+    * graph-consuming analytics ([[graft.operators.Clustering
+    * .graphPagerank]], `labelNoise`) ride a parquet scan instead of
+    * re-running the banded kNN build per query. Distinct from the
+    * SERVE-form graph layout (`buildKnnGraphIndex`), whose 2k-degree
+    * clone-canonicalized adjacency is shaped for point lookups, not
+    * for reproducing the batch edge relation bit-for-bit.
+    */
+  def buildKnnEdgesIndex(spark: SparkSession, dir: String, path: String): Unit =
+    VectorSearch.annKnnGraph(spark, dir)
+      .withColumn("gen", lit(0L))
+      .write.mode("overwrite").parquet(path)
+
+  def knnEdgesReady(spark: SparkSession, dir: String): String = {
+    val path = indexPath(dir, "knn_edges")
+    buildIfMissing(path, Seq(""))(buildKnnEdgesIndex(spark, dir, _))
+    path
+  }
+
+  /** The persisted edge relation, built if missing — the shared
+    * graph input of the embedding-space analytics.
+    */
+  def knnEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(knnEdgesReady(spark, dir))
+      .select(col("vec_id"), col("rank"), col("neighbor_id"), col("score"))
 
   /** Build (or rebuild) the MinHash BAND layout — the dedup-side
     * index the incremental-ingestion path probes

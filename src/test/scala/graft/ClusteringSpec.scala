@@ -161,6 +161,24 @@ class ClusteringSpec extends GraftSuite {
       s.getAs[Long]("sum_sq_norm") / s.getAs[Long]("n_vecs") / 10L)
   }
 
+  test("persisted kNN edge layout equals the recomputed graph bit-for-bit") {
+    import graft.sources.VectorIndex
+    val layout = VectorIndex.knnEdges(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("score"))).sorted.toSeq
+    val recompute = graft.operators.VectorSearch.annKnnGraph(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Long]("score"))).sorted.toSeq
+    assert(layout == recompute,
+      s"layout rows ${layout.size} != recompute ${recompute.size} or content drift")
+    // the graph consumers read the layout, not the banded build: the
+    // executed plan scans the knn_edges directory
+    val plan = Clustering.graphPagerankTop(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_vindex_knn_edges"),
+      s"pagerank does not ride the edge layout:\n${plan.take(2000)}")
+  }
+
   test("graph_pagerank conserves damped mass over the kNN graph") {
     val rows = Clustering.graphPagerank(spark, sf).collect()
     val n = graft.Tables.embeddings(spark, sf).count()

@@ -168,6 +168,14 @@ class CurationSpec extends GraftSuite {
     assert(s1 >= s2 && s2 >= s3 && s3 >= s4)
   }
 
+  test("curate and funnel share one flag relation: the second rides the cache") {
+    // force the shared curationFlags subtree into the session cache
+    Curation.curateCorpus(spark, sf).collect()
+    val exec = Curation.curationFunnel(spark, sf).queryExecution.executedPlan.toString
+    assert(exec.contains("InMemoryTableScan") || exec.contains("TableCacheQueryStage"),
+      s"funnel recomputed the flag relation instead of riding the cache:\n${exec.take(2000)}")
+  }
+
   test("corpus_curate verdicts match the independently-computed gate sets with precedence") {
     import graft.operators.Dedup
     val nearDup = Dedup.clusters(spark, sf).filter(col("is_dup") === 1L)
