@@ -227,7 +227,8 @@ class PlanHygieneSpec extends GraftSuite {
     try {
       val rows = operators.Bm25.prfSearch(spark, sf).collect()
       assert(rows.nonEmpty)
-      Thread.sleep(1000) // listener bus is async
+      // drain deterministically — a fixed sleep flakes on a loaded box
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
       assert(jobs.get() <= 25,
         s"bm25_prf launched ${jobs.get()} jobs — the one-plan fold re-split")
     } finally spark.sparkContext.removeSparkListener(listener)

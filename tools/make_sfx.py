@@ -50,8 +50,38 @@ def main():
                     tbl = tbl.set_column(i, tbl.schema.field(k), shifted)
             copies.append(tbl)
         out = pa.concat_tables(copies)
+        if t == "documents":
+            planted = planted_rare_docs(base.schema)
+            out = pa.concat_tables([out, planted])
+            print(f"documents: +{planted.num_rows} planted rare-shingle docs")
         pq.write_table(out, f"{dst}/{t}.parquet")
         print(f"{t}: {base.num_rows} -> {out.num_rows}")
+
+
+def planted_rare_docs(schema):
+    """A handful of CROSS-CLONE near-duplicate pairs built from made-up
+    rare tokens. Clone replication multiplies every base shingle's df
+    by the copy count, emptying dedup_ngram's rare-band (df <= 20)
+    candidate channel — agreement stayed exact but proved nothing. The
+    planted pairs share long runs of corpus-unique shingles (df == 2
+    after planting), so the rare channel produces real candidates at
+    the synthesized SF and the cross-engine comparison is informative.
+    Deterministic content; ids far above any per-copy offset range.
+    """
+    rows = []
+    for i in range(4):
+        shared = " ".join(f"qz{i}w{j}" for j in range(24))
+        a = f"plantedlead{i}a {shared} plantedtail{i}a"
+        b = f"plantedlead{i}b {shared} plantedtail{i}b plantedextra{i}b"
+        for suffix, text in (("0", a), ("1", b)):
+            rows.append({
+                "doc_id": 99_000_000 + i * 2 + int(suffix),
+                "text": text,
+                "lang": "en",
+                "source": f"planted{i % 2}",
+                "n_chars": len(text),
+            })
+    return pa.Table.from_pylist(rows, schema=schema)
 
 
 if __name__ == "__main__":

@@ -123,12 +123,25 @@ def main():
     con.register("nd_labels", lex[lex["is_dup"] == 1][["doc_id"]])
     n = 2
     for q in ("corpus_curate", "curation_funnel"):
-        if q not in oracles or not glob.glob(f"{out_dir}/{q}/*.parquet"):
+        # a missing expected query is a FAILURE of the sweep, not a
+        # silent pass: count it and say so
+        if q not in oracles:
+            n += 1
+            print(f"[SKIP] {q}: no oracle SQL entry in {out_dir}/oracle_sql.json")
+            continue
+        if not glob.glob(f"{out_dir}/{q}/*.parquet"):
+            n += 1
+            print(f"[SKIP] {q}: no spark output under {out_dir}/{q}")
             continue
         n += 1
         cc = oracles[q]
-        start = cc.index("), nd AS (")
-        end = cc.index("), cont AS (")
+        try:
+            start = cc.index("), nd AS (")
+            end = cc.index("), cont AS (")
+        except ValueError:
+            print(f"[SKIP] {q}: nd-arm markers not found in oracle SQL "
+                  "(the CTE layout changed; update the splice anchors)")
+            continue
         patched = cc[:start] + "), nd AS (\n  SELECT doc_id FROM nd_labels\n" + cc[end:]
         ok += compare(q, spark_df(out_dir, q), con.execute(patched).df())
 
