@@ -1301,12 +1301,23 @@ object Dedup {
   /** band_key sub-bucket count for the persisted band layout's second
     * partition column: 8 band directories alone cannot prune a probe
     * (every query touches all 8), so each band splits into
-    * `pmod(band_key, BandSubBuckets)` sub-directories and the probe
-    * join's (band, bkt) equi-keys dynamic-partition-prune the scan to
-    * the batch's buckets. 64 × 8 = 512 directories — the same
-    * granularity as the LSH layout's 2^9 buckets.
+    * `pmod(band_key, mod)` sub-directories and the probe join's
+    * (band, bkt) equi-keys dynamic-partition-prune the scan to the
+    * batch's buckets. The modulus SCALES WITH THE CORPUS — one
+    * directory per ~[[BandDocsPerBucket]] docs, clamped to
+    * [4, 4096] — so a 5k-doc store gets 32 row-group-sized files
+    * (a fixed 512 directories cost 2s of footer overhead per probe
+    * at that size, measured) while a 1e9-doc corpus gets the full
+    * 4096-way prune; the chosen modulus is persisted in the layout's
+    * `_meta` sidecar so probe and streaming upkeep can never band
+    * differently than the build did.
     */
-  val BandSubBuckets = 64
+  val BandSubBucketsMax = 4096
+  val BandDocsPerBucket = 1250L
+
+  def bandSubBuckets(nDocs: Long): Int =
+    math.max(4L, math.min(BandSubBucketsMax.toLong,
+      (nDocs + BandDocsPerBucket - 1) / BandDocsPerBucket)).toInt
 
   /** The batch half of [[minhashIncremental]]'s corpus/batch split,
     * shingled from source: ONLY the increment's documents are read —
@@ -1346,8 +1357,11 @@ object Dedup {
                                   batchSh: DataFrame,
                                   threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the build's persisted sub-bucket modulus: probing with any other
+    // value would look in the wrong directories
+    val bktMod = spark.read.parquet(path + "_meta").head.getAs[Long]("bkt_mod")
     val batchB = minhashBands(batchSh)
-      .withColumn("bkt", pmod(col("band_key"), lit(BandSubBuckets.toLong)).cast("int"))
+      .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
       .select(col("doc_id").as("id1"), col("band"), col("bkt"), col("band_key"))
     // tiny distinct probe-key set: broadcast side of the DPP join
     val probeKeys = batchB.select(col("band"), col("bkt"), col("band_key")).distinct()

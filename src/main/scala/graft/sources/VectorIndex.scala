@@ -411,7 +411,7 @@ object VectorIndex {
       buildPqIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "ivfpq"), Seq("_centroids", "_books", ""))(
       buildIvfPqIndex(spark, dir, _))
-    rebuildStaged(indexPath(dir, "minhash"), Seq("_sh", ""))(
+    rebuildStaged(indexPath(dir, "minhash"), Seq("_meta", "_sh", ""))(
       buildMinhashIndex(spark, dir, _))
     rebuildStaged(indexPath(dir, "knn_edges"), Seq(""))(
       buildKnnEdgesIndex(spark, dir, _))
@@ -521,7 +521,7 @@ object VectorIndex {
       ("graph", Seq(""), buildKnnGraphIndex(spark, dir, _)),
       // minhash debt: appended generations fragment the probed band
       // directories into per-batch files exactly like the LSH buckets
-      ("minhash", Seq("_sh", ""), buildMinhashIndex(spark, dir, _)))
+      ("minhash", Seq("_meta", "_sh", ""), buildMinhashIndex(spark, dir, _)))
     kinds.collect {
       case (kind, sfx, build)
         if exists(spark, indexPath(dir, kind)) &&
@@ -781,9 +781,12 @@ object VectorIndex {
     * ([[graft.operators.Dedup.minhashIncrementalFromIndex]];
     * reference sparse.rs:71 add_document maintains exactly this
     * signature index). One row per (doc, band) with the 60-bit band
-    * key, written `partitionBy(band, bkt)` (bkt = band_key mod
-    * [[graft.operators.Dedup.BandSubBuckets]]) so a batch probe
-    * dynamic-partition-prunes to its buckets; the doc-level shingle
+    * key, written `partitionBy(band, bkt)` (bkt = band_key mod a
+    * corpus-scaled modulus, [[graft.operators.Dedup.bandSubBuckets]])
+    * so a batch probe dynamic-partition-prunes to its buckets; the
+    * chosen modulus is persisted in a one-row `<path>_meta` sidecar —
+    * probe and streaming upkeep read it back, so they can never band
+    * differently than the build did — and the doc-level shingle
     * sketch is saved alongside as `<path>_sh` so candidate
     * verification never re-reads corpus text. `gen` 0 marks
     * base-build rows; [[graft.streaming.EventStreams.minhashIndexStream]]
@@ -793,9 +796,11 @@ object VectorIndex {
     import graft.operators.Dedup
     val docs = Dedup.shingleDocs(spark, dir)
     try {
+      val bktMod = Dedup.bandSubBuckets(docs.count()).toLong
+      spark.range(1).select(lit(bktMod).as("bkt_mod"))
+        .write.mode("overwrite").parquet(path + "_meta")
       Dedup.minhashBands(docs)
-        .withColumn("bkt",
-          pmod(col("band_key"), lit(Dedup.BandSubBuckets.toLong)).cast("int"))
+        .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
         .withColumn("gen", lit(0L))
         // co-locate each directory before the partitioned write: one
         // file per (band, bkt) instead of one per (task x directory)
@@ -808,7 +813,7 @@ object VectorIndex {
 
   def minhashIndexReady(spark: SparkSession, dir: String): String = {
     val path = indexPath(dir, "minhash")
-    buildIfMissing(path, Seq("_sh", ""))(buildMinhashIndex(spark, dir, _))
+    buildIfMissing(path, Seq("_meta", "_sh", ""))(buildMinhashIndex(spark, dir, _))
     path
   }
 

@@ -438,6 +438,11 @@ object EventStreams {
         import graft.operators.Dedup
         import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
         if (!generationPresent(spark.read.parquet(path), gen)) {
+          // the base build's persisted sub-bucket modulus: appending
+          // under any other value would land rows in directories the
+          // probe never prunes to
+          val bktMod = spark.read.parquet(path + "_meta")
+            .head.getAs[Long]("bkt_mod")
           val sh = batch
             .select(col("doc_id"),
               column(graft.functions.expressions.ShingleHashes(
@@ -448,8 +453,7 @@ object EventStreams {
               sh.select(col("doc_id"), col("sh"), lit(gen).as("gen"))
                 .write.mode("append").parquet(path + "_sh")
             Dedup.minhashBands(sh)
-              .withColumn("bkt", pmod(col("band_key"),
-                lit(Dedup.BandSubBuckets.toLong)).cast("int"))
+              .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
               .withColumn("gen", lit(gen))
               .repartition(col("band"), col("bkt"))
               .write.mode("append").partitionBy("band", "bkt").parquet(path)
