@@ -803,8 +803,13 @@ object VectorIndex {
         .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
         .withColumn("gen", lit(0L))
         // co-locate each directory before the partitioned write: one
-        // file per (band, bkt) instead of one per (task x directory)
+        // file per (band, bkt) instead of one per (task x directory);
+        // cluster by band_key within each file so parquet row-group
+        // min/max stats stay tight — a probe that can't directory-prune
+        // (batch keys covering every (band, bkt)) still skips
+        // row-groups outside its band_key range
         .repartition(col("band"), col("bkt"))
+        .sortWithinPartitions(col("band"), col("bkt"), col("band_key"))
         .write.mode("overwrite").partitionBy("band", "bkt").parquet(path)
       docs.select(col("doc_id"), col("sh"), lit(0L).as("gen"))
         .write.mode("overwrite").parquet(path + "_sh")

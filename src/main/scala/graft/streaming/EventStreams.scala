@@ -456,6 +456,9 @@ object EventStreams {
               .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
               .withColumn("gen", lit(gen))
               .repartition(col("band"), col("bkt"))
+              // same band_key clustering as the base build: appended
+              // files keep row-group min/max stats probe-tight
+              .sortWithinPartitions(col("band"), col("bkt"), col("band_key"))
               .write.mode("append").partitionBy("band", "bkt").parquet(path)
           } finally sh.unpersist()
         }
