@@ -508,6 +508,15 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def pointServeIvfPq(): graft.sources.PointServe.IvfPq =
     graft.sources.PointServe.loadIvfPq(spark, dir)
 
+  /** The serving-tier form of [[dedupIncremental]] (sparse.rs:71
+    * add_document's gate is a POINT operation — one arriving document,
+    * admit or reject, now): loads the persisted MinHash band layout
+    * once, then `query(text)`/`admit(text)` answer with zero Spark
+    * jobs, bit-identical to the batch probe's rows for that document.
+    */
+  def pointServeDedup(): graft.sources.PointServe.MinhashDedup =
+    graft.sources.PointServe.loadMinhashDedup(spark, dir)
+
   /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
     * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries
     * from RAM, zero Spark jobs each, bit-identical to the batch twins.

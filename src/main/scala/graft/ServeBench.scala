@@ -74,6 +74,7 @@ object ServeBench {
     val tLoad0 = System.nanoTime()
     val emb = PointServe.loadEmbedded(spark, dir)
     val graph = PointServe.loadGraph(spark, dir)
+    val dedup = PointServe.loadMinhashDedup(spark, dir)
     val loadSec = (System.nanoTime() - tLoad0) / 1e9
     // three replica handles over the resident tier — single-process
     // stand-ins for three serving replicas; the router's dispatch +
@@ -101,12 +102,28 @@ object ServeBench {
     val (gq, gp50, gp99) = measure(nThreads, opsPerThread) { i =>
       graph.query(queryVecs(i % queryVecs.length), k = 5)
     }
+    // the ingestion admit/reject gate: half the probe mix is resident
+    // text (reject — pays band lookup + full Jaccard verify), half is
+    // novel (admit — band lookup only), the steady-state crawl shape
+    // representative probe sizes: full-length resident documents, and
+    // novel probes padded to a typical crawl-doc token count
+    val residentTexts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .where(org.apache.spark.sql.functions.length(col("text")) > 400)
+      .orderBy(col("doc_id")).limit(8).collect().map(_.getString(1))
+    val probeTexts = residentTexts ++ (0 until 8).map(i =>
+      (0 until 60).map(w => s"novel${i}tok$w").mkString(s"crawl probe $i ", " ", " end"))
+      .toArray
+    val (dq, dp50, dp99) = measure(nThreads, opsPerThread) { i =>
+      dedup.query(probeTexts(i % probeTexts.length))
+    }
     def sec(q: Double, p50: Double, p99: Double) =
       s"""{"qps":${fmt(q)},"p50_ms":${fmt(p50)},"p99_ms":${fmt(p99)}}"""
     s"""{"replicas":3,"threads":$nThreads,"ops_per_thread":$opsPerThread,""" +
       s""""method":"best-of-$MeasurePasses passes (max qps, min latency)",""" +
       s""""load_sec":${fmt(loadSec)},"bm25":${sec(bq, bp50, bp99)},""" +
-      s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)}}"""
+      s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
+      s""""dedup_admit":${sec(dq, dp50, dp99)}}"""
   } catch {
     case e: Throwable =>
       // truncate BEFORE escaping (a cut cannot strand a lone

@@ -959,4 +959,198 @@ object PointServe {
     val maxGen = if (rows.isEmpty) 0L else rows.iterator.map(_._4).max
     new Graph(spark, path, (nodes, maxGen, entryPoints(nodes)))
   }
+
+  /** One near-dup match of a point-served admit/reject probe:
+    * `jaccard` is the same fx4 fixed-point BIGINT the batch twin
+    * emits.
+    */
+  final case class DupMatch(idOld: Long, jaccard: Long)
+
+  /** Point-serving state of [[MinhashDedup]]: (band buckets keyed
+    * band<<60 | band_key → member doc_ids, doc_id → shingle sketch,
+    * loaded band generation).
+    */
+  private type DedupSnap = (java.util.HashMap[Long, Array[Long]],
+                            java.util.HashMap[Long, Array[Long]], Long)
+
+  /** MinHash near-dup point index — the serving-tier third of the
+    * incremental-dedup split (batch: [[graft.operators.Dedup
+    * .minhashIncrementalIndexed]]; streaming upkeep:
+    * [[graft.streaming.EventStreams.minhashIndexStream]]; reference
+    * sparse.rs:71 add_document, whose dedup gate IS a point operation:
+    * one arriving document, admit or reject, now). Loads the persisted
+    * band layout once (band buckets + companion `_sh` shingle
+    * sketches), then answers "which existing documents is this text a
+    * near-duplicate of" in plain JVM microseconds with ZERO Spark
+    * jobs.
+    *
+    * Query math replays the batch probe kernel-for-kernel — the SAME
+    * JVM kernels ([[graft.functions.expressions.ShingleHashes]] /
+    * [[graft.functions.expressions.MinHashSig]] /
+    * [[graft.functions.expressions.PairOverlap]]) the Catalyst
+    * expressions codegen into, the band key as `Tok.hash60` of the
+    * identical "band,sig..." rendering, the corpus-side-only
+    * [[graft.operators.Dedup.MaxBucket]] cap counted over
+    * non-excluded members, and fx4 Jaccard with the batch's
+    * (threshold × 1e4).toLong gate — so a served probe is
+    * BIT-IDENTICAL to the batch rows for that document
+    * (PointServeSpec asserts it per batch doc).
+    *
+    * Memory contract: band buckets are (key → id array) and sketches
+    * are the per-doc distinct-shingle hash arrays — both a small
+    * fraction of corpus text (the sketches are the same `_sh` relation
+    * the batch verify reads). At 100 TB the layout's (band, bkt)
+    * directories shard across serving nodes exactly like the LSH
+    * buckets, each node loading its directories' bands plus the
+    * sketches its buckets reference.
+    *
+    * [[refresh]] folds generations appended by the streaming upkeep
+    * into the served snapshot (gen-pruned delta read, volatile swap).
+    * The loaded generation tracks the BAND side — the stream's commit
+    * point — so a refresh racing the upkeep's two appends can at worst
+    * re-read next round a sketch whose bands hadn't landed yet
+    * (idempotent put), never serve a band whose verify sketch is
+    * missing.
+    */
+  final class MinhashDedup private[PointServe] (
+      spark: SparkSession, path: String,
+      @volatile private var snap: DedupSnap) {
+    import graft.functions.expressions.{MinHashSig, PairOverlap, ShingleHashes, Tok}
+    import graft.operators.Dedup
+
+    /** Near-dup matches of `text` against the resident corpus, id
+      * order; empty = admit. `exclude` drops corpus docs from both
+      * candidacy and the bucket cap (the batch entry's increment
+      * filter, an already-deleted doc, the doc's own prior version).
+      */
+    def query(text: String, threshold: Double = 0.5,
+              exclude: Long => Boolean = null): Seq[DupMatch] = {
+      val (buckets, sketches, _) = snap
+      val shAd = ShingleHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3, Dedup.P)
+      val sigAd = MinHashSig.compute(shAd, Dedup.NumHashes, Dedup.P)
+      if (sigAd == null) return Nil // <3 tokens: no bands, admit (batch parity)
+      val sig = sigAd.toLongArray()
+      val cand = new java.util.TreeSet[java.lang.Long]()
+      var b = 0
+      while (b < Dedup.NumBands) {
+        val sb = new java.lang.StringBuilder()
+        sb.append(b)
+        var r = 0
+        while (r < Dedup.BandRows) {
+          sb.append(',').append(sig(b * Dedup.BandRows + r))
+          r += 1
+        }
+        val members = buckets.get((b.toLong << 60) | Tok.hash60(sb.toString))
+        if (members != null) {
+          var live = 0
+          var i = 0
+          while (i < members.length) {
+            if (exclude == null || !exclude(members(i))) live += 1
+            i += 1
+          }
+          // corpus-side-only cap: a boilerplate mega-bucket is skipped
+          // whole, exactly the batch window-count gate
+          if (live <= Dedup.MaxBucket) {
+            i = 0
+            while (i < members.length) {
+              if (exclude == null || !exclude(members(i))) cand.add(members(i))
+              i += 1
+            }
+          }
+        }
+        b += 1
+      }
+      val thr = (threshold * 1e4).toLong
+      val out = Seq.newBuilder[DupMatch]
+      cand.forEach { id =>
+        val sh2 = sketches.get(id.longValue)
+        if (sh2 != null) {
+          val inter = PairOverlap.compute(shAd,
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(sh2)).toDouble
+          val jac = fx4(inter /
+            (shAd.numElements().toLong + sh2.length.toLong - inter))
+          if (jac >= thr) out += DupMatch(id, jac)
+        }
+      }
+      out.result()
+    }
+
+    /** The ingestion gate itself: true = no near-duplicate resident,
+      * admit the document.
+      */
+    def admit(text: String, threshold: Double = 0.5): Boolean =
+      query(text, threshold).isEmpty
+
+    /** Fold band + sketch generations appended since load/last refresh
+      * into the snapshot; returns the number of band rows picked up.
+      */
+    def refresh(): Int = {
+      val (buckets, sketches, maxGen) = snap
+      val bandDelta = readBandRows(spark, path, Some(maxGen))
+      val shDelta = readSketchRows(spark, path + "_sh", Some(maxGen))
+      if (bandDelta.isEmpty && shDelta.isEmpty) 0
+      else {
+        val nb = new java.util.HashMap[Long, Array[Long]](buckets)
+        bandDelta.groupBy(_._1).foreach { case (key, rs) =>
+          val add = rs.map(_._2)
+          nb.put(key, Option(nb.get(key)).map(_ ++ add).getOrElse(add))
+        }
+        val ns = new java.util.HashMap[Long, Array[Long]](sketches)
+        shDelta.foreach { case (id, sh, _) => ns.put(id, sh) }
+        val nextGen =
+          if (bandDelta.isEmpty) maxGen
+          else maxGen max bandDelta.iterator.map(_._3).max
+        snap = (nb, ns, nextGen)
+        bandDelta.length
+      }
+    }
+
+    /** Resident corpus size (sketch count). */
+    def size: Int = snap._2.size()
+  }
+
+  /** (band<<60 | band_key, doc_id, gen) rows, optionally only beyond
+    * a generation — same footer-stat delta contract as
+    * [[readLshRows]].
+    */
+  private def readBandRows(spark: SparkSession, path: String,
+                           afterGen: Option[Long]): Array[(Long, Long, Long)] = {
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("band").cast("long"), col("band_key"),
+      col("doc_id"), genCol.as("gen"))
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => ((r.getLong(0) << 60) | r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  /** (doc_id, shingle sketch, gen) rows from the companion `_sh`
+    * relation.
+    */
+  private def readSketchRows(spark: SparkSession, path: String,
+                             afterGen: Option[Long]): Array[(Long, Array[Long], Long)] = {
+    val layout = spark.read.parquet(path)
+    val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
+    val base = layout.select(col("doc_id"), col("sh"), genCol.as("gen"))
+    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+  }
+
+  /** Load the MinHash band layout into memory (builds it first if
+    * absent). One Spark job here; zero afterwards.
+    */
+  def loadMinhashDedup(spark: SparkSession, dir: String): MinhashDedup =
+    loadMinhashDedupFrom(spark, VectorIndex.minhashIndexReady(spark, dir))
+
+  /** [[loadMinhashDedup]] over an explicit layout path. */
+  def loadMinhashDedupFrom(spark: SparkSession, path: String): MinhashDedup = {
+    val bands = readBandRows(spark, path, None)
+    val sketches = readSketchRows(spark, path + "_sh", None)
+    val buckets = new java.util.HashMap[Long, Array[Long]]()
+    bands.groupBy(_._1).foreach { case (key, rs) => buckets.put(key, rs.map(_._2)) }
+    val sk = new java.util.HashMap[Long, Array[Long]]()
+    sketches.foreach { case (id, sh, _) => sk.put(id, sh) }
+    val maxGen = if (bands.isEmpty) 0L else bands.iterator.map(_._3).max
+    new MinhashDedup(spark, path, (buckets, sk, maxGen))
+  }
 }

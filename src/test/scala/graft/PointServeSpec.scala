@@ -276,6 +276,76 @@ class PointServeSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("minhash dedup point serve matches the batch probe bit-for-bit") {
+    import graft.operators.Dedup
+    val idx = PointServe.loadMinhashDedup(spark, sf)
+    val isIncr = (id: Long) => id % Dedup.IncrMod == Dedup.IncrRes
+    // the driver-compared batch form: every (id_new, id_old, jaccard)
+    // row, grouped per increment doc, ordered by id_old
+    val batch = Dedup.minhashIncrementalIndexed(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_new"), r.getAs[Long]("id_old"),
+        r.getAs[Long]("jaccard")))
+      .groupBy(_._1)
+    val incrDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRes)
+      .select(col("doc_id"), col("text")).collect()
+    assert(incrDocs.nonEmpty)
+    var servedRows = 0
+    incrDocs.foreach { r =>
+      val id = r.getLong(0)
+      val served = idx.query(r.getString(1), exclude = isIncr)
+        .map(m => (id, m.idOld, m.jaccard))
+      assert(served == batch.getOrElse(id, Array.empty).toSeq,
+        s"increment doc $id")
+      servedRows += served.size
+    }
+    // full coverage, and the comparison is non-vacuous
+    assert(servedRows == batch.valuesIterator.map(_.length).sum)
+    assert(servedRows > 0, "no near-dup pairs served — vacuous parity")
+  }
+
+  test("dedup point serve: zero-job admit gate, streaming refresh") {
+    import graft.operators.Dedup
+    import graft.streaming.EventStreams
+    val idxPath =
+      java.nio.file.Files.createTempDirectory("mh_serve").toString + "/minhash"
+    VectorIndex.buildMinhashIndex(spark, sf, idxPath)
+    val idx = PointServe.loadMinhashDedupFrom(spark, idxPath)
+    val docs = Tables.documents(spark, sf)
+    val resident = docs.filter(length(col("text")) > 50)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    val novel = "quantum zebra lattice prose seven wanders the improbable meadow"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(s: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // an exact resident duplicate is rejected at jaccard 1.0; novel
+      // text is admitted — with zero Spark jobs either way
+      assert(!idx.admit(resident), "resident duplicate admitted")
+      assert(idx.query(resident).exists(_.jaccard == 10000L))
+      assert(idx.admit(novel), "novel text rejected")
+      org.apache.spark.graftbridge.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0, "a point dedup probe must not launch Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // streaming upkeep lands the novel doc; refresh folds it in and the
+    // gate flips to reject — the add_document lifecycle end to end
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    val stageDir = java.nio.file.Files.createTempDirectory("mh_serve_docs")
+    docs.limit(1).select(lit(maxId + 1).as("doc_id"), lit(novel).as("text"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val schema = docs.select(col("doc_id"), col("text")).schema
+    val q = EventStreams.minhashIndexStream(
+      spark.readStream.schema(schema).parquet(stageDir.toString), idxPath)
+    q.processAllAvailable(); q.stop()
+    assert(idx.refresh() > 0, "refresh picked up no appended band rows")
+    val matches = idx.query(novel)
+    assert(matches == Seq(PointServe.DupMatch(maxId + 1, 10000L)),
+      s"streamed doc not served: $matches")
+    assert(!idx.admit(novel))
+  }
+
   test("replica-routed embedded serving answers identically and balances load") {
     // the deployment shape distributed/load_balancer.rs routes for:
     // N identical serving replicas behind a router — every routed
