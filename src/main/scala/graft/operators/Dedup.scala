@@ -1334,6 +1334,14 @@ object Dedup {
       .select(col("doc_id"), hashes.as("sh"))
       // two consumers: batch bands + batch-side Jaccard verify
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // re-state the increment predicate ABOVE the cache: every row
+      // already satisfies it (no-op at runtime), but an
+      // InMemoryRelation hides its child's filters, and without a
+      // visible selective predicate on the probe side Catalyst's
+      // PartitionPruning rule refuses to inject the dynamic partition
+      // filter into the band-layout scan (VectorIndexSpec pins the
+      // `dynamicpruning` marker on this path)
+      .filter(col("doc_id") % IncrMod === IncrRes)
   }
 
   /** [[minhashIncremental]] served from the persisted MinHash band

@@ -53,6 +53,13 @@ class VectorIndexSpec extends GraftSuite {
     // batch's (band, bkt) directories are read
     val plan = explicit.queryExecution.executedPlan.toString
     assert(plan.contains("dynamicpruning"), s"no DPP on band probe join:\n$plan")
+    // ...and on the DRIVER ENTRY too: its batch side is persisted, and
+    // an InMemoryRelation hides the increment filter from the
+    // PartitionPruning rule unless batchShingles re-states it above
+    // the cache (regression pin for exactly that)
+    val entryPlan = served.queryExecution.executedPlan.toString
+    assert(entryPlan.contains("dynamicpruning"),
+      s"no DPP on the driver entry's band probe:\n$entryPlan")
     // corpus text is NEVER re-read on the probe path: the corpus side
     // comes from the layout directories, and every source-table read
     // sits under the increment filter (batch side only)
