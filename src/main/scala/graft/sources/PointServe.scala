@@ -1014,7 +1014,8 @@ object PointServe {
     */
   final class MinhashDedup private[PointServe] (
       spark: SparkSession, path: String,
-      @volatile private var snap: DedupSnap) {
+      @volatile private var snap: DedupSnap,
+      shard: Option[Set[Int]] = None) {
     import graft.functions.expressions.{MinHashSig, PairOverlap, ShingleHashes, Tok}
     import graft.operators.Dedup
 
@@ -1087,8 +1088,9 @@ object PointServe {
       */
     def refresh(): Int = {
       val (buckets, sketches, maxGen) = snap
-      val bandDelta = readBandRows(spark, path, Some(maxGen))
-      val shDelta = readSketchRows(spark, path + "_sh", Some(maxGen))
+      val bandDelta = readBandRows(spark, path, Some(maxGen), shard)
+      val shDelta = readSketchRows(spark, path + "_sh", Some(maxGen),
+        shard.map(_ => bandDelta.map(_._2)))
       if (bandDelta.isEmpty && shDelta.isEmpty) 0
       else {
         val nb = new java.util.HashMap[Long, Array[Long]](buckets)
@@ -1112,29 +1114,57 @@ object PointServe {
 
   /** (band<<60 | band_key, doc_id, gen) rows, optionally only beyond
     * a generation — same footer-stat delta contract as
-    * [[readLshRows]].
+    * [[readLshRows]]. A `shard` restriction filters on the layout's
+    * `bkt` partition column, so a shard's load (and every refresh)
+    * lists and reads ONLY its own sub-bucket directories.
     */
   private def readBandRows(spark: SparkSession, path: String,
-                           afterGen: Option[Long]): Array[(Long, Long, Long)] = {
+                           afterGen: Option[Long],
+                           shard: Option[Set[Int]] = None): Array[(Long, Long, Long)] = {
     val layout = spark.read.parquet(path)
     val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
-    val base = layout.select(col("band").cast("long"), col("band_key"),
+    val sharded = shard.fold(layout)(s =>
+      layout.filter(col("bkt").isin(s.toSeq: _*)))
+    val base = sharded.select(col("band").cast("long"), col("band_key"),
       col("doc_id"), genCol.as("gen"))
     afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
       .map(r => ((r.getLong(0) << 60) | r.getLong(1), r.getLong(2), r.getLong(3)))
   }
 
   /** (doc_id, shingle sketch, gen) rows from the companion `_sh`
-    * relation.
+    * relation. `forDocs` restricts to the given ids (a shard loads
+    * only the sketches its band rows reference — the memory contract
+    * that lets the sketch side scale out with the shards).
     */
   private def readSketchRows(spark: SparkSession, path: String,
-                             afterGen: Option[Long]): Array[(Long, Array[Long], Long)] = {
+                             afterGen: Option[Long],
+                             forDocs: Option[Array[Long]] = None): Array[(Long, Array[Long], Long)] = {
     val layout = spark.read.parquet(path)
     val genCol = if (layout.columns.contains("gen")) col("gen") else lit(0L)
     val base = layout.select(col("doc_id"), col("sh"), genCol.as("gen"))
-    afterGen.fold(base)(g => base.filter(col("gen") > g)).collect()
+    val restricted = forDocs.fold(base) { ids =>
+      val idRel = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.distinct.toSeq.map(Tuple1(_)), 1)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      base.join(broadcast(idRel), Seq("doc_id"), "left_semi")
+    }
+    afterGen.fold(restricted)(g => restricted.filter(col("gen") > g)).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
   }
+
+  /** Scatter-gather merge for shard-scattered dedup probes: bucket
+    * membership partitions by the layout's (band, bkt) directory, a
+    * (band, band_key) bucket lives wholly inside one directory (so
+    * every shard's cap decision equals the unsharded one), and a
+    * candidate surfacing on several shards computes the identical
+    * exact Jaccard — the union deduplicated by id, re-sorted, IS the
+    * unsharded answer (spec-proven).
+    */
+  def mergeDupMatches(shardMatches: Seq[Seq[DupMatch]]): Seq[DupMatch] =
+    shardMatches.flatten.distinct.sortBy(_.idOld)
 
   /** Load the MinHash band layout into memory (builds it first if
     * absent). One Spark job here; zero afterwards.
@@ -1142,15 +1172,22 @@ object PointServe {
   def loadMinhashDedup(spark: SparkSession, dir: String): MinhashDedup =
     loadMinhashDedupFrom(spark, VectorIndex.minhashIndexReady(spark, dir))
 
-  /** [[loadMinhashDedup]] over an explicit layout path. */
-  def loadMinhashDedupFrom(spark: SparkSession, path: String): MinhashDedup = {
-    val bands = readBandRows(spark, path, None)
-    val sketches = readSketchRows(spark, path + "_sh", None)
+  /** [[loadMinhashDedup]] over an explicit layout path, optionally
+    * restricted to a `bkt`-directory shard: a serving node passed
+    * `shard` loads (and refreshes) only its own sub-bucket directories
+    * plus the sketches they reference; [[mergeDupMatches]] gathers
+    * shard answers back into the exact unsharded result.
+    */
+  def loadMinhashDedupFrom(spark: SparkSession, path: String,
+                           shard: Option[Set[Int]] = None): MinhashDedup = {
+    val bands = readBandRows(spark, path, None, shard)
+    val sketches = readSketchRows(spark, path + "_sh", None,
+      shard.map(_ => bands.map(_._2)))
     val buckets = new java.util.HashMap[Long, Array[Long]]()
     bands.groupBy(_._1).foreach { case (key, rs) => buckets.put(key, rs.map(_._2)) }
     val sk = new java.util.HashMap[Long, Array[Long]]()
     sketches.foreach { case (id, sh, _) => sk.put(id, sh) }
     val maxGen = if (bands.isEmpty) 0L else bands.iterator.map(_._3).max
-    new MinhashDedup(spark, path, (buckets, sk, maxGen))
+    new MinhashDedup(spark, path, (buckets, sk, maxGen), shard)
   }
 }

@@ -346,6 +346,36 @@ class PointServeSpec extends GraftSuite {
     assert(!idx.admit(novel))
   }
 
+  test("shard-scattered dedup probes merge to the exact unsharded answer") {
+    import graft.operators.Dedup
+    val path = java.nio.file.Files
+      .createTempDirectory("mh_shard").toString + "/minhash"
+    VectorIndex.buildMinhashIndex(spark, sf, path)
+    val bktMod = spark.read.parquet(path + "_meta").head.getAs[Long]("bkt_mod").toInt
+    val full = PointServe.loadMinhashDedupFrom(spark, path)
+    // two shards splitting the bkt directories; each loads only its
+    // directories' bands plus the sketches they reference
+    val shardSets = Seq((0 until bktMod).filter(_ % 2 == 0).toSet,
+                        (0 until bktMod).filter(_ % 2 == 1).toSet)
+    val shards = shardSets.map(s =>
+      PointServe.loadMinhashDedupFrom(spark, path, Some(s)))
+    assert(shards.map(_.size).sum >= full.size,
+      "shards must cover every referenced sketch (duplication across shards allowed)")
+    val isIncr = (id: Long) => id % Dedup.IncrMod == Dedup.IncrRes
+    val incrDocs = Tables.documents(spark, sf)
+      .filter(col("doc_id") % Dedup.IncrMod === Dedup.IncrRes)
+      .select(col("text")).collect().map(_.getString(0))
+    var nonEmpty = 0
+    incrDocs.foreach { text =>
+      val direct = full.query(text, exclude = isIncr)
+      val merged = PointServe.mergeDupMatches(
+        shards.map(_.query(text, exclude = isIncr)))
+      assert(merged == direct, s"scatter-gather mismatch for: ${text.take(40)}")
+      if (direct.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 0, "no probe had matches — vacuous scatter-gather check")
+  }
+
   test("replica-routed embedded serving answers identically and balances load") {
     // the deployment shape distributed/load_balancer.rs routes for:
     // N identical serving replicas behind a router — every routed
