@@ -1407,6 +1407,36 @@ object Dedup {
     minhashIncrementalFromIndex(spark, path, batchShingles(spark, dir), threshold)
   }
 
+  /** [[minhash]] served from the persisted band layout — identical
+    * rows (same banding, same bucket bounds, same exact-Jaccard
+    * verify), but NOTHING is derived from text at query time: band
+    * rows come from the layout and the verify sketches from the
+    * companion `_sh` relation, so the nightly full-corpus dedup of a
+    * store that maintains its signature index (streaming upkeep keeps
+    * the layout current) never re-tokenizes, re-hashes or re-signs
+    * the corpus — at 100 TB that is the difference between scanning
+    * ~1-2% of the bytes (signatures) and scanning everything.
+    * DedupSpec pins hash-equality to the recompute form; the executed
+    * plan reads no document text (spec-asserted).
+    */
+  def minhashIndexed(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame = {
+    val path = graft.sources.VectorIndex.minhashIndexReady(spark, dir)
+    val bands = spark.read.parquet(path)
+      .select(col("doc_id"), col("band"), col("band_key"))
+    val bounded = boundBuckets(bands, col("band"), col("band_key"))
+    val cand = bounded.select(col("doc_id").as("id1"), col("band"), col("band_key"))
+      .join(bounded.select(col("doc_id").as("id2"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2")).distinct()
+    val sketches = spark.read.parquet(path + "_sh")
+      .select(col("doc_id"), col("sh"))
+    verifyJaccard(cand, sketches)
+      .filter(col("jaccard") >= (threshold * 1e4).toLong)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   def minhashIncrementalSql(threshold: Double = 0.5): String = {
     val sigExprs = (0 until NumHashes).map { j =>
       s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"

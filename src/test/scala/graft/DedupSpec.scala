@@ -256,6 +256,19 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("dedup_minhash_indexed reproduces the recompute form without reading text") {
+    val recompute = Dedup.minhash(spark, sf).collect().map(_.toSeq).toSeq
+    val served = Dedup.minhashIndexed(spark, sf)
+    assert(served.collect().map(_.toSeq).toSeq == recompute,
+      "layout-served full dedup must reproduce the recompute form bit-for-bit")
+    assert(recompute.nonEmpty, "vacuous: corpus has no near-dup pairs")
+    // the whole point of the layout: no document-text scan at query
+    // time — bands and verify sketches both come from the index
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"indexed full dedup re-read corpus text:\n$plan")
+  }
+
   test("dedup_incremental equals the full near-dup pairs restricted to batch×corpus") {
     // on a corpus without degenerate buckets the incremental probe
     // must find EXACTLY the full self-join's pairs that cross the
