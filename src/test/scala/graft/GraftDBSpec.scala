@@ -156,6 +156,15 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.Dedup.minhashIncrementalIndexed(spark, sf)))
   }
 
+  test("pointServeDedup serves the admit gate from the handle") {
+    val gate = db.pointServeDedup()
+    val resident = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.length(col("text")) > 50)
+      .orderBy(col("doc_id")).select(col("text")).head.getString(0)
+    assert(!gate.admit(resident), "resident duplicate admitted")
+    assert(gate.admit("facade novel zebra quantum lattice prose seven"))
+  }
+
   test("cachedQuery serves semantically equal plans from the handle cache") {
     val fresh = GraftDB(spark, sf)
     assert(fresh.getCacheStats == ((0L, 0L)))
