@@ -338,7 +338,10 @@ object Curation {
     val exactDup = docs.join(keepPerHash, Seq("h"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"), lit(1L).as("f_exact"))
-    val nearDup = Dedup.clusters(spark, dir)
+    // the nd arm probes the persisted band layout (bit-equal pairs,
+    // spec-pinned): a curation run over an index-maintaining store
+    // never re-signs the corpus for its near-dup gate
+    val nearDup = Dedup.clustersIndexed(spark, dir)
       .filter(col("is_dup") === 1L)
       .select(col("doc_id"), lit(1L).as("f_near"))
     val contaminated = decontaminate(spark, dir)

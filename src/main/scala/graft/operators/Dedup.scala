@@ -757,6 +757,22 @@ object Dedup {
         (col("node") =!= col("label")).cast("long").as("is_dup"))
       .orderBy(col("doc_id"))
 
+  /** [[clusters]] with its pair derivation served from the persisted
+    * band layout ([[minhashIndexed]] — bit-equal pairs, no text scan):
+    * the cluster resolution a 100 TB curation run executes when the
+    * store maintains its signature index. Same oracle as [[clusters]];
+    * DedupSpec pins row equality. [[graft.operators.Curation
+    * .curationFlags]] rides this form, so corpus_curate and
+    * curation_funnel inherit the amortization.
+    */
+  def clustersIndexed(spark: SparkSession, dir: String,
+                      threshold: Double = 0.5): DataFrame =
+    connectedComponents(minhashIndexed(spark, dir, threshold)
+        .select(col("id1"), col("id2")))
+      .select(col("node").as("doc_id"), col("label").as("keep_id"),
+        (col("node") =!= col("label")).cast("long").as("is_dup"))
+      .orderBy(col("doc_id"))
+
   def clustersSql(threshold: Double = 0.5): String =
     s"""WITH pairs0 AS (
        |  ${minhashSql(threshold).replace("\n", "\n  ")}

@@ -269,6 +269,14 @@ class DedupSpec extends GraftSuite {
       s"indexed full dedup re-read corpus text:\n$plan")
   }
 
+  test("dedup_clusters_indexed reproduces the recompute cluster labels") {
+    val recompute = Dedup.clusters(spark, sf).collect().map(_.toSeq).toSeq
+    val served = Dedup.clustersIndexed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(served == recompute,
+      "layout-served cluster resolution must reproduce the recompute form")
+    assert(recompute.exists(_.last == 1L), "vacuous: no duplicate clusters")
+  }
+
   test("dedup_incremental equals the full near-dup pairs restricted to batch×corpus") {
     // on a corpus without degenerate buckets the incremental probe
     // must find EXACTLY the full self-join's pairs that cross the
