@@ -997,6 +997,124 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** DSIR feature space: hashed n-gram buckets (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling").
+    * 4096 buckets keeps BOTH distribution tables bounded and
+    * broadcastable at any corpus size — the whole point of hashed
+    * features over raw n-gram vocabularies.
+    */
+  val DsirBuckets = 4096
+
+  /** The target-domain split for [[dsirWeights]]: documents from this
+    * source play the "high-quality target" corpus (the paper's
+    * Wikipedia+books side); the full corpus is the raw side.
+    */
+  val DsirTarget = "src0"
+
+  /** DSIR importance weights: per-document log-likelihood ratio of a
+    * hashed-n-gram bag-of-words model of the target domain vs the raw
+    * corpus — the data-selection score of Xie et al. 2023 (importance
+    * resampling picks raw documents with probability ∝ exp(weight)).
+    * Features are unigrams + bigrams hashed into [[DsirBuckets]]
+    * buckets; bucket probabilities are Laplace-smoothed; the weight is
+    * Σ_grams log(p_target[b]/p_raw[b]).
+    *
+    * Cross-engine determinism follows the [[graft.operators.TextAnalysis.lmScore]]
+    * convention: each bucket's log-ratio is fixed-pointed ONCE
+    * ([[OracleNum.fx]]) and the per-doc score is an integer
+    * Σ k·fx(s) — order-free where a double sum is not.
+    *
+    * Scale shape: gram instances compress to per-(doc, bucket)
+    * multiplicities in ONE keyed shuffle with map-side partials; both
+    * distribution tables are ≤ [[DsirBuckets]] rows (aggregated from
+    * the compressed relation, not the instance stream) and ride back
+    * on broadcasts; scoring is a broadcast join + one doc-keyed
+    * aggregate. No corpus-shaped relation is ever sorted, broadcast
+    * or joined to itself — the same plan serves 100 TB with the
+    * bucket tables still a few KB.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets.toLong
+    val base = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    // Persisted because FOUR downstream branches consume it (raw
+    // counts, target counts, the totals and the scoring join) and
+    // Spark has no subtree reuse: without the cache the
+    // tokenize+hash+aggregate instance pass runs once per branch
+    // (measured: five full corpus scans in the uncached plan). The
+    // cached relation is per-(doc, bucket) multiplicities — ~B-bounded
+    // rows per doc, far below the gram instance stream — and
+    // disk-spillable, the lmScore `bc` lifecycle.
+    val inst = base
+      .select(col("doc_id"), col("source"),
+        explode(concat(col("toks"), wordShingles(col("toks"), 2))).as("g"))
+      .select(col("doc_id"), col("source"), (hash60(col("g")) % B).as("b"))
+      .groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawc = inst.groupBy(col("b")).agg(sum(col("k")).as("cr"))
+    val tgtc = inst.filter(col("source") === DsirTarget)
+      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
+    val tots = rawc.agg(sum(col("cr")).as("totr")).crossJoin(
+      tgtc.agg(coalesce(sum(col("ct")), lit(0L)).as("tott")))
+    // products cast to double BEFORE multiplying: (ct+1)·(totr+B) in
+    // integers overflows a long once the corpus passes ~1e9 tokens
+    val s = fx(log(
+      ((col("ct") + 1L).cast("double") * (col("totr") + B).cast("double")) /
+        ((col("cr") + 1L).cast("double") * (col("tott") + B).cast("double"))))
+    val ratio = rawc
+      .join(broadcast(tgtc), Seq("b"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(tots))
+      .select(col("b"), s.as("s"))
+    val scored = inst
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k")).as("n_feats"), sum(col("k") * col("s")).as("weight_fx"))
+    base.select(col("doc_id"))
+      .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("weight_fx"), lit(0L)).as("weight_fx"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dsirWeightsSql: String = {
+    val B = DsirBuckets
+    val s = fxSql(s"ln(((COALESCE(t.ct, 0) + 1)::DOUBLE * (totr + $B)::DOUBLE) / " +
+      s"((cr + 1)::DOUBLE * (tott + $B)::DOUBLE))")
+    s"""WITH base AS (
+       |  SELECT doc_id, source, ${tokensSql("text")} AS toks FROM documents
+       |), inst AS (
+       |  SELECT doc_id, source, ${hash60Sql("g")} % $B AS b, COUNT(*)::BIGINT AS k
+       |  FROM (SELECT doc_id, source,
+       |          unnest(list_concat(toks, ${wordShinglesSql("toks", 2)})) AS g
+       |        FROM base)
+       |  GROUP BY 1, 2, 3
+       |), rawc AS (
+       |  SELECT b, SUM(k)::BIGINT AS cr FROM inst GROUP BY b
+       |), tgtc AS (
+       |  SELECT b, SUM(k)::BIGINT AS ct FROM inst WHERE source = '$DsirTarget' GROUP BY b
+       |), tots AS (
+       |  SELECT (SELECT SUM(k)::BIGINT FROM inst) AS totr,
+       |         (SELECT COALESCE(SUM(k), 0)::BIGINT FROM inst WHERE source = '$DsirTarget') AS tott
+       |), ratio AS (
+       |  SELECT r.b, $s AS s
+       |  FROM rawc r LEFT JOIN tgtc t USING (b), tots
+       |), scored AS (
+       |  SELECT doc_id, SUM(k)::BIGINT AS n_feats,
+       |    CAST(SUM(k * s) AS BIGINT) AS weight_fx
+       |  FROM inst JOIN ratio USING (b)
+       |  GROUP BY doc_id
+       |)
+       |SELECT b.doc_id,
+       |  COALESCE(sc.n_feats, 0) AS n_feats,
+       |  COALESCE(sc.weight_fx, 0) AS weight_fx
+       |FROM base b LEFT JOIN scored sc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val corpusSampleTempSql: String =
     s"""WITH census AS (
        |  SELECT source, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY source

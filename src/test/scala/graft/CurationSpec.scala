@@ -438,4 +438,42 @@ class CurationSpec extends GraftSuite {
     assert(again.toSeq == rows.map(r => (r.getAs[String]("source"),
       r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"))).toSeq)
   }
+
+  test("dsir_weights matches the brute-force hashed-ngram importance score") {
+    import scala.jdk.CollectionConverters._
+    val B = Curation.DsirBuckets
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Seq[Long] = {
+      val toks = Tok.tokens(text).asScala.toSeq
+      val all = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      all.map(g => Tok.hash60(g) % B)
+    }
+    val perDoc = docs.map { case (id, src, text) => (id, src, grams(text)) }
+    val rawc = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tgtc = perDoc.filter(_._2 == Curation.DsirTarget)
+      .flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totr = rawc.values.sum; val tott = tgtc.values.sum
+    def s(b: Long): Long = {
+      val x = ((tgtc.getOrElse(b, 0L) + 1).toDouble * (totr + B)) /
+        ((rawc(b) + 1).toDouble * (tott + B))
+      math.floor(math.log(x) * 1e4 + 0.5).toLong
+    }
+    val expected = perDoc.map { case (id, _, gs) =>
+      id -> ((gs.size.toLong, gs.map(s).sum))
+    }.toMap
+    val got = Curation.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("weight_fx")))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) => assert(got(id) == e, s"doc $id") }
+    // target-domain docs must score higher on average than the rest —
+    // the signal importance resampling selects on
+    val bySide = docs.map { case (id, src, _) =>
+      (src == Curation.DsirTarget,
+        got(id)._2.toDouble / math.max(1L, got(id)._1)) }
+    val t = bySide.filter(_._1).map(_._2); val r = bySide.filterNot(_._1).map(_._2)
+    assert(t.nonEmpty && r.nonEmpty && t.sum / t.size > r.sum / r.size)
+  }
 }
