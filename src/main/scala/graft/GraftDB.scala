@@ -444,6 +444,12 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def dedupIncremental(threshold: Double = 0.5): DataFrame =
     Dedup.minhashIncrementalIndexed(spark, dir, threshold)
 
+  /** DSIR data-selection importance weights of every corpus document
+    * (Xie et al. 2023) — the report importance resampling draws from;
+    * the per-arrival form is [[graft.sources.PointServe.loadDsir]].
+    */
+  def dsirWeights(): DataFrame = Curation.dsirWeights(spark, dir)
+
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).
     */
@@ -516,6 +522,15 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def pointServeDedup(): graft.sources.PointServe.MinhashDedup =
     graft.sources.PointServe.loadMinhashDedup(spark, dir)
+
+  /** The serving-tier form of [[dsirWeights]]: loads the two
+    * bucket-count tables once (a few KB at any corpus size), then
+    * `score(text)`/`admit(text, bar)` answer with zero Spark jobs,
+    * bit-identical to the batch row for that document; `observe`
+    * folds arrivals into the resident distributions online.
+    */
+  def pointServeDsir(): graft.sources.PointServe.Dsir =
+    graft.sources.PointServe.loadDsir(spark, dir)
 
   /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
     * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries

@@ -75,6 +75,7 @@ object ServeBench {
     val emb = PointServe.loadEmbedded(spark, dir)
     val graph = PointServe.loadGraph(spark, dir)
     val dedup = PointServe.loadMinhashDedup(spark, dir)
+    val dsir = PointServe.loadDsir(spark, dir)
     val loadSec = (System.nanoTime() - tLoad0) / 1e9
     // three replica handles over the resident tier — single-process
     // stand-ins for three serving replicas; the router's dispatch +
@@ -117,13 +118,19 @@ object ServeBench {
     val (dq, dp50, dp99) = measure(nThreads, opsPerThread) { i =>
       dedup.query(probeTexts(i % probeTexts.length))
     }
+    // the data-selection gate over the same mixed probe stream: a
+    // tokenize + table-lookup sum per document
+    val (wq, wp50, wp99) = measure(nThreads, opsPerThread) { i =>
+      dsir.score(probeTexts(i % probeTexts.length))
+    }
     def sec(q: Double, p50: Double, p99: Double) =
       s"""{"qps":${fmt(q)},"p50_ms":${fmt(p50)},"p99_ms":${fmt(p99)}}"""
     s"""{"replicas":3,"threads":$nThreads,"ops_per_thread":$opsPerThread,""" +
       s""""method":"best-of-$MeasurePasses passes (max qps, min latency)",""" +
       s""""load_sec":${fmt(loadSec)},"bm25":${sec(bq, bp50, bp99)},""" +
       s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
-      s""""dedup_admit":${sec(dq, dp50, dp99)}}"""
+      s""""dedup_admit":${sec(dq, dp50, dp99)},""" +
+      s""""dsir_score":${sec(wq, wp50, wp99)}}"""
   } catch {
     case e: Throwable =>
       // truncate BEFORE escaping (a cut cannot strand a lone

@@ -1033,46 +1033,72 @@ object Curation {
     * or joined to itself — the same plan serves 100 TB with the
     * bucket tables still a few KB.
     */
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-(doc, source, bucket) gram multiplicities — the compressed
+    * relation every DSIR consumer derives from. Persisted because
+    * THREE downstream branches consume it (the bucket-stats
+    * aggregate, its totals and the scoring join) and Spark has no
+    * subtree reuse: without the cache the tokenize+hash+aggregate
+    * instance pass runs once per branch (measured: five full corpus
+    * scans in the uncached plan). The cached relation is
+    * per-(doc, bucket) multiplicities — ≤[[DsirBuckets]] rows per doc,
+    * far below the gram instance stream — and disk-spillable, the
+    * lmScore `bc` lifecycle.
+    */
+  private[graft] def dsirInst(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets.toLong
-    val base = Tables.spread(spark,
+    Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
-    // Persisted because FOUR downstream branches consume it (raw
-    // counts, target counts, the totals and the scoring join) and
-    // Spark has no subtree reuse: without the cache the
-    // tokenize+hash+aggregate instance pass runs once per branch
-    // (measured: five full corpus scans in the uncached plan). The
-    // cached relation is per-(doc, bucket) multiplicities — ~B-bounded
-    // rows per doc, far below the gram instance stream — and
-    // disk-spillable, the lmScore `bc` lifecycle.
-    val inst = base
       .select(col("doc_id"), col("source"),
         explode(concat(col("toks"), wordShingles(col("toks"), 2))).as("g"))
       .select(col("doc_id"), col("source"), (hash60(col("g")) % B).as("b"))
       .groupBy(col("doc_id"), col("source"), col("b"))
       .agg(count(lit(1)).as("k"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rawc = inst.groupBy(col("b")).agg(sum(col("k")).as("cr"))
-    val tgtc = inst.filter(col("source") === DsirTarget)
-      .groupBy(col("b")).agg(sum(col("k")).as("ct"))
-    val tots = rawc.agg(sum(col("cr")).as("totr")).crossJoin(
-      tgtc.agg(coalesce(sum(col("ct")), lit(0L)).as("tott")))
+  }
+
+  /** Both DSIR bucket-count tables in ONE aggregate over [[dsirInst]]:
+    * (bucket, raw count, target count). ≤[[DsirBuckets]] rows.
+    */
+  private[graft] def dsirBucketStats(inst: DataFrame): DataFrame =
+    inst.groupBy(col("b")).agg(
+      sum(col("k")).as("cr"),
+      sum(when(col("source") === DsirTarget, col("k")).otherwise(0L)).as("ct"))
+
+  /** Dense (raw, target) bucket-count arrays for the point-serving
+    * tier ([[graft.sources.PointServe.loadDsir]]): one Spark pass,
+    * ≤[[DsirBuckets]] rows collected.
+    */
+  private[graft] def dsirCounts(spark: SparkSession, dir: String): (Array[Long], Array[Long]) = {
+    val raw = new Array[Long](DsirBuckets)
+    val tgt = new Array[Long](DsirBuckets)
+    dsirBucketStats(dsirInst(spark, dir)).collect().foreach { r =>
+      val b = r.getLong(0).toInt
+      raw(b) = r.getLong(1)
+      tgt(b) = r.getLong(2)
+    }
+    (raw, tgt)
+  }
+
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val B = DsirBuckets.toLong
+    val inst = dsirInst(spark, dir)
+    val stats = dsirBucketStats(inst)
+    val tots = stats.agg(sum(col("cr")).as("totr"),
+      coalesce(sum(col("ct")), lit(0L)).as("tott"))
     // products cast to double BEFORE multiplying: (ct+1)·(totr+B) in
     // integers overflows a long once the corpus passes ~1e9 tokens
     val s = fx(log(
       ((col("ct") + 1L).cast("double") * (col("totr") + B).cast("double")) /
         ((col("cr") + 1L).cast("double") * (col("tott") + B).cast("double"))))
-    val ratio = rawc
-      .join(broadcast(tgtc), Seq("b"), "left")
-      .withColumn("ct", coalesce(col("ct"), lit(0L)))
-      .crossJoin(broadcast(tots))
-      .select(col("b"), s.as("s"))
+    val ratio = stats.crossJoin(broadcast(tots)).select(col("b"), s.as("s"))
     val scored = inst
       .join(broadcast(ratio), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("k")).as("n_feats"), sum(col("k") * col("s")).as("weight_fx"))
-    base.select(col("doc_id"))
+    // all-docs left base: a zero-gram doc has no inst rows but still
+    // gets a (0, 0) report row (oracle parity)
+    Tables.documents(spark, dir).select(col("doc_id"))
       .join(scored.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

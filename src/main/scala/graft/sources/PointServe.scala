@@ -1190,4 +1190,128 @@ object PointServe {
     val maxGen = if (bands.isEmpty) 0L else bands.iterator.map(_._3).max
     new MinhashDedup(spark, path, (buckets, sk, maxGen), shard)
   }
+
+  /** DSIR data-selection point scorer — the serving third of the
+    * [[graft.operators.Curation.dsirWeights]] split (batch: the full
+    * corpus report; online upkeep: [[Dsir.observe]]). Resident state
+    * is the two hashed-ngram bucket-count tables — `2 ×
+    * [[graft.operators.Curation.DsirBuckets]]` longs, a few KB at ANY
+    * corpus size, the whole point of hashed features — so one scorer
+    * fits in every ingestion worker and answers "how target-like is
+    * this arriving document" in JVM microseconds with zero Spark jobs.
+    *
+    * [[Dsir.score]] replays the batch kernels: [[graft.functions
+    * .expressions.Tok.tokens]] / `Tok.hash60 % B` are the exact JVM
+    * twins the Catalyst expressions codegen into, and the per-bucket
+    * log-ratio is fx4'd BEFORE the integer sum — so a served score is
+    * BIT-IDENTICAL to the batch row for the same document
+    * (PointServeSpec asserts it per corpus doc).
+    *
+    * [[Dsir.observe]] folds one arriving document into the resident
+    * counts (integer adds — order-free, so any observation order over
+    * the same docs lands the identical table, spec-pinned against the
+    * batch-loaded counts) and rebuilds the ≤B-entry score table —
+    * the online form of the distribution upkeep a streaming ingest
+    * would run.
+    */
+  final class Dsir private[PointServe] (
+      private val raw: Array[Long], private val tgt: Array[Long],
+      private var totr: Long, private var tott: Long) {
+    import graft.functions.expressions.Tok
+    import graft.operators.Curation.DsirBuckets
+
+    @volatile private var table: Array[Long] = rebuild()
+
+    private def rebuild(): Array[Long] = {
+      val B = DsirBuckets
+      val t = new Array[Long](B)
+      var b = 0
+      while (b < B) {
+        t(b) = fx4(math.log(
+          ((tgt(b) + 1).toDouble * (totr + B).toDouble) /
+            ((raw(b) + 1).toDouble * (tott + B).toDouble)))
+        b += 1
+      }
+      t
+    }
+
+    /** Hashed unigram+bigram bucket per gram — batch gram derivation
+      * (`toks ++ wordShingles(toks, 2)`), order irrelevant to the sum.
+      */
+    private def buckets(text: String): Array[Int] = {
+      val B = DsirBuckets
+      val toks = Tok.tokens(text)
+      val n = toks.size
+      val out = new Array[Int](if (n >= 2) 2 * n - 1 else n)
+      var i = 0
+      while (i < n) {
+        out(i) = (Tok.hash60(toks.get(i)) % B).toInt
+        i += 1
+      }
+      var j = 0
+      while (j < n - 1) {
+        out(n + j) = (Tok.hash60(toks.get(j) + " " + toks.get(j + 1)) % B).toInt
+        j += 1
+      }
+      out
+    }
+
+    /** (n_feats, weight_fx) of one document against the resident
+      * distributions — the batch row, served.
+      */
+    def score(text: String): (Long, Long) = {
+      val t = table
+      val bs = buckets(text)
+      var w = 0L
+      var i = 0
+      while (i < bs.length) { w += t(bs(i)); i += 1 }
+      (bs.length.toLong, w)
+    }
+
+    /** Selection gate: admit iff the document scores at least
+      * `minPerFeatFx` fx-units per feature (importance resampling's
+      * acceptance test with a fixed threshold).
+      */
+    def admit(text: String, minPerFeatFx: Long): Boolean = {
+      val (n, w) = score(text)
+      n > 0 && w >= minPerFeatFx * n
+    }
+
+    /** Fold one arriving document into the resident counts and rebuild
+      * the score table. Integer adds — observation order never changes
+      * the resulting state.
+      */
+    def observe(text: String, isTarget: Boolean): Unit = synchronized {
+      val bs = buckets(text)
+      var i = 0
+      while (i < bs.length) {
+        raw(bs(i)) += 1
+        if (isTarget) tgt(bs(i)) += 1
+        i += 1
+      }
+      totr += bs.length
+      if (isTarget) tott += bs.length
+      table = rebuild()
+    }
+
+    /** (raw total, target total) gram mass resident. */
+    def totals: (Long, Long) = synchronized { (totr, tott) }
+  }
+
+  /** Load the DSIR bucket-count tables from the corpus (one Spark
+    * aggregate; zero jobs afterwards).
+    */
+  def loadDsir(spark: SparkSession, dir: String): Dsir = {
+    val (raw, tgt) = graft.operators.Curation.dsirCounts(spark, dir)
+    new Dsir(raw, tgt, raw.sum, tgt.sum)
+  }
+
+  /** An empty scorer (nothing resident) for pure-online use: observe
+    * documents as they arrive; after the same documents in any order
+    * its state equals [[loadDsir]]'s batch-loaded one.
+    */
+  def emptyDsir(): Dsir = {
+    val B = graft.operators.Curation.DsirBuckets
+    new Dsir(new Array[Long](B), new Array[Long](B), 0L, 0L)
+  }
 }

@@ -156,6 +156,16 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.Dedup.minhashIncrementalIndexed(spark, sf)))
   }
 
+  test("dsirWeights delegates to the batch selection report; pointServeDsir scores identically") {
+    val batch = rows(db.dsirWeights())
+    assert(batch == rows(graft.operators.Curation.dsirWeights(spark, sf)))
+    val scorer = db.pointServeDsir()
+    val byId = batch.map(r => r.head.asInstanceOf[Long] ->
+      ((r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))).toMap
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .foreach(r => assert(scorer.score(r.getString(1)) == byId(r.getLong(0))))
+  }
+
   test("pointServeDedup serves the admit gate from the handle") {
     val gate = db.pointServeDedup()
     val resident = Tables.documents(spark, sf)

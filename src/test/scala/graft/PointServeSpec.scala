@@ -394,4 +394,47 @@ class PointServeSpec extends GraftSuite {
     assert(router.route(_.bm25(operators.Bm25.DefaultQuery)) == direct)
     assert(router.stats(1).routed == 4L)
   }
+
+  test("dsir point scorer matches the batch weights bit-for-bit") {
+    import graft.operators.Curation
+    val scorer = PointServe.loadDsir(spark, sf)
+    val batch = Curation.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("weight_fx")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty && batch.nonEmpty)
+    docs.foreach { r =>
+      assert(scorer.score(r.getString(1)) == batch(r.getLong(0)),
+        s"doc ${r.getLong(0)}")
+    }
+    // the gate admits exactly the docs at/above the per-feature bar
+    val bar = 0L
+    docs.foreach { r =>
+      val (n, w) = batch(r.getLong(0))
+      assert(scorer.admit(r.getString(1), bar) == (n > 0 && w >= bar * n))
+    }
+  }
+
+  test("dsir online observation in any order lands the batch-loaded state") {
+    import graft.operators.Curation
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val loaded = PointServe.loadDsir(spark, sf)
+    def fold(order: Seq[(Long, String, String)]): PointServe.Dsir = {
+      val d = PointServe.emptyDsir()
+      order.foreach { case (_, src, text) =>
+        d.observe(text, src == Curation.DsirTarget) }
+      d
+    }
+    val fwd = fold(docs.toSeq)
+    val rev = fold(docs.reverse.toSeq)
+    assert(fwd.totals == loaded.totals && rev.totals == loaded.totals)
+    // identical resident state ⇒ identical served scores everywhere
+    docs.foreach { case (id, _, text) =>
+      val s = loaded.score(text)
+      assert(fwd.score(text) == s && rev.score(text) == s, s"doc $id")
+    }
+  }
 }
