@@ -604,6 +604,114 @@ object Curation {
        |ORDER BY source""".stripMargin
   }
 
+  // ---- quality-prioritized token-budget fill ----
+
+  /** Total whitespace-token budget [[tokenBudget]] fills, split across
+    * sources by [[MixWeights]].
+    */
+  val BudgetTokens = 12000L
+
+  /** Quality-prioritized token-budget fill: admit the best documents
+    * of each source, best-first by the [[TextAnalysis.quality]] score,
+    * until the source's share of [[BudgetTokens]] (its [[MixWeights]]
+    * basis points) is spent — the "give me N tokens at these domain
+    * weights, highest quality first" selection a pretraining run makes
+    * once dedup/decontamination have gated the pool (the budget-fill
+    * counterpart of [[corpusMix]]'s rate-based downsampling).
+    *
+    * A naive formulation sorts every source's documents by score and
+    * takes a running-total prefix — a per-source corpus-sized sort
+    * window, exactly the shape the plan-hygiene sweep bans (a source
+    * is a handful of giant partitions at 100 TB). Instead the budget
+    * boundary is resolved on a BOUNDED relation: pass 1 aggregates
+    * token mass per (source, quality-centile) — ≤101 rows per source
+    * regardless of corpus size — and a window over that level table
+    * finds each source's boundary centile and its remaining budget;
+    * levels strictly above the boundary are admitted with a broadcast
+    * join and NO doc-level ordering at all. Only the single boundary
+    * centile per source (~1% of its documents) pays a doc-level
+    * running-total window, keyed by the same content-free hash draw
+    * the sampling operators use. Integer arithmetic throughout
+    * (`DIV`, fx centiles) — exact cross-engine at any magnitude.
+    */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  budget: Long = BudgetTokens,
+                  weights: Seq[(String, Int)] = MixWeights): DataFrame = {
+    val (nToks, _, q) = TextAnalysis.qualityParts(col("text"))
+    val docs = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"),
+        nToks.cast("long").as("toks"), fx(q, 6).as("q6"))
+      .select(col("doc_id"), col("source"), col("toks"),
+        expr("q6 DIV 10000").as("qbkt"))
+    val wBp = weights.foldLeft(Option.empty[Column]) {
+      case (None, (s, w))    => Some(when(col("source") === s, w.toLong))
+      case (Some(c), (s, w)) => Some(c.when(col("source") === s, w.toLong))
+    }.get.otherwise(0L)
+    // level table: ≤101 centiles × |sources| rows — bounded, so the
+    // desc-cumulative window and the broadcast back are both safe
+    val lvlWin = Window.partitionBy(col("source")).orderBy(col("qbkt").desc)
+    val verdict = docs.groupBy(col("source"), col("qbkt"))
+      .agg(sum(col("toks")).as("lvl_toks"))
+      .withColumn("w_bp", wBp)
+      .withColumn("b_s", expr(s"(w_bp * ${budget}L) DIV 10000"))
+      .withColumn("cum", sum(col("lvl_toks")).over(lvlWin))
+      .select(col("source"), col("qbkt"),
+        (col("cum") <= col("b_s")).as("full_lvl"),
+        (col("cum") - col("lvl_toks") < col("b_s") && col("cum") > col("b_s")).as("boundary"),
+        (col("b_s") - (col("cum") - col("lvl_toks"))).as("rem"))
+    val joined = docs.join(broadcast(verdict), Seq("source", "qbkt"))
+    val fullAdmit = joined.filter(col("full_lvl"))
+      .select(col("doc_id"), col("source"), col("qbkt"), col("toks"))
+    // the boundary window's partitions are single (source, centile)
+    // groups — a bounded fraction of any source, never the source
+    val bWin = Window.partitionBy(col("source"))
+      .orderBy((hash60(col("doc_id")) % 1000000L).asc, col("doc_id"))
+    val boundaryAdmit = joined.filter(col("boundary"))
+      .withColumn("bcum", sum(col("toks")).over(bWin))
+      .filter(col("bcum") <= col("rem"))
+      .select(col("doc_id"), col("source"), col("qbkt"), col("toks"))
+    fullAdmit.unionAll(boundaryAdmit).orderBy(col("doc_id"))
+  }
+
+  val tokenBudgetSql: String = {
+    val wtVals = MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len(string_split(text, ' '))::BIGINT AS toks,
+       |    ${fxSql(TextAnalysis.qualityQSql, 6)} // 10000 AS qbkt
+       |  FROM documents
+       |), wt AS (
+       |  SELECT * FROM (VALUES $wtVals) AS t(source, w_bp)
+       |), lvl AS (
+       |  SELECT source, qbkt, SUM(toks)::BIGINT AS lvl_toks
+       |  FROM d GROUP BY source, qbkt
+       |), cum AS (
+       |  SELECT l.source, l.qbkt, l.lvl_toks,
+       |    (w.w_bp::BIGINT * $BudgetTokens) // 10000 AS b_s,
+       |    SUM(l.lvl_toks) OVER (PARTITION BY l.source ORDER BY l.qbkt DESC) AS cum
+       |  FROM lvl l JOIN wt w USING (source)
+       |), v AS (
+       |  SELECT source, qbkt, (cum <= b_s) AS full_lvl,
+       |    (cum - lvl_toks < b_s AND cum > b_s) AS boundary,
+       |    b_s - (cum - lvl_toks) AS rem
+       |  FROM cum
+       |), j AS (
+       |  SELECT d.doc_id, d.source, d.qbkt, d.toks, v.full_lvl, v.boundary, v.rem
+       |  FROM d JOIN v USING (source, qbkt)
+       |), badmit AS (
+       |  SELECT doc_id, source, qbkt, toks FROM (
+       |    SELECT doc_id, source, qbkt, toks, rem,
+       |      SUM(toks) OVER (PARTITION BY source
+       |        ORDER BY (${hash60Sql("doc_id")} % 1000000), doc_id) AS bcum
+       |    FROM j WHERE boundary)
+       |  WHERE bcum <= rem
+       |)
+       |SELECT doc_id, source, qbkt, toks FROM j WHERE full_lvl
+       |UNION ALL
+       |SELECT doc_id, source, qbkt, toks FROM badmit
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val textRepetitionSql: String = {
     val toks = tokensSql("text")
     val n = "len(toks)::DOUBLE"
@@ -1080,7 +1188,14 @@ object Curation {
     (raw, tgt)
   }
 
-  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsUnsorted(spark, dir).orderBy(col("doc_id"))
+
+  /** [[dsirWeights]] without the presentation sort — the relation
+    * [[dsirSelect]] builds its TakeOrdered head over (an upstream sort
+    * under a top-N would be a wasted corpus-sized exchange).
+    */
+  private[graft] def dsirWeightsUnsorted(spark: SparkSession, dir: String): DataFrame = {
     val B = DsirBuckets.toLong
     val inst = dsirInst(spark, dir)
     val stats = dsirBucketStats(inst)
@@ -1103,10 +1218,40 @@ object Curation {
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),
         coalesce(col("weight_fx"), lit(0L)).as("weight_fx"))
-      .orderBy(col("doc_id"))
   }
 
-  val dsirWeightsSql: String = {
+  /** Documents drawn by [[dsirSelect]]. */
+  val DsirSelectN = 200
+
+  /** DSIR selection — the importance-RESAMPLING half of Xie et al.
+    * 2023 that [[dsirWeights]] scores for: draw [[DsirSelectN]]
+    * documents with inclusion probability ∝ the importance ratio
+    * exp(weight), via priority sampling (Duffield, Lund & Thorup,
+    * JACM 2007: per-item key u/w for uniform u, keep the smallest
+    * keys) carried in the log domain so the fixed-point weight is
+    * used as-is: key_fx = fx(ln u) − weight_fx. The uniform is the
+    * content-free per-doc hash draw every sampling operator here uses
+    * ([[corpusMix]]'s gate convention) — reproducible on any cluster,
+    * stable under repartitioning, replayable by the oracle.
+    *
+    * Scale shape: the weights relation's plan (bounded broadcast
+    * tables + one doc-keyed aggregate) topped by a
+    * TakeOrderedAndProject — per-partition top-N then a driver merge
+    * of N·partitions rows; no global sort, no new shuffle.
+    */
+  def dsirSelect(spark: SparkSession, dir: String, n: Int = DsirSelectN): DataFrame = {
+    val u = ((hash60(col("doc_id")) % 1000000L) + 1L).cast("double") / lit(1000001.0)
+    dsirWeightsUnsorted(spark, dir)
+      .select(col("doc_id"), col("weight_fx"),
+        (fx(log(u)) - col("weight_fx")).as("key_fx"))
+      .orderBy(col("key_fx"), col("doc_id"))
+      .limit(n)
+  }
+
+  /** The shared DSIR CTE chain (base → inst → scored) both
+    * [[dsirWeightsSql]] and [[dsirSelectSql]] build on.
+    */
+  private[graft] val dsirCoreSql: String = {
     val B = DsirBuckets
     val s = fxSql(s"ln(((COALESCE(t.ct, 0) + 1)::DOUBLE * (totr + $B)::DOUBLE) / " +
       s"((cr + 1)::DOUBLE * (tott + $B)::DOUBLE))")
@@ -1133,12 +1278,28 @@ object Curation {
        |    CAST(SUM(k * s) AS BIGINT) AS weight_fx
        |  FROM inst JOIN ratio USING (b)
        |  GROUP BY doc_id
-       |)
+       |)""".stripMargin
+  }
+
+  val dsirWeightsSql: String =
+    s"""$dsirCoreSql
        |SELECT b.doc_id,
        |  COALESCE(sc.n_feats, 0) AS n_feats,
        |  COALESCE(sc.weight_fx, 0) AS weight_fx
        |FROM base b LEFT JOIN scored sc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  val dsirSelectSql: String = {
+    val u = s"(((${hash60Sql("doc_id")} % 1000000) + 1)::DOUBLE / 1000001.0)"
+    s"""$dsirCoreSql, w AS (
+       |  SELECT b.doc_id, COALESCE(sc.weight_fx, 0) AS weight_fx
+       |  FROM base b LEFT JOIN scored sc USING (doc_id)
+       |)
+       |SELECT doc_id, weight_fx,
+       |  ${fxSql(s"ln($u)")} - weight_fx AS key_fx
+       |FROM w
+       |ORDER BY key_fx, doc_id
+       |LIMIT $DsirSelectN""".stripMargin
   }
 
   val corpusSampleTempSql: String =

@@ -112,11 +112,13 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Quality scoring from surface statistics: token volume, noise
-    * (punctuation/digit) ratios and stopword naturalness.
+  /** The surface-statistics quality kernel over a `text` column:
+    * (whitespace token count, punctuation ratio, composite quality
+    * score in [0,1]) — factored so budget-driven selection
+    * ([[Curation.tokenBudget]]) ranks documents by the SAME score the
+    * [[quality]] report emits.
     */
-  def quality(spark: SparkSession, dir: String): DataFrame = {
-    val text = col("text")
+  private[graft] def qualityParts(text: Column): (Column, Column, Column) = {
     val nChars = length(text).cast("double")
     val nTokens = size(split(text, " ")).cast("double")
     // count stopwords among RAW cleaned tokens — tokens() itself
@@ -132,6 +134,30 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - punctRatio) +
       lit(0.2) * least(lit(1.0), stopRatio * 5.0) +
       lit(0.2) * (lit(1.0) - digitRatio)
+    (nTokens, punctRatio, q)
+  }
+
+  /** DuckDB rendering of [[qualityParts]]'s quality score over a
+    * `text` SQL column.
+    */
+  private[graft] val qualityQSql: String = {
+    val nChars = "length(text)::DOUBLE"
+    val nTokens = "len(string_split(text, ' '))::DOUBLE"
+    val rawToks = "list_transform(string_split(lower(text), ' '), t -> regexp_replace(t, '[^a-z0-9]', '', 'g'))"
+    val stopToks = s"len(list_filter($rawToks, t -> list_contains($stopWordsSql, t)))::DOUBLE"
+    val alnumSpace = "length(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'))::DOUBLE"
+    val digits = s"($nChars - length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE)"
+    val punct = s"(($nChars - $alnumSpace) / $nChars)"
+    val digitR = s"($digits / $nChars)"
+    val stopR = s"($stopToks / greatest($nTokens, 1.0))"
+    s"(0.3 * least(1.0, $nTokens / 50.0) + 0.3 * (1.0 - $punct) + 0.2 * least(1.0, $stopR * 5.0) + 0.2 * (1.0 - $digitR))"
+  }
+
+  /** Quality scoring from surface statistics: token volume, noise
+    * (punctuation/digit) ratios and stopword naturalness.
+    */
+  def quality(spark: SparkSession, dir: String): DataFrame = {
+    val (nTokens, punctRatio, q) = qualityParts(col("text"))
     Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
         fx(punctRatio, 6).as("punct_ratio"), fx(q, 6).as("quality"))
@@ -638,4 +664,69 @@ object TextAnalysis {
        |  COALESCE(${fxSql("a.n_types::DOUBLE / a.n_tokens")}, 0) AS ttr
        |FROM documents d LEFT JOIN agg a USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---- seed-vocabulary induction (tokenizer prep) ----
+
+  /** Vocabulary size emitted by [[vocabInduce]]. */
+  val VocabV = 500
+
+  /** Longest candidate piece in characters. */
+  val VocabMaxPiece = 6
+
+  /** Seed-vocabulary induction for subword tokenizer training — the
+    * substring-frequency seeding step of SentencePiece's unigram
+    * trainer (Kudo & Richardson 2018 §3.2: the initial vocabulary is
+    * the most frequent substrings, scored frequency × length, that
+    * the EM pruning loop then shrinks). Emits the top-[[VocabV]]
+    * candidate pieces of 2..[[VocabMaxPiece]] characters by
+    * `freq × (len − 1)` (a piece is only worth keeping if it saves
+    * symbols over single characters, hence len − 1), ties broken
+    * lexicographically.
+    *
+    * Scale shape: the corpus compresses to the DISTINCT-WORD table in
+    * one keyed aggregate with map-side partials (Zipf: the vocabulary
+    * is orders of magnitude smaller than the token stream — the same
+    * compression [[vocabulary]] rides); candidate enumeration explodes
+    * positions over that bounded table only, never over the corpus,
+    * and the head is a TakeOrdered (per-partition top-V + driver
+    * merge), never a global sort. No corpus-shaped relation is joined,
+    * windowed or sorted — the identical plan serves 100 TB.
+    */
+  def vocabInduce(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val pieces = transform(sequence(lit(2), lit(VocabMaxPiece)), L =>
+      when(length(col("w")) >= L,
+        transform(sequence(lit(1), length(col("w")) - L + lit(1)),
+          i => col("w").substr(i, L)))
+        .otherwise(array().cast("array<string>")))
+    words
+      .select(col("cnt"), explode(flatten(pieces)).as("piece"))
+      .groupBy(col("piece"))
+      .agg(sum(col("cnt")).as("freq"))
+      .select(col("piece"), col("freq"),
+        (col("freq") * (length(col("piece")) - 1).cast("long")).as("score"))
+      .orderBy(col("score").desc, col("piece"))
+      .limit(VocabV)
+  }
+
+  val vocabInduceSql: String =
+    s"""WITH words AS (
+       |  SELECT g AS w, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(${tokensSql("text")}) AS g FROM documents)
+       |  GROUP BY 1
+       |), subs AS (
+       |  SELECT unnest(flatten(list_transform(range(2, ${VocabMaxPiece + 1}), L ->
+       |           list_transform(range(1, greatest(length(w) - L + 1, 0) + 1),
+       |                          i -> substr(w, i::INT, L::INT))))) AS piece,
+       |         cnt
+       |  FROM words
+       |)
+       |SELECT piece, SUM(cnt)::BIGINT AS freq,
+       |  (SUM(cnt) * (length(piece) - 1))::BIGINT AS score
+       |FROM subs GROUP BY piece
+       |ORDER BY score DESC, piece
+       |LIMIT $VocabV""".stripMargin
 }

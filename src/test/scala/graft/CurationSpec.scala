@@ -476,4 +476,79 @@ class CurationSpec extends GraftSuite {
     val t = bySide.filter(_._1).map(_._2); val r = bySide.filterNot(_._1).map(_._2)
     assert(t.nonEmpty && r.nonEmpty && t.sum / t.size > r.sum / r.size)
   }
+
+  test("dsir_select draws the N smallest priority keys over the weights report") {
+    val w = Curation.dsirWeights(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_fx")).toMap
+    def key(id: Long): Long = {
+      val u = ((Tok.hash60(id.toString) % 1000000L) + 1L).toDouble / 1000001.0
+      math.floor(math.log(u) * 10000 + 0.5).toLong - w(id)
+    }
+    val expected = w.keys.toSeq.map(id => (key(id), id)).sorted
+      .take(Curation.DsirSelectN)
+    val sel = Curation.dsirSelect(spark, sf)
+    val got = sel.collect().map(r =>
+      (r.getAs[Long]("key_fx"), r.getAs[Long]("doc_id"))).toSeq
+    assert(got == expected)
+    // resampling property: high-importance docs are over-represented —
+    // the selected set's mean weight beats the corpus mean
+    val selMean = got.map(p => w(p._2).toDouble).sum / got.size
+    val allMean = w.values.map(_.toDouble).sum / w.size
+    assert(selMean > allMean,
+      s"selection should upweight the target-like docs ($selMean vs $allMean)")
+    // the head is a TakeOrdered over the weights aggregate, never a
+    // corpus-sized global sort
+    val exec = sel.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered plan:\n$exec")
+    val globalSorts = exec.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.isEmpty, s"global Sort in dsir_select plan:\n$exec")
+  }
+
+  test("token_budget fills each source's share best-quality-first with a hash-ranked boundary") {
+    import graft.operators.TextAnalysis
+    // toks and the fx6 quality score re-derived from the quality
+    // report the operator factors its kernel from
+    val qrep = TextAnalysis.quality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("quality"))).toMap
+    val srcOf = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wBp = Curation.MixWeights.toMap
+    // per source: full centiles admitted whole while they fit; the one
+    // boundary centile admits its hash-ranked running-total prefix
+    val expected = srcOf.groupBy(_._2).flatMap { case (src, members) =>
+      val bS = wBp.getOrElse(src, 0).toLong * Curation.BudgetTokens / 10000L
+      val docs = members.keys.toSeq.map { id =>
+        val (toks, q6) = qrep(id); (id, toks, q6 / 10000L) }
+      val levels = docs.groupBy(_._3).toSeq.sortBy(-_._1)
+      var cum = 0L
+      val admitted = Seq.newBuilder[Long]
+      levels.foreach { case (_, lvlDocs) =>
+        val lvlToks = lvlDocs.map(_._2).sum
+        if (cum + lvlToks <= bS) admitted ++= lvlDocs.map(_._1)
+        else if (cum < bS) {
+          val rem = bS - cum
+          var run = 0L
+          lvlDocs.sortBy(d => (Tok.hash60(d._1.toString) % 1000000L, d._1))
+            .foreach { d => run += d._2; if (run <= rem) admitted += d._1 }
+        }
+        cum += lvlToks
+      }
+      admitted.result()
+    }.toSet
+    val rows = Curation.tokenBudget(spark, sf).collect()
+    val got = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected)
+    // budgets are never exceeded
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val bS = wBp.getOrElse(src, 0).toLong * Curation.BudgetTokens / 10000L
+      val spent = rs.map(_.getAs[Long]("toks")).sum
+      assert(spent <= bS, s"source $src overspent: $spent > $bS")
+    }
+    assert(got.nonEmpty && got.size < srcOf.size,
+      "budget fill should be a strict, non-empty selection at this SF")
+  }
 }

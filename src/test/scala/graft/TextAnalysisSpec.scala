@@ -374,4 +374,31 @@ class TextAnalysisSpec extends GraftSuite {
     assert(mismatch == expect)
     assert(mismatch.nonEmpty, "the synthetic corpus has shuffled lang tags")
   }
+
+  test("vocab_induce emits the top-V substrings by freq × (len−1), seed-vocab style") {
+    import graft.functions.expressions.Tok
+    import scala.jdk.CollectionConverters._
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0))
+    val cnt = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach(t => Tok.tokens(t).asScala.foreach(w => cnt(w) += 1))
+    val freq = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      (w, c) <- cnt
+      l <- 2 to TextAnalysis.VocabMaxPiece
+      i <- 0 to w.length - l
+    } freq(w.substring(i, i + l)) += c
+    val expected = freq.toSeq
+      .map { case (p, f) => (p, f, f * (p.length - 1)) }
+      .sortBy { case (p, _, s) => (-s, p) }
+      .take(TextAnalysis.VocabV)
+    val df = TextAnalysis.vocabInduce(spark, sf)
+    val got = df.collect().map(r =>
+      (r.getAs[String]("piece"), r.getAs[Long]("freq"), r.getAs[Long]("score"))).toSeq
+    assert(got == expected)
+    // the head is a TakeOrdered over the piece aggregate — the corpus
+    // never reaches a global sort
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      s"expected TakeOrdered plan:\n$exec")
+  }
 }
