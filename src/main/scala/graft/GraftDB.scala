@@ -450,6 +450,26 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def dsirWeights(): DataFrame = Curation.dsirWeights(spark, dir)
 
+  /** DSIR importance resampling: the n documents priority sampling
+    * draws with inclusion ∝ exp(weight) — the selected training
+    * subset [[dsirWeights]] scores for.
+    */
+  def dsirSelect(n: Int = Curation.DsirSelectN): DataFrame =
+    Curation.dsirSelect(spark, dir, n)
+
+  /** Quality-prioritized token-budget fill: each source's best
+    * documents, best-first by the quality score, until its mixture
+    * share of `budget` whitespace tokens is spent.
+    */
+  def tokenBudget(budget: Long = Curation.BudgetTokens): DataFrame =
+    Curation.tokenBudget(spark, dir, budget)
+
+  /** Seed vocabulary for subword tokenizer training: the top
+    * candidate pieces by frequency × (length − 1) over the corpus
+    * (SentencePiece unigram seeding).
+    */
+  def vocabInduce(): DataFrame = TextAnalysis.vocabInduce(spark, dir)
+
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).
     */

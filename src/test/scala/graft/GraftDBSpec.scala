@@ -166,6 +166,15 @@ class GraftDBSpec extends GraftSuite {
       .foreach(r => assert(scorer.score(r.getString(1)) == byId(r.getLong(0))))
   }
 
+  test("dsirSelect/tokenBudget/vocabInduce delegate to their batch operators") {
+    assert(rows(db.dsirSelect()) ==
+      rows(graft.operators.Curation.dsirSelect(spark, sf)))
+    assert(rows(db.tokenBudget()) ==
+      rows(graft.operators.Curation.tokenBudget(spark, sf)))
+    assert(rows(db.vocabInduce()) ==
+      rows(graft.operators.TextAnalysis.vocabInduce(spark, sf)))
+  }
+
   test("pointServeDedup serves the admit gate from the handle") {
     val gate = db.pointServeDedup()
     val resident = Tables.documents(spark, sf)
