@@ -292,7 +292,12 @@ object Dedup {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
   }
 
-  def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+  /** Banded candidates verified to exact Jaccard, UNFILTERED — the
+    * shared pair relation [[minhash]] thresholds and the ablation
+    * census [[sweep]] histograms. One banding + one verify pass
+    * however many thresholds are read off it.
+    */
+  private[graft] def verifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingleDocs(spark, dir)
     val bands = minhashBands(docs)
     val bounded = boundBuckets(bands, col("band"), col("band_key"))
@@ -302,8 +307,87 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     verifyJaccard(cand, docs)
+  }
+
+  def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    verifiedPairs(spark, dir)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
+
+  /** Jaccard thresholds (fx4 basis points of 1.0) [[sweep]] ablates. */
+  val SweepThetas: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
+
+  /** Dedup threshold-ablation census: for each candidate Jaccard
+    * threshold θ, how many verified near-dup pairs qualify and how
+    * many documents the keep-smallest-id rule would drop — the
+    * "which θ do we run dedup at" decision table a 100 TB pipeline
+    * wants BEFORE committing to a corpus-wide delete (the published
+    * pipelines hand-pick 0.7-0.8; this measures the sensitivity on
+    * the actual corpus). A doc drops at θ iff it appears as the
+    * larger id of some qualifying pair, so drops = COUNT(DISTINCT
+    * id2) — no clustering pass needed for the census.
+    *
+    * Scale shape: ONE banding + ONE exact-Jaccard verify (the same
+    * bounded-bucket machinery as [[minhash]] — never all-pairs), then
+    * a 5-way threshold explode over the pair relation into one
+    * 5-group distinct aggregate; the zero-fill join is 5×5 rows. Cost
+    * is one dedup_minhash regardless of how many thresholds are read.
+    */
+  def sweep(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = verifiedPairs(spark, dir)
+    val thetas = spark.range(SweepThetas.size)
+      .select(element_at(
+        array(SweepThetas.map(lit): _*), col("id").cast("int") + 1).as("theta"))
+    val agged = pairs
+      .select(col("id2"), col("jaccard"),
+        explode(array(SweepThetas.map(lit): _*)).as("theta"))
+      .filter(col("jaccard") >= col("theta"))
+      .groupBy(col("theta"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_dropped"))
+    thetas.join(broadcast(agged), Seq("theta"), "left")
+      .select(col("theta"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
+      .orderBy(col("theta"))
+  }
+
+  def sweepSql(): String = {
+    val sigExprs = (0 until NumHashes).map { j =>
+      s"min((h * ${2 * j + 1} + ${7919 * j + 12345}) % $P) AS s$j"
+    }.mkString(",\n    ")
+    val bandStructs = (0 until NumBands).map { b =>
+      val keyParts = (s"'$b'" +: (0 until BandRows).map(r => s"s${b * BandRows + r}"))
+        .mkString("concat_ws(',', ", ", ", ")")
+      s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
+    }.mkString("[", ",\n    ", "]")
+    val thetaList = SweepThetas.mkString("[", ", ", "]")
+    s"""WITH docs AS ($shinglesSqlCte),
+       |$postingSqlCte,
+       |sigs AS (
+       |  SELECT doc_id, $sigExprs FROM posting GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, unnest($bandStructs, recursive := true) FROM sigs
+       |), bounded AS (
+       |  SELECT * FROM bands QUALIFY ${boundBucketsSql("band, band_key")}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |),
+       |$pairsSqlCte,
+       |thetas AS (
+       |  SELECT unnest($thetaList) AS theta
+       |), agged AS (
+       |  SELECT t.theta, COUNT(*)::BIGINT AS n_pairs,
+       |    COUNT(DISTINCT p.id2)::BIGINT AS n_docs_dropped
+       |  FROM thetas t JOIN pairs p ON p.jaccard >= t.theta
+       |  GROUP BY t.theta
+       |)
+       |SELECT t.theta, COALESCE(a.n_pairs, 0) AS n_pairs,
+       |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
+       |FROM thetas t LEFT JOIN agged a USING (theta)
+       |ORDER BY theta""".stripMargin
   }
 
   /** Shared SQL: hashed shingle posting + Jaccard verification CTEs.
@@ -315,7 +399,11 @@ object Dedup {
        |  FROM (SELECT doc_id, unnest(shingles) AS sh FROM docs)
        |)""".stripMargin
 
-  private def verifySqlTail(thresholdFx: Long): String =
+  /** `pairs(id1, id2, jaccard)` CTE chain — every candidate pair with
+    * its exact fx4 Jaccard, unfiltered. Expects `posting` and `cand`
+    * CTEs upstream.
+    */
+  private def pairsSqlCte: String =
     s"""sizes AS (
        |  SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id
        |), inter AS (
@@ -324,13 +412,18 @@ object Dedup {
        |  JOIN posting p1 ON p1.doc_id = c.id1
        |  JOIN posting p2 ON p2.doc_id = c.id2 AND p2.h = p1.h
        |  GROUP BY c.id1, c.id2
-       |)
-       |SELECT i.id1, i.id2,
-       |  ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} AS jaccard
-       |FROM inter i
-       |JOIN sizes s1 ON s1.doc_id = i.id1
-       |JOIN sizes s2 ON s2.doc_id = i.id2
-       |WHERE ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} >= $thresholdFx
+       |), pairs AS (
+       |  SELECT i.id1, i.id2,
+       |    ${fxSql("i.inter / (s1.sz + s2.sz - i.inter)::DOUBLE")} AS jaccard
+       |  FROM inter i
+       |  JOIN sizes s1 ON s1.doc_id = i.id1
+       |  JOIN sizes s2 ON s2.doc_id = i.id2
+       |)""".stripMargin
+
+  private def verifySqlTail(thresholdFx: Long): String =
+    s"""$pairsSqlCte
+       |SELECT id1, id2, jaccard FROM pairs
+       |WHERE jaccard >= $thresholdFx
        |ORDER BY id1, id2""".stripMargin
 
   def minhashSql(threshold: Double = 0.5): String = {
@@ -1530,7 +1623,11 @@ object Dedup {
     * multiplicity arithmetic matches the literal doc-pair form), then
     * the per-doc candidate pairs map onto their content-pair value.
     */
-  private def canonicalVerifySql(thresholdFx: Long): String =
+  /** Canonical `pairs(id1, id2, jaccard)` CTE chain — every candidate
+    * pair with its content-rep-computed exact fx4 Jaccard,
+    * unfiltered. Expects `ch`/`rep`/`posting`/`cand` upstream.
+    */
+  private def canonicalPairsSqlCte: String =
     s"""cpair AS (
        |  SELECT DISTINCT least(r1.rid, r2.rid) AS rid1,
        |    greatest(r1.rid, r2.rid) AS rid2
@@ -1551,14 +1648,19 @@ object Dedup {
        |  FROM inter i
        |  JOIN sizes s1 ON s1.doc_id = i.rid1
        |  JOIN sizes s2 ON s2.doc_id = i.rid2
-       |)
-       |SELECT c.id1, c.id2, j.jaccard
-       |FROM cand c
-       |JOIN ch c1 ON c1.doc_id = c.id1 JOIN rep r1 ON r1.chash = c1.chash
-       |JOIN ch c2 ON c2.doc_id = c.id2 JOIN rep r2 ON r2.chash = c2.chash
-       |JOIN jac j ON j.rid1 = least(r1.rid, r2.rid)
-       |          AND j.rid2 = greatest(r1.rid, r2.rid)
-       |WHERE j.jaccard >= $thresholdFx
+       |), pairs AS (
+       |  SELECT c.id1, c.id2, j.jaccard
+       |  FROM cand c
+       |  JOIN ch c1 ON c1.doc_id = c.id1 JOIN rep r1 ON r1.chash = c1.chash
+       |  JOIN ch c2 ON c2.doc_id = c.id2 JOIN rep r2 ON r2.chash = c2.chash
+       |  JOIN jac j ON j.rid1 = least(r1.rid, r2.rid)
+       |            AND j.rid2 = greatest(r1.rid, r2.rid)
+       |)""".stripMargin
+
+  private def canonicalVerifySql(thresholdFx: Long): String =
+    s"""$canonicalPairsSqlCte
+       |SELECT id1, id2, jaccard FROM pairs
+       |WHERE jaccard >= $thresholdFx
        |ORDER BY id1, id2""".stripMargin
 
   /** Content-canonical twin of [[minhashSql]]: signatures computed
@@ -1590,6 +1692,28 @@ object Dedup {
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |),
        |${canonicalVerifySql((threshold * 1e4).toLong)}""".stripMargin
+  }
+
+  /** Content-canonical sf1 twin of [[sweepSql]]: the census aggregate
+    * over [[minhashCanonicalSql]]'s pair relation.
+    */
+  private[graft] def sweepCanonicalSql(): String = {
+    val base = minhashCanonicalSql()
+    val prefix = base.substring(0, base.indexOf("cpair AS ("))
+    val thetaList = SweepThetas.mkString("[", ", ", "]")
+    s"""$prefix$canonicalPairsSqlCte,
+       |thetas AS (
+       |  SELECT unnest($thetaList) AS theta
+       |), agged AS (
+       |  SELECT t.theta, COUNT(*)::BIGINT AS n_pairs,
+       |    COUNT(DISTINCT p.id2)::BIGINT AS n_docs_dropped
+       |  FROM thetas t JOIN pairs p ON p.jaccard >= t.theta
+       |  GROUP BY t.theta
+       |)
+       |SELECT t.theta, COALESCE(a.n_pairs, 0) AS n_pairs,
+       |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
+       |FROM thetas t LEFT JOIN agged a USING (theta)
+       |ORDER BY theta""".stripMargin
   }
 
   /** Content-canonical twin of [[ngramJaccardSql]]: rep-level posting
@@ -1732,6 +1856,7 @@ object Dedup {
     */
   private[graft] def canonicalOracleSqls: Map[String, String] = Map(
     "dedup_minhash"  -> minhashCanonicalSql(),
+    "dedup_sweep"    -> sweepCanonicalSql(),
     "dedup_ngram"    -> ngramCanonicalSql(),
     "dedup_span"     -> spanCoverageCanonicalSql,
     "source_overlap" -> sourceOverlapCanonicalSql(),

@@ -301,4 +301,22 @@ class DedupSpec extends GraftSuite {
       assert(j >= 5000L, "0.5 gate")
     }
   }
+
+  test("dedup_sweep census equals one minhash run per threshold") {
+    val rows = Dedup.sweep(spark, sf).collect()
+      .map(r => (r.getAs[Long]("theta"),
+        r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped")))
+    assert(rows.map(_._1).toSeq == Dedup.SweepThetas)
+    rows.foreach { case (theta, nPairs, nDropped) =>
+      val pairs = Dedup.minhash(spark, sf, theta.toDouble / 1e4).collect()
+        .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      assert(nPairs == pairs.length, s"theta=$theta pair count")
+      assert(nDropped == pairs.map(_._2).distinct.length, s"theta=$theta drop count")
+    }
+    // census is monotone non-increasing in theta
+    rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>
+      assert(p2 <= p1 && d2 <= d1, "tightening theta cannot add pairs")
+    }
+    assert(rows.head._2 > 0, "the sf0.001 corpus has injected near-dups")
+  }
 }
