@@ -450,6 +450,12 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def dsirWeights(): DataFrame = Curation.dsirWeights(spark, dir)
 
+  /** Dedup threshold-ablation census: per candidate Jaccard threshold,
+    * the near-dup pairs and keep-smallest-id drops one corpus-wide
+    * delete would commit to — measured from one banding + verify pass.
+    */
+  def dedupSweep(): DataFrame = Dedup.sweep(spark, dir)
+
   /** DSIR importance resampling: the n documents priority sampling
     * draws with inclusion ∝ exp(weight) — the selected training
     * subset [[dsirWeights]] scores for.

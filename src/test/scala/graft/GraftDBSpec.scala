@@ -173,6 +173,8 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.Curation.tokenBudget(spark, sf)))
     assert(rows(db.vocabInduce()) ==
       rows(graft.operators.TextAnalysis.vocabInduce(spark, sf)))
+    assert(rows(db.dedupSweep()) ==
+      rows(graft.operators.Dedup.sweep(spark, sf)))
   }
 
   test("pointServeDedup serves the admit gate from the handle") {
