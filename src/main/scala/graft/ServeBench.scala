@@ -19,6 +19,24 @@ import graft.sources.{PointServe, ReplicaRouter, Router}
   */
 object ServeBench {
 
+  /** Standalone serving measurement (the same section [[Bench]]
+    * embeds): `runMain graft.ServeBench [sfDir]` prints the serving
+    * JSON to stdout without paying a full query-bench pass.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println(run(spark, sfDir))
+    spark.stop()
+  }
+
   private def pct(sorted: Array[Long], q: Double): Double =
     sorted(math.min(sorted.length - 1, (sorted.length * q).toInt)) / 1e6
 
