@@ -80,8 +80,11 @@ object Bench {
     // subset run must NOT clobber the repo's full-run detail file with
     // a partial total that reads like a full run — subset details only
     // go where an explicit path sends them.
+    // ... and a full run at a NON-benchmark SF (an sf0.01 smoke run)
+    // must not clobber it either: the repo-root artifact is the sf0.1
+    // record; other SFs only write where an explicit path sends them.
     val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_PATH")
-      .orElse(if (only.isEmpty) Some("BENCH_DETAIL.json") else None)
+      .orElse(if (only.isEmpty && sfDir.endsWith("sf0.1")) Some("BENCH_DETAIL.json") else None)
     val detailJson = if (only.isEmpty) detail
       else detail.replaceFirst("\\{", s"""{"subset":${only.get.size},""")
     detailPath.foreach { p =>
