@@ -489,8 +489,18 @@ object VectorSearch {
       .withColumn("skey",
         when(coalesce(col("bn"), lit(0L)) > cap, col("salt")).otherwise(lit(0L)))
       .select(col("query_id"), col("qv"), col("bucket"), col("skey"))
-    val scored = keyed
-      .join(probes.hint("shuffle_hash"), Seq("bucket", "skey"))
+    // the hint sits on KEYED: the hash map must be built from the
+    // candidate side (corpus ÷ partitions — bounded once partitions
+    // scale with data) while the radius-3 probe fan-out (93 wide rows
+    // per vector) STREAMS through the join. Hinting the probe side
+    // instead hash-built 93 × corpus × ~1 KB rows and was the
+    // measured OOM at a 200k-vector synthesized sf10; re-attaching
+    // embeddings by id after a skinny match is no better (it shuffles
+    // the WIDER per-pair relation, ~4× the probe fan-out's bytes —
+    // measured 70 GB of spill at the same SF). Scoring inside this
+    // join keeps every post-join row skinny for the rankTopK heaps.
+    val scored = keyed.hint("shuffle_hash")
+      .join(probes, Seq("bucket", "skey"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))

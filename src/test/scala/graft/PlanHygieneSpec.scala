@@ -161,6 +161,17 @@ class PlanHygieneSpec extends GraftSuite {
       "only the bounded bucket-size relation may broadcast")
     assert(hintCount(df, SHUFFLE_HASH) == 1,
       "the corpus↔probes candidate join rides shuffle_hash")
+    // and the hash map is built from the CANDIDATE side (corpus ÷
+    // partitions — bounded when partitions scale with data), never
+    // from the 93×-fan-out probe side (measured OOM at sf10); the
+    // executed plan sits under AQE, so pin via the rendered plan
+    val rendered = df.queryExecution.executedPlan.toString
+    val shjLines = rendered.linesIterator.filter(_.contains("ShuffledHashJoin")).toSeq
+    assert(shjLines.nonEmpty, s"expected a shuffled hash join:\n$rendered")
+    shjLines.foreach { l =>
+      assert(l.contains("BuildLeft"),
+        s"candidate join must build the keyed/candidate (left) side: $l")
+    }
   }
 
   test("dedup_span and events_wau force no broadcast anywhere") {
