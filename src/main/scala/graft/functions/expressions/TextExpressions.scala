@@ -732,3 +732,69 @@ object BloomContainsAny {
     false
   }
 }
+
+/** One-pass exact-phrase hit counter over the RAW whitespace token
+  * stream (reference: exact quoted-phrase retrieval,
+  * grape-vector-db src/query.rs phrase filter): returns
+  * array<long> of [n_occurrences, first_pos] where positions are
+  * 1-based token indices of `lower(text).split(" ", -1)` — exact
+  * parity with the relational `filter(sequence(...), i ->
+  * element_at(toks, i+j) = w_j)` formulation and its DuckDB oracle
+  * (first_pos = -1 when the phrase does not occur).
+  *
+  * The relational form pays an interpreted (CodegenFallback)
+  * higher-order-function lambda per token position per phrase word;
+  * this is a fused codegen'd scan — the same replacement the shingle
+  * and simhash pipelines got, applied to the one remaining
+  * interpreted-HOF hot path (measured 77× wall at a 100× corpus).
+  */
+case class PhraseHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val wordsArr: Array[String] = words.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    PhraseHits.compute(input.asInstanceOf[UTF8String], wordsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("phraseWords", wordsArr, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.PhraseHits.compute($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PhraseHits {
+
+  /** Mirrors `split(lower(text), " ")`: UTF8String lowercase (the
+    * Column `lower` kernel), then a single-space regex split with
+    * limit -1 (trailing empties kept, consecutive spaces yield empty
+    * tokens that simply never match a phrase word).
+    */
+  def compute(text: UTF8String, words: Array[String]): GenericArrayData = {
+    val toks = text.toLowerCase.toString.split(" ", -1)
+    val m = words.length
+    var count = 0L
+    var first = -1L
+    var i = 0
+    val last = toks.length - m
+    while (i <= last) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        if (toks(i + j) != words(j)) ok = false
+        j += 1
+      }
+      if (ok) {
+        count += 1
+        if (first < 0) first = i + 1L
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(count, first))
+  }
+}

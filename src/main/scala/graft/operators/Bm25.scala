@@ -964,11 +964,33 @@ object Bm25 {
     */
   def phraseSearch(spark: SparkSession, dir: String,
                    phrase: String = DefaultPhrase, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val words = phrase.toLowerCase.split(" ").toSeq.filter(_.nonEmpty)
     require(words.size >= 2, "phrase needs at least two tokens")
-    val toks = split(lower(col("text")), " ")
+    // one fused codegen'd scan per document
+    // ([[graft.functions.expressions.PhraseHits]] — [count, first_pos])
+    // replacing the interpreted per-position HOF lambda chain; the
+    // relational twin stays in NativeExpressionPropertySpec as the
+    // reference semantics the kernel must match
+    val ph = column(graft.functions.expressions.PhraseHits(
+      expression(col("text")), words))
+    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), ph.as("ph"))
+      .select(col("doc_id"),
+        element_at(col("ph"), 1).as("n_occurrences"),
+        element_at(col("ph"), 2).as("first_pos"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The relational formulation [[phraseSearch]] replaced — kept as
+    * the reference semantics for the native-kernel parity spec.
+    */
+  private[graft] def phraseHitsRelational(text: org.apache.spark.sql.Column,
+                                          words: Seq[String]): org.apache.spark.sql.Column = {
+    val toks = split(lower(text), " ")
     val n = size(toks)
-    // positions i (1-based) where every phrase word matches toks[i+j].
     // Short-doc guard: sequence(1, 0) would DESCEND in Spark (and its
     // out-of-range element_at would throw under ANSI), so documents
     // shorter than the phrase map to an explicit empty hit list.
@@ -978,14 +1000,8 @@ object Bm25 {
           element_at(toks, (i + j).cast("int")) === w
         }.reduce(_ && _)))
       .otherwise(array().cast("array<int>"))
-    Tables.spread(spark, Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), hits.as("hits"))
-      .select(col("doc_id"), size(col("hits")).cast("long").as("n_occurrences"),
-        // get() is 0-based and null-on-missing (ANSI-safe on empty hits)
-        coalesce(get(col("hits"), lit(0)).cast("long"), lit(-1L)).as("first_pos"))
-      .filter(col("n_occurrences") > 0)
-      .orderBy(col("n_occurrences").desc, col("doc_id"))
-      .limit(k)
+    array(size(hits).cast("long"),
+      coalesce(get(hits, lit(0)).cast("long"), lit(-1L)))
   }
 
   def phraseSearchSql(phrase: String = DefaultPhrase, k: Int = 20): String = {

@@ -225,4 +225,24 @@ class NativeExpressionPropertySpec extends GraftSuite {
       toks.foreach(t => assert(viaSpark(t) == Tok.hash60(t), s"hash60 mismatch for '$t'"))
     }
   }
+
+  test("PhraseHits matches the relational position-filter form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val words = Seq("the", "ab")
+    // phrase-dense corpus: random runs over a tiny vocabulary so hits,
+    // overlaps, multi-space empties and boundary positions all occur
+    val vocab = Array("the", "ab", "THE", "Ab", "x", "", "the ab")
+    val phraseSamples = samples ++ (0 until 200).map { _ =>
+      (0 until rnd.nextInt(12)).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    } ++ Seq("the ab", " the ab", "the ab ", "the ab the ab", "the the ab",
+      "the", "ab the", "THE AB", "the  ab")
+    val df = phraseSamples.toDF("text").select(
+      column(graft.functions.expressions.PhraseHits(expression(col("text")), words)).as("n"),
+      graft.operators.Bm25.phraseHitsRelational(col("text"), words).as("r"))
+    df.collect().zip(phraseSamples).foreach { row =>
+      val (r, s) = row
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on '$s'")
+    }
+  }
 }
