@@ -693,10 +693,18 @@ object TextAnalysis {
     * windowed or sorted — the identical plan serves 100 TB.
     */
   def vocabInduce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // per-doc (term, tf) pairs from the native one-pass TermCounts
+    // kernel: the explode carries one row per DISTINCT term per doc
+    // instead of one per token instance, so the word-count shuffle
+    // moves the compressed relation (same sums — the kernel shares
+    // the tokenizer, parity-pinned in NativeExpressionPropertySpec)
     val words = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(explode(column(graft.functions.expressions.TermCounts(
+        expression(col("text"))))).as("e"))
+      .select(col("e.term").as("w"), col("e.tf").as("tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("cnt"))
     val pieces = transform(sequence(lit(2), lit(VocabMaxPiece)), L =>
       when(length(col("w")) >= L,
         transform(sequence(lit(1), length(col("w")) - L + lit(1)),
