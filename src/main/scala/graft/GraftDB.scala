@@ -451,8 +451,10 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def dsirWeights(): DataFrame = Curation.dsirWeights(spark, dir)
 
   /** Dedup threshold-ablation census: per candidate Jaccard threshold,
-    * the near-dup pairs and keep-smallest-id drops one corpus-wide
-    * delete would commit to — measured from one banding + verify pass.
+    * the near-dup pairs and the cluster-resolved drops one corpus-wide
+    * delete would commit to (same connected-components keep-min rule
+    * as [[dedupClusters]]) — one banding + verify pass plus a single
+    * all-theta components solve.
     */
   def dedupSweep(): DataFrame = Dedup.sweep(spark, dir)
 

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * here, not in production.
   *
   * Usage: runMain graft.RecallSweep <sfDir> [nQueries]
-  * Prints one JSON line: {"sf":…,"n":…,"pq":…,"ivfpq":…,"ivf":…,"coarse_k":…}
+  * Prints one JSON line:
+  * {"sf":…,"n":…,"pq":…,"ivfpq":…,"ivf":…,"ms":…,"graph":…,"coarse_k":…,"ms_coarse_k":…}
   */
 object RecallSweep {
 
@@ -64,11 +65,32 @@ object RecallSweep {
           .map(_.getAs[Long]("vec_id")).toSet
         recallOf(got, bruteL2(emb, qid, 10))
       })
+      // multi-stage at the UNTOUCHED AutoCoarseK default (r9: the
+      // r7 PQ-collapse class guard now covers the sibling entry)
+      val ms = mean(qids.map { qid =>
+        val got = VectorSearch.multiStage(spark, sfDir, qid, k = 10).collect()
+          .map(_.getAs[Long]("vec_id")).toSet
+        recallOf(got, bruteL2(emb, qid, 10))
+      })
+      // graph index at untouched ef=48 via the serving-tier greedy
+      // walk over the persisted kNN layout (the r7 clone-collapse was
+      // found by hand; this re-measures it every round)
+      val graphIdx = graft.sources.PointServe.loadGraph(spark, sfDir)
+      val qvs = emb.filter(col("vec_id").isin(qids: _*))
+        .collect().map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Double]]("emb").toArray).toMap
+      val graph = mean(qids.map { qid =>
+        val got = graphIdx.query(qvs(qid), k = 10, excludeId = qid)
+          .map(_.vecId).toSet
+        recallOf(got, bruteL2(emb, qid, 10))
+      })
       val ck = VectorSearch.pqCoarseKFor(n)
+      val msk = VectorSearch.msCoarseKFor(n)
       def f(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(x))
       println(s"""{"sf":"$sfDir","n":$n,"queries":$nQueries,""" +
-        s""""coarse_k":$ck,"pq":${f(pq)},"ivfpq":${f(ivfpq)},"ivf":${f(ivf)}}""")
+        s""""coarse_k":$ck,"ms_coarse_k":$msk,"pq":${f(pq)},""" +
+        s""""ivfpq":${f(ivfpq)},"ivf":${f(ivf)},"ms":${f(ms)},"graph":${f(graph)}}""")
     } finally spark.stop()
   }
 }

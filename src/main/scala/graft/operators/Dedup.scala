@@ -317,35 +317,56 @@ object Dedup {
   /** Jaccard thresholds (fx4 basis points of 1.0) [[sweep]] ablates. */
   val SweepThetas: Seq[Long] = Seq(5000L, 6000L, 7000L, 8000L, 9000L)
 
+  /** Node-id shift that packs (theta, doc_id) into one Long for the
+    * census's single components solve: doc ids below 2^40 (a trillion
+    * documents) and thetas ≤ 9999 keep theta·2^40 + id well inside
+    * Long range, and min-label propagation never crosses thetas
+    * because every edge stays inside its theta's id block.
+    */
+  private val ThetaShift = 1L << 40
+
   /** Dedup threshold-ablation census: for each candidate Jaccard
     * threshold θ, how many verified near-dup pairs qualify and how
-    * many documents the keep-smallest-id rule would drop — the
+    * many documents the corpus-wide delete would drop — the
     * "which θ do we run dedup at" decision table a 100 TB pipeline
     * wants BEFORE committing to a corpus-wide delete (the published
     * pipelines hand-pick 0.7-0.8; this measures the sensitivity on
-    * the actual corpus). A doc drops at θ iff it appears as the
-    * larger id of some qualifying pair, so drops = COUNT(DISTINCT
-    * id2) — no clustering pass needed for the census.
+    * the actual corpus). Drops are derived from the SAME
+    * connected-components resolution [[clusters]] executes — every
+    * non-minimal node of a component drops — so the census is exactly
+    * what the delete would commit to (a pair-level COUNT(DISTINCT
+    * id2) undercounts components linked only through a larger-id hub:
+    * pairs {(1,3),(2,3)} drop BOTH 2 and 3 under the cluster rule —
+    * advisor finding, r8).
     *
     * Scale shape: ONE banding + ONE exact-Jaccard verify (the same
-    * bounded-bucket machinery as [[minhash]] — never all-pairs), then
-    * a 5-way threshold explode over the pair relation into one
-    * 5-group distinct aggregate; the zero-fill join is 5×5 rows. Cost
-    * is one dedup_minhash regardless of how many thresholds are read.
+    * bounded-bucket machinery as [[minhash]] — never all-pairs), a
+    * 5-way threshold explode over the near-dup-fraction-sized pair
+    * relation, then ONE components solve over all thetas at once —
+    * (θ, id) packs into a single Long node via [[ThetaShift]], so the
+    * 5 per-theta graphs resolve as disjoint blocks of one propagation
+    * (≤5× the edges of the θ=min graph; same machinery as
+    * [[clusters]], local union-find below the gate). The zero-fill
+    * join is 5×5 rows.
     */
   def sweep(spark: SparkSession, dir: String): DataFrame = {
     val pairs = verifiedPairs(spark, dir)
     val thetas = spark.range(SweepThetas.size)
       .select(element_at(
         array(SweepThetas.map(lit): _*), col("id").cast("int") + 1).as("theta"))
-    val agged = pairs
-      .select(col("id2"), col("jaccard"),
+    val qual = pairs
+      .select(col("id1"), col("id2"), col("jaccard"),
         explode(array(SweepThetas.map(lit): _*)).as("theta"))
       .filter(col("jaccard") >= col("theta"))
-      .groupBy(col("theta"))
-      .agg(count(lit(1)).as("n_pairs"),
-        countDistinct(col("id2")).as("n_docs_dropped"))
-    thetas.join(broadcast(agged), Seq("theta"), "left")
+    val nPairs = qual.groupBy(col("theta")).agg(count(lit(1)).as("n_pairs"))
+    val comps = connectedComponents(qual.select(
+      (col("theta") * ThetaShift + col("id1")).as("id1"),
+      (col("theta") * ThetaShift + col("id2")).as("id2")))
+    val drops = comps.filter(col("node") =!= col("label"))
+      .groupBy(expr(s"node div $ThetaShift").as("theta"))
+      .agg(count(lit(1)).as("n_docs_dropped"))
+    thetas.join(broadcast(nPairs), Seq("theta"), "left")
+      .join(broadcast(drops), Seq("theta"), "left")
       .select(col("theta"),
         coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
         coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped"))
@@ -361,7 +382,6 @@ object Dedup {
         .mkString("concat_ws(',', ", ", ", ")")
       s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
     }.mkString("[", ",\n    ", "]")
-    val thetaList = SweepThetas.mkString("[", ", ", "]")
     s"""WITH docs AS ($shinglesSqlCte),
        |$postingSqlCte,
        |sigs AS (
@@ -376,17 +396,45 @@ object Dedup {
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |),
        |$pairsSqlCte,
-       |thetas AS (
+       |$sweepCensusSql""".stripMargin
+  }
+
+  /** Shared census tail of [[sweepSql]] / [[sweepCanonicalSql]]:
+    * per-theta qualifying pairs plus the per-theta
+    * connected-components drop count — the SAME recursive min-root
+    * resolution [[clustersSql]] runs, so the oracle censuses exactly
+    * what the cluster delete commits to. Expects a
+    * pairs(id1, id2, jaccard) CTE upstream.
+    */
+  private def sweepCensusSql: String = {
+    val thetaList = SweepThetas.mkString("[", ", ", "]")
+    s"""thetas AS (
        |  SELECT unnest($thetaList) AS theta
-       |), agged AS (
-       |  SELECT t.theta, COUNT(*)::BIGINT AS n_pairs,
-       |    COUNT(DISTINCT p.id2)::BIGINT AS n_docs_dropped
+       |), qual AS (
+       |  SELECT t.theta, p.id1, p.id2
        |  FROM thetas t JOIN pairs p ON p.jaccard >= t.theta
-       |  GROUP BY t.theta
+       |), sedges AS (
+       |  SELECT theta, id1 AS a, id2 AS b FROM qual
+       |  UNION SELECT theta, id2, id1 FROM qual
+       |), sreach AS (
+       |  WITH RECURSIVE r(theta, node, root) AS (
+       |    SELECT DISTINCT theta, a, a FROM sedges
+       |    UNION
+       |    SELECT r.theta, e.b, r.root FROM r JOIN sedges e
+       |      ON e.theta = r.theta AND e.a = r.node
+       |  ) SELECT * FROM r
+       |), scomp AS (
+       |  SELECT theta, node, MIN(root) AS keep FROM sreach GROUP BY theta, node
+       |), agged AS (
+       |  SELECT theta, COUNT(*)::BIGINT AS n_pairs FROM qual GROUP BY theta
+       |), sdrops AS (
+       |  SELECT theta, COUNT(*)::BIGINT AS n_docs_dropped
+       |  FROM scomp WHERE node <> keep GROUP BY theta
        |)
        |SELECT t.theta, COALESCE(a.n_pairs, 0) AS n_pairs,
-       |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
+       |  COALESCE(d.n_docs_dropped, 0) AS n_docs_dropped
        |FROM thetas t LEFT JOIN agged a USING (theta)
+       |LEFT JOIN sdrops d USING (theta)
        |ORDER BY theta""".stripMargin
   }
 
@@ -1700,20 +1748,8 @@ object Dedup {
   private[graft] def sweepCanonicalSql(): String = {
     val base = minhashCanonicalSql()
     val prefix = base.substring(0, base.indexOf("cpair AS ("))
-    val thetaList = SweepThetas.mkString("[", ", ", "]")
     s"""$prefix$canonicalPairsSqlCte,
-       |thetas AS (
-       |  SELECT unnest($thetaList) AS theta
-       |), agged AS (
-       |  SELECT t.theta, COUNT(*)::BIGINT AS n_pairs,
-       |    COUNT(DISTINCT p.id2)::BIGINT AS n_docs_dropped
-       |  FROM thetas t JOIN pairs p ON p.jaccard >= t.theta
-       |  GROUP BY t.theta
-       |)
-       |SELECT t.theta, COALESCE(a.n_pairs, 0) AS n_pairs,
-       |  COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
-       |FROM thetas t LEFT JOIN agged a USING (theta)
-       |ORDER BY theta""".stripMargin
+       |$sweepCensusSql""".stripMargin
   }
 
   /** Content-canonical twin of [[ngramJaccardSql]]: rep-level posting

@@ -209,10 +209,17 @@ object VectorSearch {
 
   /** Multi-stage search (reference src/quantization.rs:151): coarse
     * Hamming top-N over packed bits (32x narrower scan), exact cosine
-    * rescore of the surviving candidates only.
+    * rescore of the surviving candidates only. The default pool is
+    * SCALE-RELATIVE like the reference's `rescore_ratio: 0.1`
+    * (quantization.rs:17/:27, applied at :178): an absolute pool
+    * silently becomes a smaller corpus fraction as data grows (the
+    * r7 PQ finding — recall 0.8 → 0.5 at 10×), so `coarseK =`
+    * [[AutoCoarseK]] resolves to clamp([[PqCoarseK]],
+    * ⌈[[MsCoarseFrac]]·corpus⌉, [[PqCoarseMax]]).
     */
   def multiStage(spark: SparkSession, dir: String, qid: Long = 0,
-                 coarseK: Int = 100, k: Int = 10): DataFrame = {
+                 coarseK: Int = AutoCoarseK, k: Int = 10): DataFrame = {
+    val ck = resolveMsCoarseK(spark, dir, coarseK)
     val corpus = embCorpus(spark, dir)
       .withColumn("bits", packSignBits(col("emb"), 64))
     val q = corpus.filter(col("vec_id") === qid)
@@ -222,14 +229,14 @@ object VectorSearch {
       .crossJoin(broadcast(q))
       .withColumn("hamming", hammingDistance(col("bits"), col("qbits")))
       .orderBy(col("hamming"), col("vec_id"))
-      .limit(coarseK)
+      .limit(ck)
     coarse
       .select(col("vec_id"), fx(cosineSimilarity(col("emb"), col("qv"))).as("score", ScoreTag.metadata))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
 
-  def multiStageSql(qid: Long = 0, coarseK: Int = 100, k: Int = 10): String =
+  def multiStageSql(qid: Long = 0, coarseK: Int = AutoCoarseK, k: Int = 10): String =
     s"""WITH corpus AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS emb, ${packBitsSql("embedding")} AS bits
        |  FROM embeddings
@@ -239,7 +246,7 @@ object VectorSearch {
        |  FROM corpus c, q
        |  WHERE c.vec_id <> $qid
        |  ORDER BY ${hammingSql("c.bits", "q.qbits")}, c.vec_id
-       |  LIMIT $coarseK
+       |  LIMIT ${msCoarseKSql(coarseK)}
        |)
        |SELECT vec_id, ${fxSql(cosineSql("emb", "qv"))} AS score
        |FROM coarse
@@ -806,6 +813,19 @@ object VectorSearch {
     math.min(PqCoarseMax.toLong,
       math.max(PqCoarseK.toLong, math.ceil(PqCoarseFrac * n).toLong)).toInt
 
+  /** Multi-stage rescore FRACTION — the reference's own
+    * `rescore_ratio: 0.1` (quantization.rs:17/:27, applied at :178):
+    * the coarse Hamming front keeps 10% of the corpus for exact
+    * rescore, clamped to the same [[PqCoarseK]] floor and
+    * broadcast-bounded [[PqCoarseMax]] ceiling the PQ pool uses.
+    */
+  val MsCoarseFrac = 0.1
+
+  /** The scale-relative multi-stage pool for an n-vector corpus. */
+  def msCoarseKFor(n: Long): Int =
+    math.min(PqCoarseMax.toLong,
+      math.max(PqCoarseK.toLong, math.ceil(MsCoarseFrac * n).toLong)).toInt
+
   // one count job per table directory per JVM, not per query — the
   // bench drives many PQ entries over the same corpus
   private val corpusCountCache =
@@ -819,12 +839,24 @@ object VectorSearch {
                                     coarseK: Int): Int =
     if (coarseK == AutoCoarseK) pqCoarseKFor(corpusCount(spark, dir)) else coarseK
 
+  private[graft] def resolveMsCoarseK(spark: SparkSession, dir: String,
+                                      coarseK: Int): Int =
+    if (coarseK == AutoCoarseK) msCoarseKFor(corpusCount(spark, dir)) else coarseK
+
   /** DuckDB twin of the auto pool: same GREATEST/CEIL arithmetic over
     * the same COUNT, evaluated inside the LIMIT.
     */
   private[graft] def coarseKSql(coarseK: Int): String =
     if (coarseK == AutoCoarseK)
       s"(SELECT LEAST($PqCoarseMax, GREATEST($PqCoarseK, CAST(CEIL($PqCoarseFrac * COUNT(*)) AS BIGINT))) FROM embeddings)"
+    else coarseK.toString
+
+  /** DuckDB twin of the multi-stage auto pool: identical arithmetic
+    * at the [[MsCoarseFrac]] ratio, evaluated inside the LIMIT.
+    */
+  private[graft] def msCoarseKSql(coarseK: Int): String =
+    if (coarseK == AutoCoarseK)
+      s"(SELECT LEAST($PqCoarseMax, GREATEST($PqCoarseK, CAST(CEIL($MsCoarseFrac * COUNT(*)) AS BIGINT))) FROM embeddings)"
     else coarseK.toString
 
   /** PQ-ADC ANN with exact rescore (Jégou et al., "Product

@@ -302,7 +302,7 @@ class DedupSpec extends GraftSuite {
     }
   }
 
-  test("dedup_sweep census equals one minhash run per threshold") {
+  test("dedup_sweep census equals one minhash + cluster delete per threshold") {
     val rows = Dedup.sweep(spark, sf).collect()
       .map(r => (r.getAs[Long]("theta"),
         r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_dropped")))
@@ -311,7 +311,12 @@ class DedupSpec extends GraftSuite {
       val pairs = Dedup.minhash(spark, sf, theta.toDouble / 1e4).collect()
         .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
       assert(nPairs == pairs.length, s"theta=$theta pair count")
-      assert(nDropped == pairs.map(_._2).distinct.length, s"theta=$theta drop count")
+      // drops must equal what the corpus-wide cluster delete at this
+      // theta actually commits to (advisor r8: a pair-level
+      // COUNT(DISTINCT id2) undercounts larger-id-hub components)
+      val clusterDrops = Dedup.clusters(spark, sf, theta.toDouble / 1e4)
+        .filter(org.apache.spark.sql.functions.col("is_dup") === 1L).count()
+      assert(nDropped == clusterDrops, s"theta=$theta drop count vs cluster delete")
     }
     // census is monotone non-increasing in theta
     rows.sliding(2).foreach { case Array((_, p1, d1), (_, p2, d2)) =>

@@ -30,6 +30,23 @@ class VectorSearchSpec extends GraftSuite {
     assert((brute intersect staged).size >= 5)
   }
 
+  test("multi-stage default pool is scale-relative (rescore_ratio 0.1), floor holds") {
+    // the r7 PQ finding applied to the sibling entry: an absolute
+    // coarseK silently shrinks as a fraction of a growing corpus, so
+    // the default resolves from corpus size (quantization.rs:17
+    // rescore_ratio: 0.1) — clamp(100, ceil(0.1 n), 100000)
+    assert(VectorSearch.msCoarseKFor(500) == 100)    // floor binds
+    assert(VectorSearch.msCoarseKFor(50000) == 5000) // ratio regime
+    assert(VectorSearch.msCoarseKFor(5000000) == 100000) // broadcast cap
+    val brute = VectorSearch.semanticTopK(spark, sf, qid = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val staged = VectorSearch.multiStage(spark, sf, qid = 0, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (brute intersect staged).size.toDouble / brute.size
+    println(f"[ann-recall] multistage=$recall%.3f (floor 0.6, auto pool)")
+    assert(recall >= 0.6, f"multistage recall $recall%.3f under floor at the auto default")
+  }
+
   test("batched ANN ranks 5 neighbors for each of 8 queries") {
     val rows = VectorSearch.annTopKBatch(spark, sf).collect()
     assert(rows.length == 40)
