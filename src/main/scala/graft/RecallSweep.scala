@@ -47,8 +47,16 @@ object RecallSweep {
         .persist()
       val n = emb.count()
       // spread the query panel over the id space (clone-replicated SFs
-      // repeat low ids; an all-low panel would under-sample)
-      val qids = (0 until nQueries).map(i => i.toLong * (n / nQueries.toLong))
+      // repeat low ids; an all-low panel would under-sample) — by
+      // POSITION over the actual sorted ids, not by id arithmetic:
+      // clone-offset corpora (make_sfx +10M per copy) have sparse id
+      // spaces, and an arithmetic panel lands on NONEXISTENT ids whose
+      // empty brute sets score a vacuous recall of 1.0 (r9 finding:
+      // 7 of r8's 8 sf1 panel queries were vacuous this way)
+      val allIds = emb.select(col("vec_id")).orderBy(col("vec_id"))
+        .collect().map(_.getLong(0))
+      val qids = (0 until nQueries).map(i =>
+        allIds((i.toLong * (n / nQueries.toLong)).toInt min (allIds.length - 1)))
       def mean(xs: Seq[Double]) = xs.sum / xs.length
       val pq = mean(qids.map { qid =>
         val got = VectorSearch.annPq(spark, sfDir, qid, k = 20).collect()

@@ -1435,7 +1435,8 @@ object Dedup {
     * self-dedups in the regular [[minhash]] job.
     */
   def minhashIncremental(spark: SparkSession, dir: String,
-                         threshold: Double = 0.5): DataFrame = {
+                         threshold: Double = 0.5,
+                         batchMax: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = shingleDocs(spark, dir)
     val bands = minhashBands(docs)
@@ -1444,7 +1445,12 @@ object Dedup {
         .over(Window.partitionBy(col("band"), col("band_key"))))
       .filter(col("_bn") <= MaxBucket)
       .select(col("doc_id").as("id2"), col("band"), col("band_key"))
+    // batchMax (default: everything) restricts the INCREMENT only —
+    // the [[graft.DedupCrossover]] evidence main sweeps it to measure
+    // how recompute cost stays corpus-bound while the layout probe's
+    // falls with the increment; the corpus side is never restricted
     val batchB = bands.filter(col("doc_id") % IncrMod === IncrRes)
+      .filter(col("doc_id") <= batchMax)
       .select(col("doc_id").as("id1"), col("band"), col("band_key"))
     val cand = batchB
       .join(corpusB.hint("shuffle_hash"), Seq("band", "band_key"))
@@ -1481,7 +1487,7 @@ object Dedup {
     * the corpus side must come from the persisted layout, never a
     * re-scan.
     */
-  private def batchShingles(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def batchShingles(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     val hashes = column(graft.functions.expressions.ShingleHashes(
       expression(col("text")), 3, P))
@@ -1525,9 +1531,19 @@ object Dedup {
     // the build's persisted sub-bucket modulus: probing with any other
     // value would look in the wrong directories
     val bktMod = spark.read.parquet(path + "_meta").head.getAs[Long]("bkt_mod")
+    // persisted: the banded increment feeds BOTH the probe-key
+    // broadcast and the candidate join — without the cache the
+    // MinHash signing of the whole increment runs twice (measured
+    // ~1s/pass at a 50k-doc increment, r9 sf10 crossover study)
     val batchB = minhashBands(batchSh)
       .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
       .select(col("doc_id").as("id1"), col("band"), col("bkt"), col("band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // re-state the increment predicate ABOVE the cache (no-op at
+      // runtime): PartitionPruning needs a visible selective filter on
+      // the probe side or it won't inject the dynamic partition filter
+      // into the layout scan — same contract as batchShingles
+      .filter(col("id1") % IncrMod === IncrRes)
     // tiny distinct probe-key set: broadcast side of the DPP join
     val probeKeys = batchB.select(col("band"), col("bkt"), col("band_key")).distinct()
     val layout = spark.read.parquet(path)
@@ -1540,11 +1556,39 @@ object Dedup {
     val cand = batchB
       .join(corpusB.hint("shuffle_hash"), Seq("band", "band_key"))
       .select(col("id1"), col("id2")).distinct()
-    val corpusSh = spark.read.parquet(path + "_sh")
-    cand
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The candidate count picks the VERIFY strategy, exactly as the
+    // components solve gates local vs distributed: the r9 sf10
+    // crossover study measured a ~6.5s probe FLOOR independent of
+    // increment size — the forced shuffle_hash verify exchanged the
+    // ENTIRE corpus sketch relation (~250 MB at 500k docs) even for a
+    // 51-document probe. An increment-sized candidate set (with its
+    // batch sketches attached) broadcasts instead, so the `_sh`
+    // relation streams through a map-only join: no sketch exchange,
+    // no sort, and the probe cost finally falls with the increment.
+    // Above the gate (mega-batch probes) the exchange is genuinely
+    // needed and the shuffle_hash path is unchanged.
+    val withSh1 = cand
       .join(batchSh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(corpusSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
-        .hint("shuffle_hash"), "id2")
+    // one gating action measures the ACTUAL broadcast payload (pair
+    // count and summed per-pair sketch elements — sketch sizes vary
+    // with document length, so a pair count alone does not bound the
+    // bytes); the broadcast only happens under a measured ~64 MB
+    val (nCand, shElems) = {
+      val r = withSh1.agg(count(lit(1)), sum(size(col("sh1")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val corpusSh = spark.read.parquet(path + "_sh")
+    val verified = if (nCand <= VerifyBroadcastMaxPairs &&
+        shElems <= VerifyBroadcastMaxElems) {
+      broadcast(withSh1)
+        .join(corpusSh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+    } else {
+      withSh1
+        .join(corpusSh.select(col("doc_id").as("id2"), col("sh").as("sh2"))
+          .hint("shuffle_hash"), "id2")
+    }
+    verified
       .withColumn("inter", pairOverlap(col("sh1"), col("sh2")).cast("double"))
       .select(col("id1"), col("id2"),
         fx(col("inter") / (size(col("sh1")).cast("long") + size(col("sh2")).cast("long")
@@ -1553,6 +1597,18 @@ object Dedup {
       .select(col("id1").as("id_new"), col("id2").as("id_old"), col("jaccard"))
       .orderBy(col("id_new"), col("id_old"))
   }
+
+  /** Verify-strategy gates for [[minhashIncrementalFromIndex]]: at or
+    * below this many candidate pairs AND this many summed per-pair
+    * sketch elements (≈64 MB of longs) the (pairs ⋈ batch-sketch)
+    * side broadcasts and the corpus sketch relation is never
+    * exchanged; above either bound the increment is mega-batch-sized
+    * and the keyed shuffle is the right plan. Both figures are
+    * MEASURED by the gating aggregate, so the broadcast is
+    * size-bounded by construction.
+    */
+  val VerifyBroadcastMaxPairs = 100000L
+  val VerifyBroadcastMaxElems = 8000000L
 
   /** Build-if-missing entry for the layout-served incremental dedup —
     * the driver-compared `dedup_incremental_indexed` form (DedupSpec

@@ -583,6 +583,68 @@ object PointServe {
       out
     }
 
+    // per-entry BM25 contribution aligned to `inverted`'s postings —
+    // idf × tf(K1+1)/(tf + K1(1−B+B·dl/avgdl)) depends only on the
+    // (term, doc) pair, so it is paid ONCE at load and the query hot
+    // loop becomes a pure add (the same precompute invertedW does for
+    // the sparse weights; identical doubles, so bit-parity holds)
+    private val invertedC: java.util.HashMap[String, Array[Double]] = {
+      val out = new java.util.HashMap[String, Array[Double]]()
+      inverted.forEach { (t, posting) =>
+        val ptf = invertedTf.get(t)
+        val df = posting.length.toDouble
+        val idf = math.log((nDocs - df + 0.5) / (df + 0.5))
+        val arr = new Array[Double](posting.length)
+        var p = 0
+        while (p < posting.length) {
+          val i = posting(p)
+          val tf = ptf(p).toDouble
+          arr(p) = idf * (tf * (K1 + 1.0)) /
+            (tf + K1 * ((1.0 - B) + B * (dls(i) / avgdl)))
+          p += 1
+        }
+        out.put(t, arr)
+      }
+      out
+    }
+
+    /** The `n` lowest-df terms with document frequency in
+      * [1, maxDf], ties by term — a deterministic DISCRIMINATIVE
+      * query vocabulary for the serving bench's rare-term mix.
+      */
+    def termsByDf(maxDf: Int, n: Int): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+      inverted.forEach { (t, posting) =>
+        if (posting.length <= maxDf) buf += ((posting.length, t))
+      }
+      buf.sortInPlace()(Ordering.Tuple2(Ordering.Int, Ordering.String))
+      buf.take(n).map(_._2).toSeq
+    }
+
+    /** Estimated resident bytes from the actual structure sizes
+      * (primitive payloads + per-entry map/string overheads) — the
+      * figure the shard-sizing story quotes: how much of an executor
+      * one serving replica of this corpus slice occupies.
+      */
+    def residentBytes: Long = {
+      var b = docIds.length.toLong * 3 * 8 // ids, dls, normsSq
+      var i = 0
+      while (i < lowerTexts.length) { b += 2L * lowerTexts(i).length + 40; i += 1 }
+      i = 0
+      while (i < tfs.length) { b += tfs(i).size.toLong * 48 * 2; i += 1 } // tf + weight entries
+      val it = inverted.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        // term key once (tf/weight maps share the same String refs)
+        // + posting int, tf int, weight long per entry
+        b += 2L * e.getKey.length + 40 + e.getValue.length.toLong * 16 + 48
+      }
+      b += denseIds.length.toLong * 8
+      var j = 0
+      while (j < denseVecs.length) { b += denseVecs(j).length.toLong * 8 + 16; j += 1 }
+      b
+    }
+
     /** Okapi BM25 — [[graft.operators.Bm25.search]] semantics.
       *
       * Accumulates over posting entries instead of candidate×term
@@ -594,33 +656,89 @@ object PointServe {
       * drops from O(candidates × terms) map probes (plus a
       * flatten+distinct allocation) to O(Σ posting lengths).
       */
+    // Per-thread dense scoring scratch: the LongMap accumulator paid
+    // a hash probe per POSTING ENTRY — at a 10× corpus that is
+    // hundreds of thousands of map operations per query, and the sf1
+    // ServeBench measured bm25/sparse collapsing to ~1k QPS (16×
+    // under the reference claim) purely on that constant. Dense
+    // arrays indexed by doc position make each accumulation one
+    // add; generation stamps avoid a per-query zero-fill; the
+    // candidate list feeds the same order-independent topK, and the
+    // per-doc accumulation order (ascending term index) is unchanged,
+    // so results stay bit-identical to the batch twins.
+    private final class Scratch(n: Int) {
+      val d = new Array[Double](n)
+      val l = new Array[Long](n)
+      val stamp = new Array[Int](n)
+      val touched = new Array[Int](n)
+      var nTouched = 0
+      private var gen = 0
+      def begin(): Unit = {
+        if (gen == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); gen = 0 }
+        gen += 1; nTouched = 0
+      }
+      def touch(i: Int): Unit = if (stamp(i) != gen) {
+        stamp(i) = gen; touched(nTouched) = i; nTouched += 1
+        d(i) = 0.0; l(i) = 0L
+      }
+    }
+    private val scratch =
+      ThreadLocal.withInitial[Scratch](() => new Scratch(nDocs))
+
+    /** Bounded primitive top-k over the scratch's touched set —
+      * (score DESC, doc_id ASC), the same total order as [[topK]],
+      * with zero boxing: the generic heap allocated a tuple per
+      * candidate, which at a corpus-sized candidate set (common-term
+      * queries touch most documents) dominated the whole query
+      * (measured ~9 ms p50 at sf1 before this). Most candidates fail
+      * the single worst-entry comparison; survivors insertion-sort
+      * into two k-length primitive arrays.
+      */
+    private def topKScratch(sc: Scratch, k: Int)(scoreOf: Int => Long): Seq[Hit] = {
+      val ss = new Array[Long](k)
+      val ids = new Array[Long](k)
+      var n = 0
+      var t = 0
+      while (t < sc.nTouched) {
+        val i = sc.touched(t)
+        val s = scoreOf(i)
+        val d = docIds(i)
+        if (n < k || s > ss(n - 1) || (s == ss(n - 1) && d < ids(n - 1))) {
+          var pos = if (n < k) n else k - 1
+          while (pos > 0 && (s > ss(pos - 1) ||
+              (s == ss(pos - 1) && d < ids(pos - 1)))) {
+            ss(pos) = ss(pos - 1); ids(pos) = ids(pos - 1); pos -= 1
+          }
+          ss(pos) = s; ids(pos) = d
+          if (n < k) n += 1
+        }
+        t += 1
+      }
+      (0 until n).map(r => Hit(r + 1, ids(r), ss(r)))
+    }
+
     def bm25(query: String, k: Int = 20): Seq[Hit] = {
       val terms = tokenizeQuery(query).toArray
       if (terms.isEmpty) return Seq.empty
       val postings = terms.map(t => inverted.getOrDefault(t, Array.empty))
-      val idfs = postings.map { p =>
-        val df = p.length.toDouble
-        math.log((nDocs - df + 0.5) / (df + 0.5))
-      }
-      val scores = scala.collection.mutable.LongMap.empty[Double]
+      val sc = scratch.get()
+      sc.begin()
       var j = 0
       while (j < terms.length) {
         val posting = postings(j)
-        // tf array aligned to the posting — zero per-entry map probes
-        val ptf = invertedTf.getOrDefault(terms(j), Array.empty)
-        val idf = idfs(j)
+        // contributions precomputed per posting entry at load
+        // (invertedC) — the hot loop is one add per entry
+        val pc = invertedC.getOrDefault(terms(j), Array.empty)
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          val tf = ptf(p).toDouble
-          val c = idf * (tf * (K1 + 1.0)) /
-            (tf + K1 * ((1.0 - B) + B * (dls(i) / avgdl)))
-          scores(i) = scores.getOrElse(i.toLong, 0.0) + c
+          sc.touch(i)
+          sc.d(i) += pc(p)
           p += 1
         }
         j += 1
       }
-      topK(scores.iterator.map { case (i, s) => (docIds(i.toInt), fx6(s)) }, k)
+      topKScratch(sc, k)(i => fx6(sc.d(i)))
     }
 
     /** Token-containment text search — `Bm25.textSearch` semantics. */
@@ -641,7 +759,8 @@ object PointServe {
       */
     def sparse(query: Seq[(String, Long)], k: Int = 20): Seq[Hit] = {
       val merged = query.groupMapReduce(_._1)(_._2)(_ + _)
-      val scores = scala.collection.mutable.LongMap.empty[Long] // doc idx -> score
+      val sc = scratch.get()
+      sc.begin()
       merged.foreach { case (t, w) =>
         val posting = inverted.getOrDefault(t, Array.empty)
         // per-(term,doc) fixed-point weights aligned to the posting —
@@ -651,11 +770,12 @@ object PointServe {
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          scores(i) = scores.getOrElse(i.toLong, 0L) + pw(p) * w
+          sc.touch(i)
+          sc.l(i) += pw(p) * w
           p += 1
         }
       }
-      topK(scores.iterator.map { case (i, s) => (docIds(i.toInt), s) }, k)
+      topKScratch(sc, k)(i => sc.l(i))
     }
 
     /** Sparse-cosine "more like this" — `Bm25.docSimilar` semantics
@@ -669,22 +789,23 @@ object PointServe {
       val ai = java.util.Arrays.binarySearch(docIds, anchorId)
       if (ai < 0) return Seq.empty
       val ansq = normsSq(ai)
-      val dots = scala.collection.mutable.LongMap.empty[Long]
+      val sc = scratch.get()
+      sc.begin()
       weights(ai).forEach((t, aw) => {
         val posting = inverted.getOrDefault(t, Array.empty)
+        val pw = invertedW.getOrDefault(t, Array.empty)
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          if (i != ai)
-            dots(i) = dots.getOrElse(i.toLong, 0L) + weights(i).get(t) * aw
+          if (i != ai) {
+            sc.touch(i)
+            sc.l(i) += pw(p) * aw
+          }
           p += 1
         }
       })
-      topK(dots.iterator.map { case (iL, dot) =>
-        val i = iL.toInt
-        (docIds(i), fx6(dot.toDouble /
-          math.sqrt(normsSq(i).toDouble * ansq.toDouble)))
-      }, k)
+      topKScratch(sc, k)(i => fx6(sc.l(i).toDouble /
+        math.sqrt(normsSq(i).toDouble * ansq.toDouble)))
     }
 
     /** Brute-force dense cosine — `VectorSearch.semanticTopK` semantics. */
@@ -908,6 +1029,20 @@ object PointServe {
     }
 
     def size: Int = snap._1.size()
+
+    /** Estimated resident bytes from structure sizes: per node the
+      * vector + neighbor-list payload plus map-entry overhead.
+      */
+    def residentBytes: Long = {
+      val (nodes, _, entries) = snap
+      var b = entries.length.toLong * 8
+      val it = nodes.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += 48 + e.getValue._1.length.toLong * 8 + e.getValue._2.length.toLong * 8
+      }
+      b
+    }
   }
 
   /** Deterministic entry-point count for the greedy walk; several
@@ -1110,6 +1245,19 @@ object PointServe {
 
     /** Resident corpus size (sketch count). */
     def size: Int = snap._2.size()
+
+    /** Estimated resident bytes from structure sizes: bucket member
+      * arrays + shingle sketches plus map-entry overheads.
+      */
+    def residentBytes: Long = {
+      val (buckets, sketches, _) = snap
+      var b = 0L
+      val it = buckets.entrySet().iterator()
+      while (it.hasNext) { b += 48 + it.next().getValue.length.toLong * 8 }
+      val it2 = sketches.entrySet().iterator()
+      while (it2.hasNext) { b += 48 + it2.next().getValue.length.toLong * 8 }
+      b
+    }
   }
 
   /** (band<<60 | band_key, doc_id, gen) rows, optionally only beyond
@@ -1296,6 +1444,11 @@ object PointServe {
 
     /** (raw total, target total) gram mass resident. */
     def totals: (Long, Long) = synchronized { (totr, tott) }
+
+    /** Resident bytes: three B-long tables — a few KB at ANY corpus
+      * size, the whole point of hashed features.
+      */
+    def residentBytes: Long = 3L * DsirBuckets * 8 + 16
   }
 
   /** Load the DSIR bucket-count tables from the corpus (one Spark
