@@ -1539,11 +1539,14 @@ object Dedup {
       .withColumn("bkt", pmod(col("band_key"), lit(bktMod)).cast("int"))
       .select(col("doc_id").as("id1"), col("band"), col("bkt"), col("band_key"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // re-state the increment predicate ABOVE the cache (no-op at
-      // runtime): PartitionPruning needs a visible selective filter on
-      // the probe side or it won't inject the dynamic partition filter
-      // into the layout scan — same contract as batchShingles
-      .filter(col("id1") % IncrMod === IncrRes)
+      // a runtime-no-op comparison ABOVE the cache (band is always in
+      // [0, NumBands)): PartitionPruning refuses to inject the dynamic
+      // partition filter unless the probe side shows a likely-selective
+      // predicate, and the InMemoryRelation hides everything below it
+      // — same contract as batchShingles, but valid for ANY probe
+      // batch (this API also serves arbitrary-id probes, e.g. the e2e
+      // ingestion spec's newly-streamed documents)
+      .filter(col("band") >= 0)
     // tiny distinct probe-key set: broadcast side of the DPP join
     val probeKeys = batchB.select(col("band"), col("bkt"), col("band_key")).distinct()
     val layout = spark.read.parquet(path)
