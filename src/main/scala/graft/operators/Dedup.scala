@@ -350,7 +350,11 @@ object Dedup {
     * join is 5×5 rows.
     */
   def sweep(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the verified pair relation feeds BOTH the per-theta
+    // pair count and the components solve — unpersisted, the whole
+    // banding + exact-verify lineage would execute twice
     val pairs = verifiedPairs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thetas = spark.range(SweepThetas.size)
       .select(element_at(
         array(SweepThetas.map(lit): _*), col("id").cast("int") + 1).as("theta"))
