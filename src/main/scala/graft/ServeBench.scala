@@ -132,6 +132,28 @@ object ServeBench {
     val (gq, gp50, gp99) = measure(nThreads, opsPerThread) { i =>
       graph.query(queryVecs(i % queryVecs.length), k = 5)
     }
+    // the full vector-index family (r9): every persisted layout's
+    // point server measured, not just the graph flagship — LSH and
+    // IVF hold full vectors per bucket/cell, PQ and IVF-PQ hold codes
+    // only (ADC ranking; the memory-bounded billion-scale shapes)
+    val tLoadV0 = System.nanoTime()
+    val lsh = PointServe.loadLsh(spark, dir)
+    val ivf = PointServe.loadIvf(spark, dir)
+    val pq = PointServe.loadPq(spark, dir)
+    val ivfpq = PointServe.loadIvfPq(spark, dir)
+    val loadVecSec = (System.nanoTime() - tLoadV0) / 1e9
+    val (lq, lp50, lp99) = measure(nThreads, opsPerThread) { i =>
+      lsh.query(queryVecs(i % queryVecs.length), k = 5)
+    }
+    val (iq, ip50, ip99) = measure(nThreads, opsPerThread) { i =>
+      ivf.query(queryVecs(i % queryVecs.length), k = 10)
+    }
+    val (pqq, pqp50, pqp99) = measure(nThreads, opsPerThread) { i =>
+      pq.query(queryVecs(i % queryVecs.length), k = 20)
+    }
+    val (ipqq, ipqp50, ipqp99) = measure(nThreads, opsPerThread) { i =>
+      ivfpq.query(queryVecs(i % queryVecs.length), k = 10)
+    }
     // the ingestion admit/reject gate: half the probe mix is resident
     // text (reject — pays band lookup + full Jaccard verify), half is
     // novel (admit — band lookup only), the steady-state crawl shape
@@ -162,9 +184,12 @@ object ServeBench {
       s""""dedup":${mb(dedup.residentBytes)},"dsir":${mb(dsir.residentBytes)}}"""
     s"""{"replicas":3,"threads":$nThreads,"ops_per_thread":$opsPerThread,""" +
       s""""method":"best-of-$MeasurePasses passes (max qps, min latency)",""" +
-      s""""load_sec":${fmt(loadSec)},"resident_mb":$resident,""" +
+      s""""load_sec":${fmt(loadSec)},"load_vec_sec":${fmt(loadVecSec)},""" +
+      s""""resident_mb":$resident,""" +
       s""""bm25":${sec(bq, bp50, bp99)},"bm25_rare":${sec(rq, rp50, rp99)},""" +
       s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
+      s""""lsh":${sec(lq, lp50, lp99)},"ivf":${sec(iq, ip50, ip99)},""" +
+      s""""pq":${sec(pqq, pqp50, pqp99)},"ivfpq":${sec(ipqq, ipqp50, ipqp99)},""" +
       s""""dedup_admit":${sec(dq, dp50, dp99)},""" +
       s""""dsir_score":${sec(wq, wp50, wp99)}}"""
   } catch {

@@ -92,6 +92,53 @@ object PointServe {
   /** Rank candidates exactly like the batch twins: score DESC (or dist
     * ASC via negation), vec_id ASC, take k, rank 1..k.
     */
+  /** Primitive bounded selection — the zero-boxing counterpart of
+    * [[topK]] for corpus-sized scans with a LARGE k (the PQ coarse
+    * pool is scale-relative and reaches 10^4 entries at sf10, where
+    * a boxed tuple per scanned code dominates the query): a binary
+    * heap on parallel long arrays, worst element on top, identical
+    * (score ASC|DESC, id ASC) total order.
+    */
+  private final class PrimTopK(k: Int, ascending: Boolean) {
+    private val ss = new Array[Long](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+    // "worse" = ranks lower in the final order
+    private def worse(s1: Long, i1: Long, s2: Long, i2: Long): Boolean =
+      if (s1 != s2) { if (ascending) s1 > s2 else s1 < s2 } else i1 > i2
+    def add(id: Long, s: Long): Unit = {
+      if (n < k) { ss(n) = s; ids(n) = id; n += 1; siftUp(n - 1) }
+      else if (worse(ss(0), ids(0), s, id)) { ss(0) = s; ids(0) = id; siftDown() }
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0) {
+        val p = (i - 1) >> 1
+        if (worse(ss(i), ids(i), ss(p), ids(p))) { swap(i, p); i = p } else return
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1; var w = i
+        if (l < n && worse(ss(l), ids(l), ss(w), ids(w))) w = l
+        if (r < n && worse(ss(r), ids(r), ss(w), ids(w))) w = r
+        if (w == i) return
+        swap(i, w); i = w
+      }
+    }
+    private def swap(a: Int, b: Int): Unit = {
+      val ts = ss(a); ss(a) = ss(b); ss(b) = ts
+      val ti = ids(a); ids(a) = ids(b); ids(b) = ti
+    }
+    def hits(): Seq[Hit] = {
+      val order = (0 until n).sortBy { i =>
+        (if (ascending) ss(i) else -ss(i), ids(i))
+      }
+      order.zipWithIndex.map { case (i, r) => Hit(r + 1, ids(i), ss(i)) }
+    }
+  }
+
   private def topK(cands: Iterator[(Long, Long)], k: Int,
                    ascending: Boolean = false): Seq[Hit] = {
     val ord = if (ascending) Ordering.by[(Long, Long), (Long, Long)](c => (c._2, c._1))
@@ -344,14 +391,21 @@ object PointServe {
       val adc = Array.tabulate(PqM, books(0).length) { (m, c) =>
         l2Sq(qv, books(m)(c), m * PqSubDim, PqSubDim, 0)
       }
-      val coarse = topK(
-        ids.iterator.zip(codes.iterator).filter(_._1 != excludeId).map {
-          case (id, code) =>
-            var dist = 0.0
-            var m = 0
-            while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
-            (id, fx4(dist))
-        }, ck, ascending = true)
+      // primitive selection: the coarse pool is scale-relative (10^4
+      // at sf10) — a boxed tuple per scanned code would dominate
+      val sel = new PrimTopK(ck, ascending = true)
+      var r = 0
+      while (r < ids.length) {
+        if (ids(r) != excludeId) {
+          val code = codes(r)
+          var dist = 0.0
+          var m = 0
+          while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
+          sel.add(ids(r), fx4(dist))
+        }
+        r += 1
+      }
+      val coarse = sel.hits()
       val rescored = coarse.flatMap(h => vectorLookup(h.vecId).map(emb =>
         (h.vecId, fx4(l2Sq(emb, qv, 0, math.min(emb.length, qv.length), 0)))))
       if (rescored.isEmpty) coarse.take(k).zipWithIndex.map {
@@ -435,17 +489,26 @@ object PointServe {
       val adc = Array.tabulate(PqM, books(0).length) { (m, c) =>
         l2Sq(qv, books(m)(c), m * PqSubDim, PqSubDim, 0)
       }
-      val coarse = topK(
-        probeCells.iterator.flatMap { c =>
-          val members = cells.get(c)
-          if (members == null) Iterator.empty
-          else members.iterator.filter(_._1 != excludeId).map { case (id, code) =>
-            var dist = 0.0
-            var m = 0
-            while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
-            (id, fx4(dist))
+      // primitive selection (see Pq.query): the pool is
+      // scale-relative and the probed cells carry a corpus fraction
+      val sel = new PrimTopK(ck, ascending = true)
+      probeCells.foreach { c =>
+        val members = cells.get(c)
+        if (members != null) {
+          var r = 0
+          while (r < members.length) {
+            val (id, code) = members(r)
+            if (id != excludeId) {
+              var dist = 0.0
+              var m = 0
+              while (m < PqM) { dist += adc(m)(code(m)); m += 1 }
+              sel.add(id, fx4(dist))
+            }
+            r += 1
           }
-        }, ck, ascending = true)
+        }
+      }
+      val coarse = sel.hits()
       val rescored = coarse.flatMap(h => vectorLookup(h.vecId).map(emb =>
         (h.vecId, fx4(l2Sq(emb, qv, 0, math.min(emb.length, qv.length), 0)))))
       if (rescored.isEmpty) coarse.take(k).zipWithIndex.map {
