@@ -178,13 +178,24 @@ object PointServe {
     def query(qv: Array[Double], k: Int = 5, excludeId: Long = -1L): Seq[Hit] = {
       val buckets = snap._1
       val qbucket = signature(qv, planes).toInt
-      val cands = masks.iterator.flatMap { m =>
-        val b = buckets.get(qbucket ^ m.toInt)
-        if (b == null) Iterator.empty
-        else b.iterator.filter(_._1 != excludeId)
-          .map { case (id, emb) => (id, fx4(cosine(emb, qv))) }
+      // primitive loop + selection (see PrimTopK): clone-dense probe
+      // buckets make the candidate set corpus-fraction-sized, where a
+      // boxed tuple per cosine dominated the walk (r9 sf1 measure)
+      val sel = new PrimTopK(k, ascending = false)
+      var mi = 0
+      while (mi < masks.length) {
+        val b = buckets.get(qbucket ^ masks(mi).toInt)
+        if (b != null) {
+          var i = 0
+          while (i < b.length) {
+            val (id, emb) = b(i)
+            if (id != excludeId) sel.add(id, fx4(cosine(emb, qv)))
+            i += 1
+          }
+        }
+        mi += 1
       }
-      topK(cands, k)
+      sel.hits()
     }
 
     /** Fold generations appended since load/last refresh into the
@@ -300,13 +311,19 @@ object PointServe {
         .map { case (cid, cemb, _) => (cid, l2Sq(cemb, qv, 0, math.min(cemb.length, qv.length), 0)) }
         .toSeq.sortBy { case (cid, d) => (d, cid) }
         .take(nprobe).map(_._1.toInt)
-      val cands = probeCells.iterator.flatMap { c =>
+      val sel = new PrimTopK(k, ascending = false)
+      probeCells.foreach { c =>
         val members = cells.get(c)
-        if (members == null) Iterator.empty
-        else members.iterator.filter(_._1 != excludeId)
-          .map { case (id, emb) => (id, fx4(cosine(emb, qv))) }
+        if (members != null) {
+          var i = 0
+          while (i < members.length) {
+            val (id, emb) = members(i)
+            if (id != excludeId) sel.add(id, fx4(cosine(emb, qv)))
+            i += 1
+          }
+        }
       }
-      topK(cands, k)
+      sel.hits()
     }
 
     /** Fold generations appended since load/last refresh into the
