@@ -107,10 +107,11 @@ object ServeBench {
       "index vector", "spark stream", "join window index")
     val sparseQueries = textQueries.map(q =>
       q.split(" ").toSeq.zipWithIndex.map { case (t, i) => (t, (i + 1).toLong) })
-    val queryVecs = Tables.embeddings(spark, dir)
+    val queryRows = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(col("vec_id")).limit(16).collect()
-      .map(_.getSeq[Double](1).toArray)
+    val queryIds = queryRows.map(_.getLong(0))
+    val queryVecs = queryRows.map(_.getSeq[Double](1).toArray)
 
     val (bq, bp50, bp99) = measure(nThreads, opsPerThread) { i =>
       router.route(_.bm25(textQueries(i % textQueries.length), k = 10))
@@ -128,6 +129,21 @@ object ServeBench {
     }
     val (sq, sp50, sp99) = measure(nThreads, opsPerThread) { i =>
       router.route(_.sparse(sparseQueries(i % sparseQueries.length), k = 10))
+    }
+    // the full retrieval composition (hybrid.rs fusion): dense + bm25
+    // + substring-text branches RRF-fused per query, and the
+    // sparse-cosine more-like-this point query (r9 — previously the
+    // one retrieval path with no measured record)
+    val (hq, hp50, hp99) = measure(nThreads, opsPerThread) { i =>
+      val j = i % queryVecs.length
+      router.route(_.hybridRrf(queryVecs(j), queryIds(j),
+        textQueries(i % textQueries.length), limit = 10))
+    }
+    val anchorIds = Tables.documents(spark, dir)
+      .select(col("doc_id")).orderBy(col("doc_id")).limit(8).collect()
+      .map(_.getLong(0))
+    val (mq, mp50, mp99) = measure(nThreads, opsPerThread) { i =>
+      router.route(_.moreLike(anchorIds(i % anchorIds.length), k = 10))
     }
     val (gq, gp50, gp99) = measure(nThreads, opsPerThread) { i =>
       graph.query(queryVecs(i % queryVecs.length), k = 5)
@@ -187,7 +203,8 @@ object ServeBench {
       s""""load_sec":${fmt(loadSec)},"load_vec_sec":${fmt(loadVecSec)},""" +
       s""""resident_mb":$resident,""" +
       s""""bm25":${sec(bq, bp50, bp99)},"bm25_rare":${sec(rq, rp50, rp99)},""" +
-      s""""sparse":${sec(sq, sp50, sp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
+      s""""sparse":${sec(sq, sp50, sp99)},"hybrid_rrf":${sec(hq, hp50, hp99)},""" +
+      s""""more_like":${sec(mq, mp50, mp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
       s""""lsh":${sec(lq, lp50, lp99)},"ivf":${sec(iq, ip50, ip99)},""" +
       s""""pq":${sec(pqq, pqp50, pqp99)},"ivfpq":${sec(ipqq, ipqp50, ipqp99)},""" +
       s""""dedup_admit":${sec(dq, dp50, dp99)},""" +

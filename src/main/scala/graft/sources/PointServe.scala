@@ -722,6 +722,11 @@ object PointServe {
       b += denseIds.length.toLong * 8
       var j = 0
       while (j < denseVecs.length) { b += denseVecs(j).length.toLong * 8 + 16; j += 1 }
+      val itW = rawWordPostings.entrySet().iterator()
+      while (itW.hasNext) {
+        val e = itW.next()
+        b += 2L * e.getKey.length + 40 + e.getValue.length.toLong * 4 + 16
+      }
       b
     }
 
@@ -761,6 +766,16 @@ object PointServe {
         stamp(i) = gen; touched(nTouched) = i; nTouched += 1
         d(i) = 0.0; l(i) = 0L
       }
+      // nested per-term dedup (textSearch credits a doc once per TERM
+      // even when several of its words match the term)
+      private val stamp2 = new Array[Int](n)
+      private var gen2 = 0
+      def beginNested(): Unit = {
+        if (gen2 == Int.MaxValue) { java.util.Arrays.fill(stamp2, 0); gen2 = 0 }
+        gen2 += 1
+      }
+      def markNested(i: Int): Boolean =
+        if (stamp2(i) != gen2) { stamp2(i) = gen2; true } else false
     }
     private val scratch =
       ThreadLocal.withInitial[Scratch](() => new Scratch(nDocs))
@@ -821,12 +836,55 @@ object PointServe {
       topKScratch(sc, k)(i => fx6(sc.d(i)))
     }
 
-    /** Token-containment text search — `Bm25.textSearch` semantics. */
+    // raw whitespace-split word postings (one entry per distinct
+    // (word, doc)): a NO-SPACE query term's substring match region can
+    // never include a space, so `term is a substring of the text` ≡
+    // `term is a substring of some raw word` — which turns textSearch
+    // from a corpus×chars scan per query into a VOCABULARY scan
+    // (distinct raw words, Zipf-bounded) plus posting walks
+    private val rawWordPostings: java.util.HashMap[String, Array[Int]] = {
+      val buf = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+      var i = 0
+      while (i < nDocs) {
+        val seen = new java.util.HashSet[String]()
+        lowerTexts(i).split(" ").foreach { w =>
+          if (w.nonEmpty && seen.add(w))
+            buf.computeIfAbsent(w,
+              _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += i
+        }
+        i += 1
+      }
+      val out = new java.util.HashMap[String, Array[Int]]()
+      buf.forEach((w, b) => out.put(w, b.toArray))
+      out
+    }
+
+    /** Token-containment text search — `Bm25.textSearch` semantics
+      * (substring per term over the raw lowercased text), served from
+      * the raw-word vocabulary instead of a full corpus scan.
+      */
     def textSearch(query: String, k: Int = 20): Seq[Hit] = {
       val terms = query.toLowerCase.split(" ").toSeq.filter(_.nonEmpty).distinct
-      topK((0 until nDocs).iterator.map { i =>
-        (docIds(i), terms.count(lowerTexts(i).contains).toLong)
-      }.filter(_._2 > 0), k)
+      if (terms.isEmpty) return Seq.empty
+      val sc = scratch.get()
+      sc.begin()
+      terms.foreach { t =>
+        sc.beginNested()
+        val it = rawWordPostings.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey.contains(t)) {
+            val posting = e.getValue
+            var p = 0
+            while (p < posting.length) {
+              val i = posting(p)
+              if (sc.markNested(i)) { sc.touch(i); sc.l(i) += 1 }
+              p += 1
+            }
+          }
+        }
+      }
+      topKScratch(sc, k)(i => sc.l(i))
     }
 
     /** Weighted sparse dot-product retrieval — `Bm25.sparseSearch`
@@ -888,11 +946,19 @@ object PointServe {
         math.sqrt(normsSq(i).toDouble * ansq.toDouble)))
     }
 
-    /** Brute-force dense cosine — `VectorSearch.semanticTopK` semantics. */
-    def semantic(qv: Array[Double], k: Int = 20, excludeId: Long = -1L): Seq[Hit] =
-      topK(denseIds.iterator.zip(denseVecs.iterator)
-        .filter(_._1 != excludeId)
-        .map { case (id, emb) => (id, fx4(cosine(emb, qv))) }, k)
+    /** Brute-force dense cosine — `VectorSearch.semanticTopK`
+      * semantics; primitive loop + selection (corpus-sized scan).
+      */
+    def semantic(qv: Array[Double], k: Int = 20, excludeId: Long = -1L): Seq[Hit] = {
+      val sel = new PrimTopK(k, ascending = false)
+      var i = 0
+      while (i < denseIds.length) {
+        if (denseIds(i) != excludeId)
+          sel.add(denseIds(i), fx4(cosine(denseVecs(i), qv)))
+        i += 1
+      }
+      sel.hits()
+    }
 
     /** RRF hybrid fusion — [[graft.operators.HybridSearch.rrf]]:
       * each branch's top-2*limit contributes 1/(60 + rank); per-doc

@@ -77,6 +77,16 @@ class PointServeSpec extends GraftSuite {
     val textBatch = operators.Bm25.textSearch(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
     assert(emb.textSearch(operators.Bm25.DefaultQuery).map(h => (h.vecId, h.score)) == textBatch)
+    // substring-edge parity (r9 raw-word vocabulary rewrite): PARTIAL
+    // word terms — the batch semantics are substring-in-text, and a
+    // no-space term's match can never span a space, which is exactly
+    // the equivalence the served rewrite rests on
+    Seq("par", "ecto str", "xyzzynotaword", "a").foreach { q =>
+      val b = operators.Bm25.textSearch(spark, sf, q, k = 50)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+      assert(emb.textSearch(q, k = 50).map(h => (h.vecId, h.score)) == b,
+        s"substring parity broke for query '$q'")
+    }
     val denseBatch = operators.VectorSearch.semanticTopK(spark, sf)
       .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("score"))).toSeq
     assert(emb.semantic(queryVecs(0L), k = 20, excludeId = 0L)
