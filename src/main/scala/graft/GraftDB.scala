@@ -478,6 +478,17 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def vocabInduce(): DataFrame = TextAnalysis.vocabInduce(spark, dir)
 
+  /** Learned BPE merge table ([[TextAnalysis.BpeMerges]] rounds):
+    * the trained-tokenizer artifact (merge_rank, lhs, rhs,
+    * pair_count).
+    */
+  def bpeTrain(): DataFrame = TextAnalysis.bpeTrain(spark, dir)
+
+  /** Per-document token counts under the learned BPE merges — the
+    * training-budget figure under the REAL tokenizer.
+    */
+  def bpeTokenCount(): DataFrame = TextAnalysis.bpeTokenCount(spark, dir)
+
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).
     */

@@ -737,4 +737,205 @@ object TextAnalysis {
        |FROM subs GROUP BY piece
        |ORDER BY score DESC, piece
        |LIMIT $VocabV""".stripMargin
+
+  // ---- BPE merge induction (tokenizer training) ----
+
+  /** Merge rounds learned by [[bpeTrain]] / applied by
+    * [[bpeTokenCount]]. Small by test-economy only — the plan shape
+    * is rank-count-independent (each round is one bounded-table
+    * aggregate + one narrow map), so a production run raises it
+    * freely.
+    */
+  val BpeMerges = 8
+
+  /** Spaced segmentation encoding shared by the Spark and DuckDB
+    * sides: a word's current symbol sequence is rendered
+    * `' s1  s2  …  sn '` — TWO spaces between symbols, ONE at each
+    * end. Merging pair (L,R) is then the plain string replacement
+    * `' L  R ' → ' LR '`: the edge spaces of the replacement restore
+    * the boundary the match consumed, so the double-space invariant
+    * survives any number of merges, and because both engines'
+    * `replace` scan left-to-right non-overlapping, the rewrite IS the
+    * greedy merge pass of Sennrich et al. (symbols are [a-z0-9]+ —
+    * space-free — so a pattern can never straddle a symbol boundary).
+    */
+  private def segInit(w: Column): Column =
+    concat(lit(" "), rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+
+  private def segSymbols(seg: Column): Column = split(trim(seg), "  ")
+
+  /** Adjacent symbol pairs (`"L R"` strings) of a segmentation —
+    * every adjacency counts, including overlapping repeats, matching
+    * the reference BPE statistics pass. Guarded: Spark's `sequence`
+    * runs DESCENDING when start > stop, so a fully-merged
+    * single-symbol word must short-circuit to the empty array.
+    */
+  private def segPairs(sy: Column): Column =
+    when(size(sy) >= 2,
+      transform(sequence(lit(1), size(sy) - 1),
+        j => concat(element_at(sy, j), lit(" "), element_at(sy, j + 1))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Byte-pair-encoding merge induction (Sennrich et al. 2016) over
+    * the corpus: learn [[BpeMerges]] merge rules and the word
+    * segmentation they produce. Returns the driver-held merge table —
+    * the merge list IS the trained model and is O(rounds), the one
+    * genuinely driver-sized artifact of tokenizer training — plus the
+    * still-distributed segmented word relation for downstream
+    * application.
+    *
+    * Scale shape: the corpus compresses ONCE to the distinct-word
+    * table (one keyed aggregate with map-side partials over the
+    * native TermCounts pass — the [[vocabInduce]] compression); every
+    * merge round is then (a) one aggregate over that Zipf-bounded
+    * relation and a ONE-ROW argmax collect (TakeOrdered head, the
+    * audited bounded-collect form), and (b) one narrow per-row string
+    * rewrite — no corpus pass, no shuffle growth with rounds. The
+    * identical loop trains on 100 TB: only the word table scales, and
+    * it scales with vocabulary, not data.
+    */
+  private def bpeLearn(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val words = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(explode(column(graft.functions.expressions.TermCounts(
+        expression(col("text"))))).as("e"))
+      .select(col("e.term").as("w"), col("e.tf").as("tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("freq"))
+      .select(col("w"), col("freq"), segInit(col("w")).as("seg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var cur = words
+    var rank = 1
+    var exhausted = false
+    while (rank <= BpeMerges && !exhausted) {
+      val best = cur
+        .select(col("freq"), explode(segPairs(segSymbols(col("seg")))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(lhs, rhs) = pair.split(" ", 2)
+        merges += ((rank, lhs, rhs, cnt))
+        cur = cur.withColumn("seg",
+          replace(col("seg"), lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+        rank += 1
+      }
+    }
+    (merges.result(), cur)
+  }
+
+  /** The learned BPE merge table: one row per merge round —
+    * (merge_rank, lhs, rhs, pair_count at selection time), ties on
+    * count broken by pair string ascending in both engines (binary
+    * UTF8 comparison on [a-z0-9 ] — identical order). This is the
+    * artifact a tokenizer trainer ships.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLearn(spark, dir)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Tokenize-under-the-learned-merges census: per document, the
+    * whitespace-normalized word count and the token count the
+    * [[BpeMerges]]-rule BPE segmentation produces — the figure a
+    * training-budget planner actually needs (tokens under the REAL
+    * tokenizer, not a whitespace proxy; [[tokenCount]]'s `bpe_tokens`
+    * column is the regex heuristic, this is the induced model).
+    *
+    * Scale shape: merges apply on the bounded word table (narrow
+    * rewrites over the persisted compression), then ONE
+    * term-keyed shuffle_hash join carries `n_pieces` back onto the
+    * per-doc (term, tf) relation — the compressed TermCounts form, one
+    * row per distinct term per doc — and one doc-keyed aggregate
+    * finishes. The heavy text column never joins and never shuffles.
+    */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val (_, segd) = bpeLearn(spark, dir)
+    val pieces = segd.select(col("w"),
+      size(segSymbols(col("seg"))).cast("long").as("n_pieces"))
+    Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), explode(column(graft.functions.expressions.TermCounts(
+        expression(col("text"))))).as("e"))
+      .select(col("doc_id"), col("e.term").as("w"), col("e.tf").as("tf"))
+      .join(pieces.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_words"),
+        sum(col("tf").cast("long") * col("n_pieces")).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared DuckDB CTE chain replaying [[bpeLearn]]: `words`/`seg0`,
+    * then per round i the pair census `pc_i`, the argmax `best_i`
+    * (same count-desc/pair-asc tie-break) and the rewritten `seg_i`.
+    * `best_i` joins LEFT ON TRUE so a merge-exhausted tiny corpus
+    * degrades to a no-op round exactly like the Scala loop's break.
+    */
+  private def bpeCtesSql: String = {
+    val bs = "\\"
+    val sb = new StringBuilder
+    sb.append(
+      s"""words AS (
+         |  SELECT g AS w, COUNT(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(${tokensSql("text")}) AS g FROM documents)
+         |  GROUP BY 1
+         |), seg0 AS (
+         |  SELECT w, freq, ' ' || rtrim(regexp_replace(w, '(.)', '${bs}1  ', 'g')) || ' ' AS seg
+         |  FROM words
+         |)""".stripMargin)
+    for (i <- 1 to BpeMerges) {
+      val p = i - 1
+      sb.append(
+        s""",
+           |pc$i AS (
+           |  SELECT pr AS pair, SUM(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pr
+           |        FROM (SELECT freq, string_split(trim(seg), '  ') AS sy FROM seg$p))
+           |  GROUP BY 1
+           |), best$i AS (
+           |  SELECT pair, cnt,
+           |         ' ' || replace(pair, ' ', '  ') || ' ' AS pat,
+           |         ' ' || replace(pair, ' ', '') || ' ' AS rep
+           |  FROM pc$i ORDER BY cnt DESC, pair LIMIT 1
+           |), seg$i AS (
+           |  SELECT w, freq,
+           |         CASE WHEN b.pat IS NULL THEN seg ELSE replace(seg, b.pat, b.rep) END AS seg
+           |  FROM seg$p LEFT JOIN best$i b ON TRUE
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  val bpeTrainSql: String = {
+    val union = (1 to BpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, split_part(pair, ' ', 1) AS lhs, split_part(pair, ' ', 2) AS rhs, cnt AS pair_count FROM best$i"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  val bpeTokenCountSql: String =
+    s"""WITH $bpeCtesSql,
+       |pieces AS (
+       |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS n_pieces FROM seg$BpeMerges
+       |), doc_terms AS (
+       |  SELECT doc_id, g AS w, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(${tokensSql("text")}) AS g FROM documents)
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.doc_id, SUM(d.tf)::BIGINT AS n_words,
+       |  SUM(d.tf * p.n_pieces)::BIGINT AS n_bpe_tokens
+       |FROM doc_terms d JOIN pieces p ON d.w = p.w
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

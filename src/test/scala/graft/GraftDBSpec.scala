@@ -175,6 +175,10 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.TextAnalysis.vocabInduce(spark, sf)))
     assert(rows(db.dedupSweep()) ==
       rows(graft.operators.Dedup.sweep(spark, sf)))
+    assert(rows(db.bpeTrain()) ==
+      rows(graft.operators.TextAnalysis.bpeTrain(spark, sf)))
+    assert(rows(db.bpeTokenCount()) ==
+      rows(graft.operators.TextAnalysis.bpeTokenCount(spark, sf)))
   }
 
   test("pointServeDedup serves the admit gate from the handle") {

@@ -401,4 +401,72 @@ class TextAnalysisSpec extends GraftSuite {
     assert(exec.toString.contains("TakeOrderedAndProject"),
       s"expected TakeOrdered plan:\n$exec")
   }
+
+  /** Driver-side reference BPE (Sennrich et al. get_stats/merge_vocab
+    * shape): word-frequency table → per-round adjacent-pair census
+    * (every adjacency counts) → argmax with (count desc, pair asc)
+    * tie-break → greedy left-to-right non-overlapping merge.
+    */
+  private def refBpe(texts: Seq[String], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Map[String, Int]) = {
+    import scala.jdk.CollectionConverters._
+    val wc = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach(t => graft.functions.expressions.Tok.tokens(t).asScala
+      .foreach(w => wc(w) += 1L))
+    var seg: Map[String, Vector[String]] =
+      wc.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val stats = collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((w, c) <- wc; Seq(a, b) <- seg(w).sliding(2) if seg(w).length >= 2)
+        stats((a, b)) += c
+      if (stats.nonEmpty) {
+        val ((l, rr), cnt) = stats.minBy { case ((a, b), c) => (-c, a + " " + b) }
+        merges += ((r, l, rr, cnt))
+        seg = seg.map { case (w, s) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == rr) { out += (l + rr); j += 2 }
+            else { out += s(j); j += 1 }
+          }
+          w -> out.result()
+        }
+      }
+    }
+    (merges.result(), seg.map { case (w, s) => w -> s.length })
+  }
+
+  test("bpe_train equals the reference merge loop, rank for rank") {
+    val texts = Tables.documents(spark, sf).select("text").collect().map(_.getString(0)).toSeq
+    val (expMerges, _) = refBpe(texts, TextAnalysis.BpeMerges)
+    val got = TextAnalysis.bpeTrain(spark, sf).collect().map(r =>
+      (r.getAs[Int]("merge_rank"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count"))).toSeq
+    assert(got == expMerges)
+    // non-vacuous: the corpus must yield every round, and at least one
+    // learned symbol must be longer than two chars (a merge built on a
+    // prior merge — the part a unigram census can't produce)
+    assert(got.length == TextAnalysis.BpeMerges)
+    assert(got.exists { case (_, l, r, _) => (l + r).length > 2 })
+  }
+
+  test("bpe_token_count equals the reference segmentation applied per doc") {
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val (_, nPieces) = refBpe(docs.map(_._2), TextAnalysis.BpeMerges)
+    val exp = docs.map { case (id, t) =>
+      val ws = graft.functions.expressions.Tok.tokens(t).asScala.toSeq
+      (id, ws.size.toLong, ws.map(w => nPieces(w).toLong).sum)
+    }.filter(_._2 > 0).sortBy(_._1)
+    val got = TextAnalysis.bpeTokenCount(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe_tokens"))).toSeq
+    assert(got == exp)
+    // BPE can only group characters WITHIN a word: every word is >= 1
+    // symbol, so the induced token count is bounded below by the word
+    // count — and above by the character mass
+    assert(got.forall { case (_, nw, nb) => nb >= nw })
+  }
 }
