@@ -1056,6 +1056,81 @@ object Curation {
        |WHERE d.doc_id % $EvalMod <> 0
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Fixed-point (6 dp) cosine above which [[decontaminateSemantic]]
+    * flags a training vector as contamination — near-copy territory;
+    * paraphrased eval leakage the n-gram gates can't see sits here.
+    */
+  val SemContamCosFx = 900000L
+
+  /** Embedding-space decontamination — the semantic sibling of the
+    * n-gram [[decontaminate]] family: flag TRAINING vectors whose
+    * embedding is near-identical (cosine ≥ 0.9) to any EVAL-split
+    * vector. N-gram gates miss paraphrases and translations of
+    * benchmark items; the embedding gate is the published
+    * countermeasure. Same [[EvalMod]] held-out convention on the
+    * embeddings table.
+    *
+    * Candidate generation is the dedup_embedding banding: both sides
+    * bucket on the shared deterministic hyperplane signature and only
+    * same-bucket (train, eval) pairs score — near-copies sign-agree on
+    * every plane, so true contamination collides with its source
+    * by construction. Output: per candidate training vector, the
+    * candidate count, the max fixed-point cosine, and the flag.
+    *
+    * Scale shape: the eval side is a bounded benchmark suite, so its
+    * banded relation BROADCASTS — the training corpus is scanned once
+    * and never shuffled by the join; only (vec_id, cos) hit pairs
+    * (≤ train × per-bucket eval density) reach the final keyed
+    * aggregate. No self-join, no pair space over the corpus.
+    */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame =
+    decontaminateSemanticFromVecs(
+      Tables.embeddings(spark, dir).select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb")))
+
+  /** [[decontaminateSemantic]] over a prepared (vec_id, emb) relation
+    * — split out so specs can drive planted-contamination corpora
+    * through the exact production path.
+    */
+  private[graft] def decontaminateSemanticFromVecs(vecs: DataFrame): DataFrame = {
+    val planes = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes)
+    val banded = vecs.withColumn("bucket", VectorSearch.lshBucket(col("emb"), planes))
+    val eval = banded.filter(col("vec_id") % EvalMod === 0)
+      .select(col("bucket"), col("emb").as("eemb"))
+    val train = banded.filter(col("vec_id") % EvalMod =!= 0)
+    train.join(broadcast(eval), Seq("bucket"))
+      .select(col("vec_id"),
+        fx(graft.functions.VectorFunctions.cosineSimilarity(col("emb"), col("eemb")), 6)
+          .as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_cand"), max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("n_cand"), col("max_cos"),
+        (col("max_cos") >= SemContamCosFx).cast("long").as("contaminated"))
+      .orderBy(col("vec_id"))
+  }
+
+  val decontaminateSemanticSql: String = {
+    val planes = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes)
+    val planesSql = planes.map(_.mkString("[", ",", "]")).mkString("[", ", ", "]")
+    val sig = (0 until VectorSearch.LshPlanes).map { j =>
+      s"(CASE WHEN list_dot_product(emb, planes[${j + 1}]::DOUBLE[]) > 0 THEN (1::BIGINT << $j) ELSE 0::BIGINT END)"
+    }.mkString(" + ")
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb, $planesSql AS planes FROM embeddings
+       |), banded AS (
+       |  SELECT vec_id, emb, ($sig) AS bucket FROM e0
+       |), hits AS (
+       |  SELECT t.vec_id,
+       |    ${fxSql(VectorSearch.cosineSql("t.emb", "e.emb"), 6)} AS cos
+       |  FROM banded t JOIN banded e USING (bucket)
+       |  WHERE t.vec_id % $EvalMod <> 0 AND e.vec_id % $EvalMod = 0
+       |)
+       |SELECT vec_id, COUNT(*)::BIGINT AS n_cand, MAX(cos) AS max_cos,
+       |  (MAX(cos) >= $SemContamCosFx)::BIGINT AS contaminated
+       |FROM hits GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   /** Temperature exponent for [[corpusSampleTemp]]: α = 0.5 (square
     * root) — the mT5/XLM-R multilingual rebalancing choice that lifts
     * low-resource sources without flattening the mix entirely.

@@ -551,4 +551,52 @@ class CurationSpec extends GraftSuite {
     assert(got.nonEmpty && got.size < srcOf.size,
       "budget fill should be a strict, non-empty selection at this SF")
   }
+
+  test("decontaminate_semantic equals the brute bucketed recompute and broadcasts the eval side") {
+    val planes = graft.operators.VectorSearch.lshPlanes(64, graft.operators.VectorSearch.LshPlanes)
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def bucket(e: Array[Double]): Long =
+      planes.zipWithIndex.map { case (p, j) =>
+        val proj = p.zip(e).map { case (s, x) => s * x }.sum
+        if (proj > 0.0) 1L << j else 0L
+      }.sum
+    def cosFx(a: Array[Double], b: Array[Double]): Long = {
+      def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map { case (u, v) => u * v }.sum
+      math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6 + 0.5).toLong
+    }
+    val byBucket = vecs.map { case (id, e) => (id, bucket(e), e) }
+    val eval = byBucket.filter(_._1 % Curation.EvalMod == 0)
+    val exp = byBucket.filter(_._1 % Curation.EvalMod != 0).flatMap { case (id, b, e) =>
+      val cands = eval.filter(_._2 == b).map(ev => cosFx(e, ev._3))
+      if (cands.isEmpty) None
+      else Some((id, cands.length.toLong, cands.max,
+        if (cands.max >= Curation.SemContamCosFx) 1L else 0L))
+    }.sortBy(_._1).toSeq
+    val df = Curation.decontaminateSemantic(spark, sf)
+    val got = df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("n_cand"),
+      r.getAs[Long]("max_cos"), r.getAs[Long]("contaminated"))).toSeq
+    assert(got == exp)
+    // the bounded eval side must ride a broadcast — the training
+    // corpus is never shuffled by the candidate join
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("BroadcastHashJoin"), s"expected broadcast eval join:\n$exec")
+  }
+
+  test("decontaminate_semantic catches a planted near-copy of an eval vector") {
+    import spark.implicits._
+    // eval vector (id % 83 == 0), an exact train clone, a near-copy,
+    // and an orthogonal bystander — driven through the production path
+    val base = Array.tabulate(64)(d => math.sin(d + 1.0))
+    val near = base.clone(); near(0) += 0.01
+    val ortho = Array.tabulate(64)(d => if (d % 2 == 0) 1.0 else -1.0)
+    val vecs = Seq(
+      (83L, base.toSeq), (1L, base.toSeq), (2L, near.toSeq), (3L, ortho.toSeq))
+      .toDF("vec_id", "emb")
+    val got = Curation.decontaminateSemanticFromVecs(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("contaminated")).toMap
+    assert(got.get(1L).contains(1L), s"exact clone must flag: $got")
+    assert(got.get(2L).contains(1L), s"near-copy must flag: $got")
+    assert(!got.get(3L).contains(1L), s"orthogonal bystander must not flag: $got")
+  }
 }
