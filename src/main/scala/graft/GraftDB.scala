@@ -571,6 +571,14 @@ final class GraftDB(val spark: SparkSession, val dir: String,
   def pointServeDsir(): graft.sources.PointServe.Dsir =
     graft.sources.PointServe.loadDsir(spark, dir)
 
+  /** The serving-tier form of [[bpeTokenCount]]: trains/loads the
+    * merge table once (O(rounds) resident), then `count(text)`
+    * answers (n_words, n_bpe_tokens) with zero Spark jobs,
+    * bit-identical to the batch row for that document.
+    */
+  def pointServeBpe(): graft.sources.PointServe.Bpe =
+    graft.sources.PointServe.loadBpe(spark, dir)
+
   /** The embedded retrieval tier (sparse.rs in-memory SparseIndex +
     * hybrid.rs fusion): BM25 / text / dense / RRF-hybrid point queries
     * from RAM, zero Spark jobs each, bit-identical to the batch twins.

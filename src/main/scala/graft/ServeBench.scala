@@ -94,6 +94,7 @@ object ServeBench {
     val graph = PointServe.loadGraph(spark, dir)
     val dedup = PointServe.loadMinhashDedup(spark, dir)
     val dsir = PointServe.loadDsir(spark, dir)
+    val bpe = PointServe.loadBpe(spark, dir)
     val loadSec = (System.nanoTime() - tLoad0) / 1e9
     // three replica handles over the resident tier — single-process
     // stand-ins for three serving replicas; the router's dispatch +
@@ -190,6 +191,11 @@ object ServeBench {
     val (wq, wp50, wp99) = measure(nThreads, opsPerThread) { i =>
       dsir.score(probeTexts(i % probeTexts.length))
     }
+    // the budget counter over the same mixed probe stream: tokenize +
+    // memoized per-word merge application per document
+    val (tq, tp50, tp99) = measure(nThreads, opsPerThread) { i =>
+      bpe.count(probeTexts(i % probeTexts.length))
+    }
     def sec(q: Double, p50: Double, p99: Double) =
       s"""{"qps":${fmt(q)},"p50_ms":${fmt(p50)},"p99_ms":${fmt(p99)}}"""
     // structure-derived resident footprint per server — the figure
@@ -197,7 +203,8 @@ object ServeBench {
     def mb(bytes: Long) = fmt(bytes / 1048576.0)
     val resident = s"""{"embedded":${mb(emb.residentBytes)},""" +
       s""""graph":${mb(graph.residentBytes)},""" +
-      s""""dedup":${mb(dedup.residentBytes)},"dsir":${mb(dsir.residentBytes)}}"""
+      s""""dedup":${mb(dedup.residentBytes)},"dsir":${mb(dsir.residentBytes)},""" +
+      s""""bpe":${mb(bpe.residentBytes)}}"""
     s"""{"replicas":3,"threads":$nThreads,"ops_per_thread":$opsPerThread,""" +
       s""""method":"best-of-$MeasurePasses passes (max qps, min latency)",""" +
       s""""load_sec":${fmt(loadSec)},"load_vec_sec":${fmt(loadVecSec)},""" +
@@ -208,7 +215,8 @@ object ServeBench {
       s""""lsh":${sec(lq, lp50, lp99)},"ivf":${sec(iq, ip50, ip99)},""" +
       s""""pq":${sec(pqq, pqp50, pqp99)},"ivfpq":${sec(ipqq, ipqp50, ipqp99)},""" +
       s""""dedup_admit":${sec(dq, dp50, dp99)},""" +
-      s""""dsir_score":${sec(wq, wp50, wp99)}}"""
+      s""""dsir_score":${sec(wq, wp50, wp99)},""" +
+      s""""bpe_count":${sec(tq, tp50, tp99)}}"""
   } catch {
     case e: Throwable =>
       // truncate BEFORE escaping (a cut cannot strand a lone

@@ -1613,4 +1613,89 @@ object PointServe {
     val B = graft.operators.Curation.DsirBuckets
     new Dsir(new Array[Long](B), new Array[Long](B), 0L, 0L)
   }
+
+  /** BPE tokenize-and-count point server — the serving-tier form of
+    * [[graft.operators.TextAnalysis.bpeTokenCount]]: the learned
+    * merge table (the trained-tokenizer artifact, O(rounds)) is
+    * resident, and `count(text)` answers (n_words, n_bpe_tokens) in
+    * plain JVM microseconds with ZERO Spark jobs, bit-identical to
+    * the batch row for that document. Completes the ingestion-gate
+    * trio with [[MinhashDedup]] (admit) and [[Dsir]] (select): an
+    * arriving document is admitted, scored and budget-counted
+    * entirely in the point tier.
+    *
+    * Segmentation replays the batch semantics exactly: per word,
+    * start from characters and apply each merge in RANK ORDER as one
+    * greedy left-to-right non-overlapping pass — the proven
+    * equivalent of the batch's spaced-string replace (and of the
+    * DuckDB twin). Distinct-word results are memoized; the memo is
+    * Zipf-bounded by the same argument the batch word-table
+    * compression rides. Merges are a trained artifact — a served
+    * document never mutates them, so there is nothing to refresh.
+    */
+  final class Bpe private[PointServe] (private val merges: Array[(String, String)]) {
+    import graft.functions.expressions.Tok
+
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+    private def nPieces(word: String): Int = {
+      val hit = memo.get(word)
+      if (hit != null) hit.intValue()
+      else {
+        var syms = new java.util.ArrayList[String](word.length)
+        var c = 0
+        while (c < word.length) { syms.add(word.substring(c, c + 1)); c += 1 }
+        var m = 0
+        while (m < merges.length) {
+          val l = merges(m)._1
+          val r = merges(m)._2
+          val out = new java.util.ArrayList[String](syms.size())
+          var j = 0
+          while (j < syms.size()) {
+            if (j < syms.size() - 1 && syms.get(j) == l && syms.get(j + 1) == r) {
+              out.add(l + r); j += 2
+            } else { out.add(syms.get(j)); j += 1 }
+          }
+          syms = out
+          m += 1
+        }
+        memo.put(word, Integer.valueOf(syms.size()))
+        syms.size()
+      }
+    }
+
+    /** (n_words, n_bpe_tokens) of one document — the batch row,
+      * served. A document with no qualifying tokens returns (0, 0)
+      * (the batch inner join emits no row for it).
+      */
+    def count(text: String): (Long, Long) = {
+      val toks = Tok.tokens(text)
+      var n = 0L
+      var b = 0L
+      var i = 0
+      while (i < toks.size()) { n += 1L; b += nPieces(toks.get(i)); i += 1 }
+      (n, b)
+    }
+
+    /** Resident bytes: the merge table plus the memoized word cache
+      * — KBs against any corpus (the model is O(rounds), the memo is
+      * O(vocabulary)).
+      */
+    def residentBytes: Long = {
+      var b = 16L
+      merges.foreach { case (l, r) => b += 2L * (l.length + r.length) + 48L }
+      val it = memo.keySet().iterator()
+      while (it.hasNext) { b += 2L * it.next().length + 56L }
+      b
+    }
+  }
+
+  /** Train (or re-derive) the merge table with the batch loop — one
+    * bounded-table Spark aggregate per round — then serve with zero
+    * jobs per query.
+    */
+  def loadBpe(spark: SparkSession, dir: String): Bpe = {
+    val rows = graft.operators.TextAnalysis.bpeTrain(spark, dir).collect()
+    new Bpe(rows.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
+  }
 }

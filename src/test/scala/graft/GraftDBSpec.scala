@@ -179,6 +179,14 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.TextAnalysis.bpeTrain(spark, sf)))
     assert(rows(db.bpeTokenCount()) ==
       rows(graft.operators.TextAnalysis.bpeTokenCount(spark, sf)))
+    // the handle's point counter serves the same figures
+    val counter = db.pointServeBpe()
+    val byId = rows(db.bpeTokenCount()).map(r =>
+      r.head.asInstanceOf[Long] ->
+        ((r(1).asInstanceOf[Long], r(2).asInstanceOf[Long]))).toMap
+    Tables.documents(spark, sf).select(col("doc_id"), col("text")).collect()
+      .foreach(r => assert(counter.count(r.getString(1)) ==
+        byId.getOrElse(r.getLong(0), (0L, 0L))))
   }
 
   test("pointServeDedup serves the admit gate from the handle") {

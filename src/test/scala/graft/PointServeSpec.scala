@@ -447,4 +447,30 @@ class PointServeSpec extends GraftSuite {
       assert(fwd.score(text) == s && rev.score(text) == s, s"doc $id")
     }
   }
+
+  test("bpe point counter matches the batch token counts bit-for-bit") {
+    import graft.operators.TextAnalysis
+    val counter = PointServe.loadBpe(spark, sf)
+    val batch = TextAnalysis.bpeTokenCount(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_bpe_tokens")))).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+    assert(docs.nonEmpty && batch.nonEmpty)
+    docs.foreach { r =>
+      // a doc with no qualifying tokens has no batch row (inner join)
+      // and serves (0, 0)
+      val exp = batch.getOrElse(r.getLong(0), (0L, 0L))
+      assert(counter.count(r.getString(1)) == exp, s"doc ${r.getLong(0)}")
+    }
+    // the greedy rank-order merge application must produce a
+    // merge-built-on-merge symbol somewhere on this corpus: at least
+    // one doc's induced count drops below its character mass by more
+    // than the single-merge floor — guaranteed by the bpe_train spec's
+    // len>2 assertion; here just pin counts are genuinely compressed
+    assert(docs.exists { r =>
+      val (n, b) = counter.count(r.getString(1))
+      n > 0 && b < r.getString(1).count(_.isLetterOrDigit)
+    })
+  }
 }
