@@ -489,6 +489,12 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def bpeTokenCount(): DataFrame = TextAnalysis.bpeTokenCount(spark, dir)
 
+  /** Text → model-ready token-id sequences under the learned merges
+    * (first [[TextAnalysis.EncodeWords]] words per doc) — the
+    * tokenized-shard materialization step.
+    */
+  def bpeEncode(): DataFrame = TextAnalysis.bpeEncode(spark, dir)
+
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).
     */

@@ -688,6 +688,60 @@ object ShingleStrings {
   }
 }
 
+/** First-k ordered token prefix in ONE EARLY-EXIT pass: the scan
+  * stops as soon as k tokens are emitted, so a prefix over a long
+  * document reads a few hundred characters instead of the whole text
+  * — the algorithmic half of the win. The other half is the usual
+  * kernel story: `slice(tokens(text), 1, k)` crosses an interpreted
+  * filter lambda per token over the FULL token array (and builds
+  * it); this is a fused codegen'd scan. Bit-parity with the
+  * relational form is spec-pinned (NativeExpressionPropertySpec):
+  * same lowercase/strip/split/len>1/stopword semantics as
+  * [[Tok.tokens]] — punctuation is REMOVED in place (adjacent
+  * fragments join), token boundaries are original spaces only.
+  */
+case class TokenPrefix(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    TokenPrefix.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expressions.TokenPrefix.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenPrefix {
+  def compute(text: UTF8String, k: Int): GenericArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[Any](k)
+    val tok = new java.lang.StringBuilder(16)
+    var i = 0
+    var done = false
+    while (i <= s.length && !done) {
+      val atEnd = i == s.length
+      val c0 = if (atEnd) ' ' else s.charAt(i)
+      val c = if (c0 >= 'A' && c0 <= 'Z') (c0 + 32).toChar else c0
+      if (c == ' ') {
+        if (tok.length > 1 && !Tok.StopSet.contains(tok.toString)) {
+          out.add(UTF8String.fromString(tok.toString))
+          if (out.size == k) done = true
+        }
+        tok.setLength(0)
+      } else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        tok.append(c)
+      } // any other char: stripped in place — fragments join
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Membership gate against a Bloom filter of eval-set shingle hashes:
   * true iff ANY element of the child array<long> might be in the
   * filter — the at-scale decontamination form

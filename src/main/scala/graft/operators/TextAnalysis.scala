@@ -938,4 +938,107 @@ object TextAnalysis {
        |FROM doc_terms d JOIN pieces p ON d.w = p.w
        |GROUP BY d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Words encoded per document by [[bpeEncode]] — a bounded prefix
+    * so the encode entry's join input is ≤ [[EncodeWords]] rows per
+    * document at any corpus size (the full-corpus materialization is
+    * the same plan with the filter dropped; the prefix keeps the
+    * oracle comparable and the output bounded).
+    */
+  val EncodeWords = 32
+
+  /** Text → model-ready token ids under the learned merges — the
+    * step a pretraining pipeline actually materializes (tokenized
+    * shards). Id space follows tokenizer convention: base characters
+    * first (sorted — ids 0..|Σ|−1), then one id per merge in RANK
+    * order (|Σ|+rank−1); if two merges produce the same surface
+    * string the piece takes the later id (max — string-identical
+    * pieces are one token). Output per document: the piece-id
+    * sequence of the first [[EncodeWords]] words, emitted as a
+    * space-joined string so the oracle hash covers the exact order.
+    *
+    * Scale shape: the positional token explode filters to the
+    * bounded prefix BEFORE any join; the word→segmentation join is
+    * term-keyed shuffle_hash on the bounded (doc, pos, word)
+    * relation; the vocabulary (alphabet + rounds — constant-bounded)
+    * broadcasts; per-doc reassembly sorts ≤ EncodeWords·maxlen
+    * structs inside one row. The heavy text column never shuffles.
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, segd) = bpeLearn(spark, dir)
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // the id table is part of the trained artifact and is
+    // alphabet+rounds-bounded, so it is assembled on the driver like
+    // the merge list itself (one bounded collect — ≤ |Σ| strings) and
+    // inlined as a literal map: piece → id resolves ROW-LOCALLY on
+    // the bounded word table, so no piece-level relation ever exists
+    // (the explode-pieces + broadcast-join + re-sort form shuffled
+    // one row per PIECE instance)
+    val chars = segd.select(explode(split(col("w"), "")).as("piece")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val ids = chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+      merges.map { case (r, l, rr, _) => (l + rr, chars.length + r - 1L) }
+    // later merge wins a surface-string tie: string-identical pieces
+    // are one token
+    val vocab = ids.groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }
+    val vocabMap = map(vocab.toSeq.sortBy(_._1)
+      .flatMap { case (p, i) => Seq(lit(p), lit(i)) }: _*)
+    // the prefix rides the early-exit TokenPrefix kernel: the scan
+    // stops at EncodeWords tokens, so long documents are read a few
+    // hundred chars deep, not end-to-end, and the Generate emits
+    // ≤ EncodeWords rows per document (the slice(tokens(...)) HOF
+    // form tokenized every document fully through an interpreted
+    // per-token lambda — measured 23.8s of bpe_encode's 30s at sf10;
+    // the kernel form runs the whole entry in 8.1s, of which ~3s is
+    // the shared merge training)
+    val toks = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(column(graft.functions.expressions.TokenPrefix(
+          expression(col("text")), EncodeWords))).as(Seq("pos", "w")))
+    val wordIds = segd.select(col("w"),
+      transform(split(trim(col("seg")), "  "), s => element_at(vocabMap, s)).as("wids"))
+    toks.join(wordIds.hint("shuffle_hash"), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(size(col("wids"))).cast("long").as("n_ids"),
+        array_join(
+          transform(
+            flatten(transform(array_sort(collect_list(struct(col("pos"), col("wids")))),
+              e => e.getField("wids"))),
+            i => i.cast("string")), " ").as("ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeEncodeSql: String = {
+    val mvocab = (1 to BpeMerges).map { i =>
+      s"SELECT replace(pair, ' ', '') AS piece, ((SELECT COUNT(*) FROM chars) + $i - 1)::BIGINT AS pid FROM best$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeCtesSql,
+       |pieces AS (SELECT w, string_split(trim(seg), '  ') AS syms FROM seg$BpeMerges),
+       |chars AS (
+       |  SELECT piece, (ROW_NUMBER() OVER (ORDER BY piece) - 1)::BIGINT AS pid
+       |  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS piece FROM words)
+       |),
+       |mvocab AS (
+       |  $mvocab
+       |),
+       |vocab AS (
+       |  SELECT piece, MAX(pid)::BIGINT AS pid
+       |  FROM (SELECT * FROM chars UNION ALL SELECT * FROM mvocab) GROUP BY piece
+       |),
+       |toks AS (
+       |  SELECT doc_id, u.w AS w, u.pos AS pos
+       |  FROM (SELECT doc_id, unnest(list_transform((${tokensSql("text")})[1:$EncodeWords], (x,i) -> {'w': x, 'pos': i})) AS u FROM documents)
+       |),
+       |pexp AS (
+       |  SELECT doc_id, pos, u2.piece AS piece, u2.ppos AS ppos
+       |  FROM (SELECT t.doc_id, t.pos, unnest(list_transform(p.syms, (x,i) -> {'piece': x, 'ppos': i})) AS u2
+       |        FROM toks t JOIN pieces p ON t.w = p.w)
+       |)
+       |SELECT e.doc_id, COUNT(*)::BIGINT AS n_ids,
+       |  array_to_string(list(v.pid ORDER BY e.pos, e.ppos), ' ') AS ids
+       |FROM pexp e JOIN vocab v ON e.piece = v.piece
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
 }

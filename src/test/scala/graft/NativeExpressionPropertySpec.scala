@@ -69,6 +69,21 @@ class NativeExpressionPropertySpec extends GraftSuite {
     assert(viaNative.toSeq == viaRelational.toSeq)
   }
 
+  test("TokenPrefix matches slice(tokens, 1, k) for several k") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    for (k <- Seq(1, 2, 5, 32)) {
+      val viaRelational = samples.toDF("text")
+        .select(slice(graft.functions.TextFunctions.tokens(col("text")), 1, k).as("t"))
+        .collect().map(_.getSeq[String](0).toList)
+      val viaNative = samples.toDF("text")
+        .select(column(graft.functions.expressions.TokenPrefix(
+          expression(col("text")), k)).as("t"))
+        .collect().map(_.getSeq[String](0).toList)
+      assert(viaNative.toSeq == viaRelational.toSeq, s"k=$k")
+    }
+  }
+
   test("GramFingerprint matches a naive polynomial reference") {
     samples.filter(_.nonEmpty).foreach { s =>
       val got = GramFingerprint.compute(UTF8String.fromString(s)).toLongArray()

@@ -469,4 +469,49 @@ class TextAnalysisSpec extends GraftSuite {
     // count — and above by the character mass
     assert(got.forall { case (_, nw, nb) => nb >= nw })
   }
+
+  test("bpe_encode emits the reference id sequence in document order") {
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    // reference segmentation + tokenizer-convention id space: sorted
+    // base chars, then merges in rank order (later merge wins a
+    // surface-string tie)
+    val wc = collection.mutable.Set.empty[String]
+    docs.foreach(d => graft.functions.expressions.Tok.tokens(d._2).asScala
+      .foreach(wc += _))
+    val (merges, _) = refBpe(docs.map(_._2), TextAnalysis.BpeMerges)
+    var seg: Map[String, Vector[String]] =
+      wc.iterator.map(w => w -> w.map(_.toString).toVector).toMap
+    merges.foreach { case (_, l, r, _) =>
+      seg = seg.map { case (w, s) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { out += (l + r); j += 2 }
+          else { out += s(j); j += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val chars = wc.iterator.flatMap(_.toSeq).map(_.toString).toSeq.distinct.sorted
+    val pid = collection.mutable.Map[String, Long](
+      chars.zipWithIndex.map { case (c, i) => c -> i.toLong }: _*)
+    merges.foreach { case (r, l, rr, _) => pid(l + rr) = chars.length + r - 1L }
+    val exp = docs.flatMap { case (id, t) =>
+      val ws = graft.functions.expressions.Tok.tokens(t).asScala.toSeq
+        .take(TextAnalysis.EncodeWords)
+      val ids = ws.flatMap(w => seg(w)).map(p => pid(p))
+      if (ids.isEmpty) None
+      else Some((id, ids.length.toLong, ids.mkString(" ")))
+    }.sortBy(_._1)
+    val got = TextAnalysis.bpeEncode(spark, sf).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ids"), r.getAs[String]("ids"))).toSeq
+    assert(got == exp)
+    // non-vacuous: the 32-word prefix must bind somewhere, and some id
+    // must reference a merge (>= |alphabet|)
+    assert(docs.exists(d =>
+      graft.functions.expressions.Tok.tokens(d._2).size > TextAnalysis.EncodeWords))
+    assert(got.exists(_._3.split(" ").exists(_.toLong >= chars.length)))
+  }
 }
