@@ -964,8 +964,26 @@ object TextAnalysis {
     * broadcasts; per-doc reassembly sorts ≤ EncodeWords·maxlen
     * structs inside one row. The heavy text column never shuffles.
     */
-  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+  /** The full trained-tokenizer artifact: (merge table, sorted base
+    * alphabet, piece → id). Id space by tokenizer convention — sorted
+    * base chars 0..|Σ|−1, then one id per merge in rank order; a
+    * surface-string tie takes the later id (string-identical pieces
+    * are one token). All three components are bounded driver state
+    * (alphabet + rounds), assembled with one bounded collect beyond
+    * the training loop; shared by [[bpeEncode]] and the serving tier.
+    */
+  private[graft] def bpeModel(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Map[String, Long], DataFrame) = {
     val (merges, segd) = bpeLearn(spark, dir)
+    val chars = segd.select(explode(split(col("w"), "")).as("piece")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val ids = chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+      merges.map { case (r, l, rr, _) => (l + rr, chars.length + r - 1L) }
+    val pid = ids.groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }
+    (merges, pid, segd)
+  }
+
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     // the id table is part of the trained artifact and is
     // alphabet+rounds-bounded, so it is assembled on the driver like
@@ -974,13 +992,7 @@ object TextAnalysis {
     // the bounded word table, so no piece-level relation ever exists
     // (the explode-pieces + broadcast-join + re-sort form shuffled
     // one row per PIECE instance)
-    val chars = segd.select(explode(split(col("w"), "")).as("piece")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val ids = chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
-      merges.map { case (r, l, rr, _) => (l + rr, chars.length + r - 1L) }
-    // later merge wins a surface-string tie: string-identical pieces
-    // are one token
-    val vocab = ids.groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }
+    val (_, vocab, segd) = bpeModel(spark, dir)
     val vocabMap = map(vocab.toSeq.sortBy(_._1)
       .flatMap { case (p, i) => Seq(lit(p), lit(i)) }: _*)
     // the prefix rides the early-exit TokenPrefix kernel: the scan

@@ -1633,14 +1633,22 @@ object PointServe {
     * compression rides. Merges are a trained artifact — a served
     * document never mutates them, so there is nothing to refresh.
     */
-  final class Bpe private[PointServe] (private val merges: Array[(String, String)]) {
+  final class Bpe private[PointServe] (
+      private val merges: Array[(String, String)],
+      private val pid: java.util.HashMap[String, Long]) {
     import graft.functions.expressions.Tok
 
-    private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    private val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
 
-    private def nPieces(word: String): Int = {
+    /** Segment one word (greedy rank-order merge application — the
+      * proven equivalent of the batch replace) and resolve piece ids.
+      * An id of -1 marks a piece outside the trained vocabulary: a
+      * NOVEL character the training corpus never saw (the standard
+      * unk signal; corpus words can never produce it).
+      */
+    private def wordIds(word: String): Array[Long] = {
       val hit = memo.get(word)
-      if (hit != null) hit.intValue()
+      if (hit != null) hit
       else {
         var syms = new java.util.ArrayList[String](word.length)
         var c = 0
@@ -1659,8 +1667,15 @@ object PointServe {
           syms = out
           m += 1
         }
-        memo.put(word, Integer.valueOf(syms.size()))
-        syms.size()
+        val ids = new Array[Long](syms.size())
+        var k = 0
+        while (k < ids.length) {
+          val got = pid.get(syms.get(k))
+          ids(k) = if (got == null) -1L else got.longValue()
+          k += 1
+        }
+        memo.put(word, ids)
+        ids
       }
     }
 
@@ -1673,29 +1688,59 @@ object PointServe {
       var n = 0L
       var b = 0L
       var i = 0
-      while (i < toks.size()) { n += 1L; b += nPieces(toks.get(i)); i += 1 }
+      while (i < toks.size()) { n += 1L; b += wordIds(toks.get(i)).length; i += 1 }
       (n, b)
     }
 
-    /** Resident bytes: the merge table plus the memoized word cache
-      * — KBs against any corpus (the model is O(rounds), the memo is
-      * O(vocabulary)).
+    /** Token-id sequence of the first `maxWords` words — the batch
+      * [[graft.operators.TextAnalysis.bpeEncode]] row, served (same
+      * tokenizer-convention id space, same order).
+      */
+    def encode(text: String,
+               maxWords: Int = graft.operators.TextAnalysis.EncodeWords): Array[Long] = {
+      val toks = Tok.tokens(text)
+      val n = math.min(toks.size(), maxWords)
+      val out = new java.util.ArrayList[Long](n * 4)
+      var i = 0
+      while (i < n) {
+        val ids = wordIds(toks.get(i))
+        var j = 0
+        while (j < ids.length) { out.add(ids(j)); j += 1 }
+        i += 1
+      }
+      val arr = new Array[Long](out.size())
+      var k = 0
+      while (k < arr.length) { arr(k) = out.get(k); k += 1 }
+      arr
+    }
+
+    /** Resident bytes: merge table + id table + the memoized word
+      * cache — KBs against any corpus (the model is
+      * O(alphabet + rounds), the memo is O(vocabulary)).
       */
     def residentBytes: Long = {
       var b = 16L
       merges.foreach { case (l, r) => b += 2L * (l.length + r.length) + 48L }
-      val it = memo.keySet().iterator()
-      while (it.hasNext) { b += 2L * it.next().length + 56L }
+      val pit = pid.keySet().iterator()
+      while (pit.hasNext) { b += 2L * pit.next().length + 64L }
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += 2L * e.getKey.length + 8L * e.getValue.length + 72L
+      }
       b
     }
   }
 
-  /** Train (or re-derive) the merge table with the batch loop — one
-    * bounded-table Spark aggregate per round — then serve with zero
-    * jobs per query.
+  /** Train (or re-derive) the full tokenizer artifact — merge table
+    * plus piece-id vocabulary — with the batch loop (one
+    * bounded-table Spark aggregate per round plus one alphabet
+    * collect), then serve with zero jobs per query.
     */
   def loadBpe(spark: SparkSession, dir: String): Bpe = {
-    val rows = graft.operators.TextAnalysis.bpeTrain(spark, dir).collect()
-    new Bpe(rows.map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))))
+    val (merges, pid, _) = graft.operators.TextAnalysis.bpeModel(spark, dir)
+    val pm = new java.util.HashMap[String, Long]()
+    pid.foreach { case (p, i) => pm.put(p, i) }
+    new Bpe(merges.map { case (_, l, r, _) => (l, r) }.toArray, pm)
   }
 }

@@ -472,5 +472,17 @@ class PointServeSpec extends GraftSuite {
       val (n, b) = counter.count(r.getString(1))
       n > 0 && b < r.getString(1).count(_.isLetterOrDigit)
     })
+    // the served id sequence is the batch bpe_encode row (same ids,
+    // same order), and a novel character maps to the unk signal
+    val encBatch = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("ids")).toMap
+    docs.foreach { r =>
+      val exp = encBatch.getOrElse(r.getLong(0), "")
+      assert(counter.encode(r.getString(1)).mkString(" ") == exp,
+        s"doc ${r.getLong(0)}")
+    }
+    // corpus-derived text can never hit the unk signal: every
+    // qualifying char is in the trained alphabet
+    assert(docs.forall(r => counter.encode(r.getString(1)).forall(_ >= 0L)))
   }
 }
