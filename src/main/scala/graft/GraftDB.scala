@@ -495,6 +495,11 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def bpeEncode(): DataFrame = TextAnalysis.bpeEncode(spark, dir)
 
+  /** The shippable vocabulary artifact: (pid, piece, corpus frequency
+    * under the final segmentation; zero-frequency pieces kept).
+    */
+  def bpeVocab(): DataFrame = TextAnalysis.bpeVocab(spark, dir)
+
   /** Force-rebuild the persisted ANN layouts through the staged swap
     * (a concurrent reader never sees a mid-overwrite directory).
     */

@@ -1021,6 +1021,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The shippable vocabulary artifact: one row per piece —
+    * (pid, piece, freq), where freq is the piece's corpus occurrence
+    * mass under the FINAL segmentation (word-frequency-weighted;
+    * repeated pieces inside one word count per instance). Every
+    * trained piece keeps a row: a base character can reach frequency
+    * ZERO when every occurrence was absorbed into merges — exactly
+    * the signal a vocabulary pruner reads — so the usage join is a
+    * LEFT join. Both sides of that join are artifact-bounded
+    * (vocabulary × piece-usage census over the word table); the only
+    * corpus-scaled work is the word-table compression already shared
+    * with the rest of the family.
+    */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pid, segd) = bpeModel(spark, dir)
+    import spark.implicits._
+    val vocabDf = pid.toSeq.toDF("piece", "pid")
+    val usage = segd
+      .select(explode(segSymbols(col("seg"))).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("freq"))
+    vocabDf.join(broadcast(usage), Seq("piece"), "left")
+      .select(col("pid"), col("piece"),
+        coalesce(col("freq"), lit(0L)).as("freq"))
+      .orderBy(col("pid"))
+  }
+
+  val bpeVocabSql: String = {
+    val mvocab = (1 to BpeMerges).map { i =>
+      s"SELECT replace(pair, ' ', '') AS piece, ((SELECT COUNT(*) FROM chars) + $i - 1)::BIGINT AS pid FROM best$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH $bpeCtesSql,
+       |chars AS (
+       |  SELECT piece, (ROW_NUMBER() OVER (ORDER BY piece) - 1)::BIGINT AS pid
+       |  FROM (SELECT DISTINCT unnest(string_split(w, '')) AS piece FROM words)
+       |),
+       |mvocab AS (
+       |  $mvocab
+       |),
+       |vocab AS (
+       |  SELECT piece, MAX(pid)::BIGINT AS pid
+       |  FROM (SELECT * FROM chars UNION ALL SELECT * FROM mvocab) GROUP BY piece
+       |),
+       |usage AS (
+       |  SELECT piece, SUM(freq)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split(trim(seg), '  ')) AS piece, freq FROM seg$BpeMerges)
+       |  GROUP BY 1
+       |)
+       |SELECT v.pid, v.piece, COALESCE(u.freq, 0)::BIGINT AS freq
+       |FROM vocab v LEFT JOIN usage u USING (piece)
+       |ORDER BY pid""".stripMargin
+  }
+
   val bpeEncodeSql: String = {
     val mvocab = (1 to BpeMerges).map { i =>
       s"SELECT replace(pair, ' ', '') AS piece, ((SELECT COUNT(*) FROM chars) + $i - 1)::BIGINT AS pid FROM best$i"

@@ -181,6 +181,8 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.TextAnalysis.bpeTokenCount(spark, sf)))
     assert(rows(db.bpeEncode()) ==
       rows(graft.operators.TextAnalysis.bpeEncode(spark, sf)))
+    assert(rows(db.bpeVocab()) ==
+      rows(graft.operators.TextAnalysis.bpeVocab(spark, sf)))
     // the handle's point counter serves the same figures
     val counter = db.pointServeBpe()
     val byId = rows(db.bpeTokenCount()).map(r =>

@@ -514,4 +514,42 @@ class TextAnalysisSpec extends GraftSuite {
       graft.functions.expressions.Tok.tokens(d._2).size > TextAnalysis.EncodeWords))
     assert(got.exists(_._3.split(" ").exists(_.toLong >= chars.length)))
   }
+
+  test("bpe_vocab is the full id table with reference piece frequencies") {
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0)).toSeq
+    val wc = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(t => graft.functions.expressions.Tok.tokens(t).asScala
+      .foreach(w => wc(w) += 1L))
+    val (merges, _) = refBpe(docs, TextAnalysis.BpeMerges)
+    var seg: Map[String, Vector[String]] =
+      wc.keysIterator.map(w => w -> w.map(_.toString).toVector).toMap
+    merges.foreach { case (_, l, r, _) =>
+      seg = seg.map { case (w, s) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < s.length) {
+          if (j < s.length - 1 && s(j) == l && s(j + 1) == r) { out += (l + r); j += 2 }
+          else { out += s(j); j += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val chars = wc.keysIterator.flatMap(_.toSeq).map(_.toString).toSeq.distinct.sorted
+    val pid = collection.mutable.Map[String, Long](
+      chars.zipWithIndex.map { case (c, i) => c -> i.toLong }: _*)
+    merges.foreach { case (r, l, rr, _) => pid(l + rr) = chars.length + r - 1L }
+    val freq = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for ((w, c) <- wc; p <- seg(w)) freq(p) += c
+    val exp = pid.toSeq.map { case (p, i) => (i, p, freq(p)) }.sortBy(_._1)
+    val got = TextAnalysis.bpeVocab(spark, sf).collect().map(r =>
+      (r.getAs[Long]("pid"), r.getAs[String]("piece"), r.getAs[Long]("freq"))).toSeq
+    assert(got == exp)
+    // every trained piece keeps a row even at zero usage (a later
+    // merge can fully absorb an earlier one's output), and merge
+    // rows genuinely carry corpus mass somewhere
+    assert(got.length == pid.size)
+    assert(got.exists(r => r._1 >= chars.length && r._3 > 0L))
+  }
 }
