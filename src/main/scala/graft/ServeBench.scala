@@ -33,7 +33,11 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(run(spark, sfDir))
+    // ops-per-thread override for big synthesized corpora, where the
+    // corpus-linear regimes at 2000 ops/thread would spend minutes per
+    // pass measuring a constant
+    val ops = sys.env.getOrElse("SPARK_GRAFT_SERVE_OPS", "2000").toInt
+    println(run(spark, sfDir, opsPerThread = ops))
     spark.stop()
   }
 
@@ -140,6 +144,17 @@ object ServeBench {
       router.route(_.hybridRrf(queryVecs(j), queryIds(j),
         textQueries(i % textQueries.length), limit = 10))
     }
+    // the production hybrid: the dense branch answered by the resident
+    // kNN-graph index instead of the corpus-linear brute scan — the
+    // composition the reference's own hybrid runs (hybrid.rs fuses the
+    // vector INDEX). The brute form above stays as the bit-parity
+    // reference; this one's recall floor vs it is spec-pinned.
+    val (haq, hap50, hap99) = measure(nThreads, opsPerThread) { i =>
+      val j = i % queryVecs.length
+      router.route(_.hybridRrfDense(
+        graph.query(queryVecs(j), k = 20, excludeId = queryIds(j)),
+        textQueries(i % textQueries.length), limit = 10))
+    }
     val anchorIds = Tables.documents(spark, dir)
       .select(col("doc_id")).orderBy(col("doc_id")).limit(8).collect()
       .map(_.getLong(0))
@@ -198,6 +213,78 @@ object ServeBench {
     }
     def sec(q: Double, p50: Double, p99: Double) =
       s"""{"qps":${fmt(q)},"p50_ms":${fmt(p50)},"p99_ms":${fmt(p99)}}"""
+
+    // ---- sharded scatter-gather (the 100 TB serving shape) ----
+    // The corpus-linear regimes (common-term BM25/sparse, brute-dense
+    // hybrid) scale out by id-hash sharding with CORPUS-GLOBAL stats:
+    // each of S nodes serves its slice of every query, the gather
+    // re-ranks S×k hits. On one host the honest measurement is
+    // (a) one shard's capacity under the full thread load — in a real
+    // deployment every node runs exactly this, so system QPS ≈ the
+    // per-shard figure — and (b) the gather's own cost over real
+    // per-shard answers. Parity of gathered vs unsharded results is
+    // spec-pinned (PointServeSpec) AND sanity-checked here per config.
+    val shardCounts = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "2,4")
+      .split(",").map(_.trim.toInt).filter(_ >= 2).distinct.sorted.toSeq
+    val shardJson = shardCounts.map { s =>
+      val tB = System.nanoTime()
+      val shs = emb.shards(s)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      val sh0 = shs.head
+      val n = 20 // per-branch depth for limit=10 hybrid
+      // parity: gathered == unsharded, all three regimes, 8 queries
+      val parityOk = (0 until 8).forall { i =>
+        val j = i % queryVecs.length
+        val tq0 = textQueries(i % textQueries.length)
+        val sq0 = sparseQueries(i % sparseQueries.length)
+        val bOk = PointServe.mergeHits(shs.map(_.bm25(tq0, 10)), 10) ==
+          emb.bm25(tq0, 10)
+        val spOk = PointServe.mergeHits(shs.map(_.sparse(sq0, 10)), 10) ==
+          emb.sparse(sq0, 10)
+        val hOk = PointServe.rrfFuse(Seq(
+          PointServe.mergeHits(shs.map(_.semantic(queryVecs(j), n, excludeId = queryIds(j))), n),
+          PointServe.mergeHits(shs.map(_.bm25(tq0, n)), n),
+          PointServe.mergeHits(shs.map(_.textSearch(tq0, n)), n)), 10) ==
+          emb.hybridRrf(queryVecs(j), queryIds(j), tq0, 10)
+        bOk && spOk && hOk
+      }
+      val (sbq, sbp50, sbp99) = measure(nThreads, opsPerThread) { i =>
+        sh0.bm25(textQueries(i % textQueries.length), k = 10)
+      }
+      val (ssq, ssp50, ssp99) = measure(nThreads, opsPerThread) { i =>
+        sh0.sparse(sparseQueries(i % sparseQueries.length), k = 10)
+      }
+      // one shard's full hybrid work for one query: all three branches
+      val (shq, shp50, shp99) = measure(nThreads, opsPerThread) { i =>
+        val j = i % queryVecs.length
+        val tq0 = textQueries(i % textQueries.length)
+        sh0.semantic(queryVecs(j), n, excludeId = queryIds(j))
+        sh0.bm25(tq0, n)
+        sh0.textSearch(tq0, n)
+      }
+      // gather cost over REAL per-shard answers (S lists per branch)
+      val gatherB = textQueries.map(q => shs.map(_.bm25(q, 10)))
+      val gatherH = queryVecs.indices.map { j =>
+        val tq0 = textQueries(j % textQueries.length)
+        (shs.map(_.semantic(queryVecs(j), n, excludeId = queryIds(j))),
+          shs.map(_.bm25(tq0, n)), shs.map(_.textSearch(tq0, n)))
+      }
+      val (gbq, gbp50, gbp99) = measure(nThreads, opsPerThread) { i =>
+        PointServe.mergeHits(gatherB(i % gatherB.length), 10)
+      }
+      val (ghq, ghp50, ghp99) = measure(nThreads, opsPerThread) { i =>
+        val (d, b, t) = gatherH(i % gatherH.length)
+        PointServe.rrfFuse(Seq(PointServe.mergeHits(d, n),
+          PointServe.mergeHits(b, n), PointServe.mergeHits(t, n)), 10)
+      }
+      s""""s$s":{"build_sec":${fmt(buildSec)},"parity":${parityOk},""" +
+        s""""bm25_shard":${sec(sbq, sbp50, sbp99)},""" +
+        s""""sparse_shard":${sec(ssq, ssp50, ssp99)},""" +
+        s""""hybrid_shard":${sec(shq, shp50, shp99)},""" +
+        s""""gather_bm25":${sec(gbq, gbp50, gbp99)},""" +
+        s""""gather_hybrid":${sec(ghq, ghp50, ghp99)}}"""
+    }.mkString(",")
+    val sharded = s"""{"model":"system qps ≈ per-shard qps (each node serves its slice of every query); p99 ≈ shard p99 + gather p99",$shardJson}"""
     // structure-derived resident footprint per server — the figure
     // PointServe's shard-sizing story rests on (judge ask, r8)
     def mb(bytes: Long) = fmt(bytes / 1048576.0)
@@ -211,6 +298,7 @@ object ServeBench {
       s""""resident_mb":$resident,""" +
       s""""bm25":${sec(bq, bp50, bp99)},"bm25_rare":${sec(rq, rp50, rp99)},""" +
       s""""sparse":${sec(sq, sp50, sp99)},"hybrid_rrf":${sec(hq, hp50, hp99)},""" +
+      s""""hybrid_rrf_ann":${sec(haq, hap50, hap99)},"sharded":$sharded,""" +
       s""""more_like":${sec(mq, mp50, mp99)},"dense_graph":${sec(gq, gp50, gp99)},""" +
       s""""lsh":${sec(lq, lp50, lp99)},"ivf":${sec(iq, ip50, ip99)},""" +
       s""""pq":${sec(pqq, pqp50, pqp99)},"ivfpq":${sec(ipqq, ipqp50, ipqp99)},""" +

@@ -1077,11 +1077,17 @@ object Curation {
     * by construction. Output: per candidate training vector, the
     * candidate count, the max fixed-point cosine, and the flag.
     *
-    * Scale shape: the eval side is a bounded benchmark suite, so its
-    * banded relation BROADCASTS — the training corpus is scanned once
-    * and never shuffled by the join; only (vec_id, cos) hit pairs
-    * (≤ train × per-bucket eval density) reach the final keyed
-    * aggregate. No self-join, no pair space over the corpus.
+    * Scale shape: the eval side is usually a bounded benchmark suite,
+    * but HERE it is a corpus fraction (vec_id % EvalMod), so "bounded"
+    * is an assumption, not a property — one gating aggregate MEASURES
+    * the banded eval relation (rows and summed embedding elements)
+    * and only broadcasts under ~64 MB; past the bar the join falls
+    * back to a bucket-keyed shuffle_hash (both sides exchange once on
+    * `bucket` — still no self-join and no pair space over the
+    * corpus). Same gated-broadcast discipline as
+    * [[graft.operators.Dedup.minhashIncrementalFromIndex]]'s verify
+    * strategy; CurationSpec pins both paths row-identical with the
+    * plan shape asserted on each side of the bar.
     */
   def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame =
     decontaminateSemanticFromVecs(
@@ -1092,13 +1098,29 @@ object Curation {
     * — split out so specs can drive planted-contamination corpora
     * through the exact production path.
     */
-  private[graft] def decontaminateSemanticFromVecs(vecs: DataFrame): DataFrame = {
+  private[graft] def decontaminateSemanticFromVecs(
+      vecs: DataFrame,
+      maxRows: Long = SemEvalBroadcastMaxRows,
+      maxElems: Long = SemEvalBroadcastMaxElems): DataFrame = {
     val planes = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes)
     val banded = vecs.withColumn("bucket", VectorSearch.lshBucket(col("emb"), planes))
     val eval = banded.filter(col("vec_id") % EvalMod === 0)
       .select(col("bucket"), col("emb").as("eemb"))
+      // two consumers (the gate and the join): without the cache the
+      // eval scan runs twice, and the gate's whole point is to stay
+      // cheaper than the work it gates
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // measured gate: broadcast only when the ACTUAL eval payload fits
+    // (row count alone does not bound bytes — embedding width does)
+    val (nEval, evElems) = {
+      val r = eval.agg(count(lit(1)), sum(size(col("eemb")))).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     val train = banded.filter(col("vec_id") % EvalMod =!= 0)
-    train.join(broadcast(eval), Seq("bucket"))
+    val evalSide =
+      if (nEval <= maxRows && evElems <= maxElems) broadcast(eval)
+      else eval.hint("shuffle_hash")
+    train.join(evalSide, Seq("bucket"))
       .select(col("vec_id"),
         fx(graft.functions.VectorFunctions.cosineSimilarity(col("emb"), col("eemb")), 6)
           .as("cos"))
@@ -1108,6 +1130,18 @@ object Curation {
         (col("max_cos") >= SemContamCosFx).cast("long").as("contaminated"))
       .orderBy(col("vec_id"))
   }
+
+  /** Broadcast gates for [[decontaminateSemanticFromVecs]]'s eval
+    * side: at or below this many banded eval rows AND this many summed
+    * embedding elements (≈64 MB of doubles) the eval relation
+    * broadcasts and the training corpus is never exchanged; above
+    * either bound the eval split is corpus-sized and both sides take
+    * one bucket-keyed exchange instead. Both figures are MEASURED by
+    * the gating aggregate, so the broadcast is size-bounded by
+    * construction — never by the "benchmarks are small" assumption.
+    */
+  val SemEvalBroadcastMaxRows = 500000L
+  val SemEvalBroadcastMaxElems = 8000000L
 
   val decontaminateSemanticSql: String = {
     val planes = VectorSearch.lshPlanes(64, VectorSearch.LshPlanes)

@@ -741,10 +741,14 @@ object TextAnalysis {
   // ---- BPE merge induction (tokenizer training) ----
 
   /** Merge rounds learned by [[bpeTrain]] / applied by
-    * [[bpeTokenCount]]. Small by test-economy only — the plan shape
-    * is rank-count-independent (each round is one bounded-table
-    * aggregate + one narrow map), so a production run raises it
-    * freely.
+    * [[bpeTokenCount]]. Small by test-economy only in the per-round
+    * COST sense (each round is one bounded-table aggregate + one
+    * narrow map, corpus-size-independent) — but the serial loop pays
+    * one driver argmax barrier PER ROUND (~0.1-0.2s scheduling floor),
+    * so a production 32k-merge vocabulary must not just raise this
+    * knob: it uses [[bpeLearnBatched]], which selects up to M
+    * disjoint merges per census and divides the barrier count by M
+    * (measured rounds-vs-wall curve in SURVEY §5).
     */
   val BpeMerges = 8
 
@@ -796,7 +800,128 @@ object TextAnalysis {
     */
   private def bpeLearn(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, _, segd) = bpeTrained(spark, dir)
+    (merges, segd)
+  }
+
+  /** One trained model per corpus per JVM: the whole bpe_* family
+    * (train / token_count / encode / vocab) AND the serving tier's
+    * loadBpe consume the identical artifact, so a verify+bench session
+    * that runs all five no longer repeats the training loop five
+    * times or strands five cached copies of the word table. Keyed by
+    * the documents table's physical file listing (path, length,
+    * mtime), so an overwritten corpus retrains — a temp-dir reuse
+    * can't serve a stale model.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Int, String, String, Long)], Map[String, Long], DataFrame)]()
+
+  private def corpusFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var h = 1125899906842597L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      h = h * 31 + f.getPath.toString.hashCode
+      h = h * 31 + f.getLen
+      h = h * 31 + f.getModificationTime
+    }
+    s"$dir#$h"
+  }
+
+  private def bpeTrained(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], Map[String, Long], DataFrame) =
+    bpeCache.computeIfAbsent(corpusFingerprint(spark, dir), _ => {
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+      val words = Tables.spread(spark,
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+        .select(explode(column(graft.functions.expressions.TermCounts(
+          expression(col("text"))))).as("e"))
+        .select(col("e.term").as("w"), col("e.tf").as("tf"))
+        .groupBy(col("w")).agg(sum(col("tf")).as("freq"))
+        .select(col("w"), col("freq"), segInit(col("w")).as("seg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var cur = words
+      var rank = 1
+      var exhausted = false
+      while (rank <= BpeMerges && !exhausted) {
+        val best = cur
+          .select(col("freq"), explode(segPairs(segSymbols(col("seg")))).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val pair = best(0).getString(0)
+          val cnt = best(0).getLong(1)
+          val Array(lhs, rhs) = pair.split(" ", 2)
+          merges += ((rank, lhs, rhs, cnt))
+          cur = cur.withColumn("seg",
+            replace(col("seg"), lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+          rank += 1
+        }
+      }
+      // the shared artifact is the FINAL segmentation: persist it,
+      // materialize, then release the raw word table — keeping both
+      // cached doubled the resident footprint for a relation no
+      // consumer reads again (every downstream join/aggregate starts
+      // from segd)
+      val segd = cur.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      segd.count()
+      words.unpersist()
+      val mergesList = merges.result()
+      val chars = segd.select(explode(split(col("w"), "")).as("piece")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val ids = chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
+        mergesList.map { case (r, l, rr, _) => (l + rr, chars.length + r - 1L) }
+      val pid = ids.groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }
+      (mergesList, pid, segd)
+    })
+
+  /** The learned BPE merge table: one row per merge round —
+    * (merge_rank, lhs, rhs, pair_count at selection time), ties on
+    * count broken by pair string ascending in both engines (binary
+    * UTF8 comparison on [a-z0-9 ] — identical order). This is the
+    * artifact a tokenizer trainer ships.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLearn(spark, dir)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("merge_rank"))
+  }
+
+  /** Candidate over-fetch factor for one batched round: the argmax
+    * collect takes the top `4·M` pairs so the greedy disjoint filter
+    * usually finds M independent merges; when it doesn't, the round
+    * just merges fewer (progress ≥ 1 — the top pair always qualifies)
+    * and the next round re-censuses.
+    */
+  val BpeBatchOverFetch = 4
+
+  /** Batched BPE merge selection — the standard trainer approximation
+    * that removes the serial per-round argmax barrier: one pair
+    * census per ROUND selects up to `batchM` merges whose symbols are
+    * pairwise DISJOINT (no symbol of one selected pair appears in
+    * another), so merging any of them cannot create, destroy or
+    * consume an adjacency another counts — each selected pair's census
+    * count is exactly what a serial re-census would have shown, and at
+    * `batchM = 1` the loop IS [[bpeTrain]]'s serial selection
+    * (spec-pinned rank-for-rank). A production 32k-merge vocabulary
+    * thus costs ~32k/M bounded Spark jobs instead of 32k: the driver
+    * barrier shrinks M-fold while every aggregate keeps the word-table
+    * scale shape (one Zipf-bounded census + one narrow rewrite per
+    * round). Ranks are assigned in census order (count DESC, pair ASC)
+    * within each round — the order a serial trainer would emit them
+    * when their counts don't interact.
+    */
+  private[graft] def bpeLearnBatched(spark: SparkSession, dir: String,
+                                     totalMerges: Int, batchM: Int)
+      : Seq[(Int, String, String, Long)] = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    require(batchM >= 1, "batchM must be >= 1")
     val words = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(explode(column(graft.functions.expressions.TermCounts(
@@ -809,36 +934,59 @@ object TextAnalysis {
     var cur = words
     var rank = 1
     var exhausted = false
-    while (rank <= BpeMerges && !exhausted) {
-      val best = cur
+    var sinceCheckpoint = 0
+    while (rank <= totalMerges && !exhausted) {
+      val m = math.min(batchM, totalMerges - rank + 1)
+      val top = cur
         .select(col("freq"), explode(segPairs(segSymbols(col("seg")))).as("pair"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(m * BpeBatchOverFetch).collect()
+      if (top.isEmpty) exhausted = true
       else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val Array(lhs, rhs) = pair.split(" ", 2)
-        merges += ((rank, lhs, rhs, cnt))
-        cur = cur.withColumn("seg",
-          replace(col("seg"), lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
-        rank += 1
+        val used = scala.collection.mutable.Set.empty[String]
+        var picked = 0
+        var i = 0
+        while (i < top.length && picked < m) {
+          val pair = top(i).getString(0)
+          val Array(lhs, rhs) = pair.split(" ", 2)
+          if (!used(lhs) && !used(rhs)) {
+            // reserve the merged surface too: a later same-round pick
+            // naming it (e.g. (ab, c) after (a, b)) would carry a
+            // count the earlier merge just changed
+            used += lhs; used += rhs; used += lhs + rhs
+            merges += ((rank, lhs, rhs, top(i).getLong(1)))
+            cur = cur.withColumn("seg",
+              replace(col("seg"), lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+            rank += 1
+            picked += 1
+          }
+          i += 1
+        }
+        // bound the lineage: hundreds of stacked replace projections
+        // make analysis itself the bottleneck, so every ~64 merges the
+        // segmentation re-materializes (localCheckpoint truncates the
+        // plan; the relation stays word-table-sized)
+        sinceCheckpoint += picked
+        if (sinceCheckpoint >= 64) {
+          cur = cur.localCheckpoint(true)
+          sinceCheckpoint = 0
+        }
       }
     }
-    (merges.result(), cur)
+    words.unpersist()
+    merges.result()
   }
 
-  /** The learned BPE merge table: one row per merge round —
-    * (merge_rank, lhs, rhs, pair_count at selection time), ties on
-    * count broken by pair string ascending in both engines (binary
-    * UTF8 comparison on [a-z0-9 ] — identical order). This is the
-    * artifact a tokenizer trainer ships.
+  /** [[bpeTrain]]'s merge-table shape from the batched trainer —
+    * (merge_rank, lhs, rhs, pair_count at the selecting census).
     */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val (merges, _) = bpeLearn(spark, dir)
+  def bpeTrainBatched(spark: SparkSession, dir: String,
+                      totalMerges: Int = BpeMerges,
+                      batchM: Int = 1): DataFrame = {
     import spark.implicits._
-    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    bpeLearnBatched(spark, dir, totalMerges, batchM)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy(col("merge_rank"))
   }
 
@@ -973,15 +1121,8 @@ object TextAnalysis {
     * the training loop; shared by [[bpeEncode]] and the serving tier.
     */
   private[graft] def bpeModel(spark: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], Map[String, Long], DataFrame) = {
-    val (merges, segd) = bpeLearn(spark, dir)
-    val chars = segd.select(explode(split(col("w"), "")).as("piece")).distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    val ids = chars.zipWithIndex.map { case (c, i) => (c, i.toLong) } ++
-      merges.map { case (r, l, rr, _) => (l + rr, chars.length + r - 1L) }
-    val pid = ids.groupBy(_._1).map { case (p, vs) => (p, vs.map(_._2).max) }
-    (merges, pid, segd)
-  }
+      : (Seq[(Int, String, String, Long)], Map[String, Long], DataFrame) =
+    bpeTrained(spark, dir)
 
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}

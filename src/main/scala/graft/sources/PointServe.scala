@@ -252,6 +252,26 @@ object PointServe {
     * shape: the layout's partition column is the shard key, each
     * serving node loads its directories, a router merges top-ks.
     */
+  /** RRF fusion over ranked branch hit lists — 1/(RrfK + rank) summed
+    * per doc in branch order, fx6, (score DESC, id ASC) top-`limit`.
+    * Shared by the embedded server's hybrid forms and the sharded
+    * scatter-gather path: branches merged across shards with
+    * [[mergeHits]] carry the global branch ranks, so fusing them here
+    * is bit-identical to the unsharded [[Embedded.hybridRrf]]
+    * (spec-pinned).
+    */
+  def rrfFuse(branches: Seq[Seq[Hit]], limit: Int): Seq[Hit] = {
+    val acc = new java.util.LinkedHashMap[Long, Double]()
+    branches.foreach(_.foreach { h =>
+      val c = acc.getOrDefault(h.vecId, 0.0)
+      acc.put(h.vecId, c + 1.0 / (graft.operators.HybridSearch.RrfK + h.rank))
+    })
+    val cands = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      acc.entrySet().iterator()).asScala
+      .map(e => (e.getKey.longValue(), fx6(e.getValue)))
+    topK(cands, limit)
+  }
+
   def mergeHits(shardHits: Seq[Seq[Hit]], k: Int,
                 ascending: Boolean = false): Seq[Hit] =
     topK(shardHits.iterator.flatten.map(h => (h.vecId, h.score)), k, ascending)
@@ -622,12 +642,20 @@ object PointServe {
       tfs: Array[java.util.HashMap[String, Int]],
       inverted: java.util.HashMap[String, Array[Int]], // term -> doc positions
       invertedTf: java.util.HashMap[String, Array[Int]], // tf aligned to inverted
-      denseIds: Array[Long], denseVecs: Array[Array[Double]]) {
+      denseIds: Array[Long], denseVecs: Array[Array[Double]],
+      // CORPUS-global (nDocs, avgdl, per-term df) for a shard view:
+      // BM25's idf/avgdl are corpus statistics, and a shard that
+      // recomputed them shard-locally would score differently than the
+      // unsharded server — distributed search engines broadcast global
+      // stats for exactly this reason (the stats are vocabulary-sized,
+      // not corpus-sized). None on the unsharded server.
+      globalStats: Option[(Int, Double, java.util.HashMap[String, Int])] = None) {
 
     import graft.operators.Bm25.{B, K1, tokenizeQuery}
 
     private val nDocs = docIds.length
-    private val avgdl = dls.sum.toDouble / nDocs
+    private val statN = globalStats.fold(nDocs)(_._1)
+    private val avgdl = globalStats.fold(dls.sum.toDouble / nDocs)(_._2)
 
     // query-independent sparse state, paid ONCE at load: per-(doc,
     // term) TermFreqs fixed-point weights and per-doc squared norms.
@@ -672,8 +700,11 @@ object PointServe {
       val out = new java.util.HashMap[String, Array[Double]]()
       inverted.forEach { (t, posting) =>
         val ptf = invertedTf.get(t)
-        val df = posting.length.toDouble
-        val idf = math.log((nDocs - df + 0.5) / (df + 0.5))
+        // global df under sharding: the shard-local posting is shorter,
+        // but idf must be the corpus figure for bit-parity with the
+        // unsharded server (same doubles in, same doubles out)
+        val df = globalStats.fold(posting.length.toDouble)(_._3.get(t).toDouble)
+        val idf = math.log((statN - df + 0.5) / (df + 0.5))
         val arr = new Array[Double](posting.length)
         var p = 0
         while (p < posting.length) {
@@ -963,23 +994,64 @@ object PointServe {
     /** RRF hybrid fusion — [[graft.operators.HybridSearch.rrf]]:
       * each branch's top-2*limit contributes 1/(60 + rank); per-doc
       * accumulation runs in dense → sparse → text branch order, the
-      * same sequence the batch union feeds its aggregate.
+      * same sequence the batch union feeds its aggregate. The dense
+      * branch is the brute scan — the bit-parity reference form
+      * ([[hybridRrfDense]] swaps in an ANN-served dense branch).
       */
     def hybridRrf(qv: Array[Double], qid: Long, query: String,
                   limit: Int = 20): Seq[Hit] = {
       val n = limit * 2
-      val acc = new java.util.LinkedHashMap[Long, Double]()
-      def add(hits: Seq[Hit]): Unit = hits.foreach { h =>
-        val c = acc.getOrDefault(h.vecId, 0.0)
-        acc.put(h.vecId, c + 1.0 / (graft.operators.HybridSearch.RrfK + h.rank))
+      hybridRrfDense(semantic(qv, n, excludeId = qid), query, limit)
+    }
+
+    /** [[hybridRrf]] with the dense branch supplied by the caller —
+      * the reference's own hybrid composes its vector INDEX for the
+      * dense side (hybrid.rs fusion over the HNSW searcher), not a
+      * corpus-linear brute scan: pass the resident [[Graph]] (or any
+      * Hit-contract index) top-2·limit and the fusion, sparse and text
+      * branches are unchanged. With the graph branch at its recall
+      * floor the fused top-k is recall-bounded the same way
+      * (PointServeSpec pins the overlap floor vs the brute form).
+      */
+    def hybridRrfDense(denseHits: Seq[Hit], query: String,
+                       limit: Int = 20): Seq[Hit] = {
+      val n = limit * 2
+      rrfFuse(Seq(denseHits, bm25(query, n), textSearch(query, n)), limit)
+    }
+
+    /** Split the resident corpus into `n` id-hash shards that score
+      * with CORPUS-global BM25/sparse statistics: shard s holds the
+      * docs (and dense vectors) with id % n == s, while idf, avgdl and
+      * corpus size stay the full-corpus figures — so every per-(term,
+      * doc) contribution is the exact double the unsharded server
+      * computes, and [[mergeHits]] over per-shard answers re-ranks to
+      * the IDENTICAL top-k (spec-pinned). This is the scatter-gather
+      * serving shape for corpora past one replica's RAM: per-shard
+      * query cost is corpus/n-linear, the gather is k·n-sized.
+      */
+    def shards(n: Int): IndexedSeq[Embedded] = {
+      val df = new java.util.HashMap[String, Int]()
+      inverted.forEach((t, posting) => df.put(t, posting.length))
+      val stats = Some((statN, avgdl, df))
+      (0 until n).map { s =>
+        val keep = (0 until nDocs).filter(i => docIds(i) % n == s).toArray
+        val sInv = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        val sInvTf = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+        keep.indices.foreach { j =>
+          tfs(keep(j)).forEach { (t, tf) =>
+            sInv.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += j
+            sInvTf.computeIfAbsent(t, _ => scala.collection.mutable.ArrayBuffer.empty) += tf
+          }
+        }
+        val sInverted = new java.util.HashMap[String, Array[Int]]()
+        sInv.forEach((t, b) => sInverted.put(t, b.toArray))
+        val sInvertedTf = new java.util.HashMap[String, Array[Int]]()
+        sInvTf.forEach((t, b) => sInvertedTf.put(t, b.toArray))
+        val dKeep = denseIds.indices.filter(i => denseIds(i) % n == s).toArray
+        new Embedded(keep.map(docIds), keep.map(lowerTexts), keep.map(dls),
+          keep.map(tfs), sInverted, sInvertedTf,
+          dKeep.map(denseIds), dKeep.map(denseVecs), stats)
       }
-      add(semantic(qv, n, excludeId = qid))
-      add(bm25(query, n))
-      add(textSearch(query, n))
-      val cands = scala.jdk.CollectionConverters.IteratorHasAsScala(
-        acc.entrySet().iterator()).asScala
-        .map(e => (e.getKey.longValue(), fx6(e.getValue)))
-      topK(cands, limit)
     }
 
     /** Exact-phrase point query — [[graft.operators.Bm25.phraseSearch]]
@@ -1633,9 +1705,19 @@ object PointServe {
     * compression rides. Merges are a trained artifact — a served
     * document never mutates them, so there is nothing to refresh.
     */
-  final class Bpe private[PointServe] (
+  /** Default [[Bpe]] memo insert bound: the Zipf argument bounds the
+    * HOT vocabulary, not the total one (Heaps' law keeps minting rare
+    * words), so an unbounded memo leaks under a growing or adversarial
+    * stream. Past the cap, new words are computed but not cached —
+    * entries are pure recomputable values, so correctness is untouched
+    * and the resident bound is hard.
+    */
+  val BpeMemoMaxWords = 1 << 20
+
+  final class Bpe private[graft] (
       private val merges: Array[(String, String)],
-      private val pid: java.util.HashMap[String, Long]) {
+      private val pid: java.util.HashMap[String, Long],
+      memoMax: Int = BpeMemoMaxWords) {
     import graft.functions.expressions.Tok
 
     private val memo = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
@@ -1674,7 +1756,7 @@ object PointServe {
           ids(k) = if (got == null) -1L else got.longValue()
           k += 1
         }
-        memo.put(word, ids)
+        if (memo.size() < memoMax) memo.put(word, ids)
         ids
       }
     }

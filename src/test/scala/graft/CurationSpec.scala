@@ -599,4 +599,23 @@ class CurationSpec extends GraftSuite {
     assert(got.get(2L).contains(1L), s"near-copy must flag: $got")
     assert(!got.get(3L).contains(1L), s"orthogonal bystander must not flag: $got")
   }
+
+  test("decontaminate_semantic eval gate: past the measured bar the join shuffles instead of broadcasting, rows identical") {
+    val vecs = Tables.embeddings(spark, sf).select(col("vec_id"),
+      graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+    val bc = Curation.decontaminateSemanticFromVecs(vecs)
+    // force the at-scale path: a zero row bar means ANY eval split is
+    // "too big to broadcast"
+    val sh = Curation.decontaminateSemanticFromVecs(vecs, maxRows = 0L)
+    assert(sh.collect().toSeq == bc.collect().toSeq,
+      "gated paths must be row-identical")
+    val bcExec = bc.queryExecution.executedPlan.toString
+    assert(bcExec.contains("BroadcastHashJoin"),
+      s"under the bar the eval side must broadcast:\n$bcExec")
+    val shExec = sh.queryExecution.executedPlan.toString
+    assert(shExec.contains("ShuffledHashJoin"),
+      s"past the bar the join must be the keyed exchange:\n$shExec")
+    assert(!shExec.contains("BroadcastHashJoin"),
+      s"past the bar nothing may broadcast:\n$shExec")
+  }
 }

@@ -485,4 +485,74 @@ class PointServeSpec extends GraftSuite {
     // qualifying char is in the trained alphabet
     assert(docs.forall(r => counter.encode(r.getString(1)).forall(_ >= 0L)))
   }
+
+  test("embedded shards with corpus-global stats scatter-gather to the exact unsharded result") {
+    val emb = PointServe.loadEmbedded(spark, sf)
+    val queries = Seq(operators.Bm25.DefaultQuery, "spark join",
+      "vector index search", "window")
+    Seq(2, 3).foreach { s =>
+      val shs = emb.shards(s)
+      queries.foreach { q =>
+        assert(PointServe.mergeHits(shs.map(_.bm25(q, 10)), 10) ==
+          emb.bm25(q, 10), s"bm25 s=$s q='$q'")
+        assert(PointServe.mergeHits(shs.map(_.textSearch(q, 10)), 10) ==
+          emb.textSearch(q, 10), s"text s=$s q='$q'")
+      }
+      assert(PointServe.mergeHits(
+        shs.map(_.sparse(operators.Bm25.SparseQuery, 10)), 10) ==
+        emb.sparse(operators.Bm25.SparseQuery, 10), s"sparse s=$s")
+      val n = 20
+      (0L until 4L).foreach { qid =>
+        assert(PointServe.mergeHits(
+          shs.map(_.semantic(queryVecs(qid), n, excludeId = qid)), n) ==
+          emb.semantic(queryVecs(qid), n, excludeId = qid), s"dense s=$s q=$qid")
+        // sharded hybrid: merge each branch to its GLOBAL ranks, then
+        // fuse — branch merges are exact, so the fusion reads the
+        // identical rank lists the unsharded server feeds it
+        val q = operators.Bm25.DefaultQuery
+        val fused = PointServe.rrfFuse(Seq(
+          PointServe.mergeHits(shs.map(_.semantic(queryVecs(qid), n, excludeId = qid)), n),
+          PointServe.mergeHits(shs.map(_.bm25(q, n)), n),
+          PointServe.mergeHits(shs.map(_.textSearch(q, n)), n)), 10)
+        assert(fused == emb.hybridRrf(queryVecs(qid), qid, q, 10),
+          s"hybrid s=$s q=$qid")
+      }
+    }
+  }
+
+  test("ANN-backed hybrid dense branch holds the overlap floor vs the brute-parity hybrid") {
+    val emb = PointServe.loadEmbedded(spark, sf)
+    val g = PointServe.loadGraph(spark, sf)
+    val q = operators.Bm25.DefaultQuery
+    val overlaps = (0L until 8L).map { qid =>
+      val brute = emb.hybridRrf(queryVecs(qid), qid, q, 10).map(_.vecId).toSet
+      val ann = emb.hybridRrfDense(
+        g.query(queryVecs(qid), k = 20, excludeId = qid), q, 10)
+        .map(_.vecId).toSet
+      assert(ann.size == brute.size, s"q=$qid sizes")
+      brute.intersect(ann).size.toDouble / brute.size
+    }
+    val mean = overlaps.sum / overlaps.length
+    assert(mean >= 0.8, s"mean fused overlap@10 $mean, per-query $overlaps")
+  }
+
+  test("bpe memo cap bounds resident growth without changing results") {
+    val (merges, pid, _) = operators.TextAnalysis.bpeModel(spark, sf)
+    val pm = new java.util.HashMap[String, Long]()
+    pid.foreach { case (p, i) => pm.put(p, i) }
+    val mergesArr = merges.map { case (_, l, r, _) => (l, r) }.toArray
+    val capped = new PointServe.Bpe(mergesArr, pm, memoMax = 4)
+    val free = new PointServe.Bpe(mergesArr, pm)
+    val words = (0 until 64).map(i => s"novelword${i}xyz")
+    words.foreach(w => assert(capped.count(w) == free.count(w), w))
+    val after = capped.residentBytes
+    (64 until 256).foreach(i => capped.count(s"novelword${i}xyz"))
+    assert(capped.residentBytes == after,
+      "capped memo must stop growing past the bound")
+    assert(free.residentBytes > after,
+      "uncapped twin keeps absorbing the novel vocabulary")
+    // capped entries still serve: results stay correct with and
+    // without a memo hit
+    words.foreach(w => assert(capped.count(w) == free.count(w), w))
+  }
 }

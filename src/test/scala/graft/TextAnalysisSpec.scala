@@ -552,4 +552,35 @@ class TextAnalysisSpec extends GraftSuite {
     assert(got.length == pid.size)
     assert(got.exists(r => r._1 >= chars.length && r._3 > 0L))
   }
+
+  test("batched BPE merge selection at M=1 replays the serial trainer rank-for-rank") {
+    val serial = TextAnalysis.bpeTrain(spark, sf).collect().toSeq
+    val batched = TextAnalysis
+      .bpeTrainBatched(spark, sf, TextAnalysis.BpeMerges, 1).collect().toSeq
+    assert(batched == serial)
+  }
+
+  test("batched BPE at M>1 learns a valid derivation with the barrier count divided") {
+    val m = TextAnalysis.bpeLearnBatched(spark, sf, 8, 4)
+    // full rank sequence, no duplicate rules
+    assert(m.map(_._1) == (1 to m.length), s"ranks: ${m.map(_._1)}")
+    assert(m.length == 8, s"corpus supports 8 serial merges, batched must too")
+    assert(m.map(x => (x._2, x._3)).distinct.length == m.length)
+    // derivation validity: every referenced symbol is a base char or
+    // the surface of an EARLIER merge — the invariant that makes the
+    // merge list applicable greedy rank-order (the serving tier's
+    // wordIds loop) without ever naming an unbuildable symbol
+    val surfaces = scala.collection.mutable.Set.empty[String]
+    m.foreach { case (rank, l, r, cnt) =>
+      assert(cnt > 0, s"rank $rank count")
+      assert(l.length == 1 || surfaces.contains(l), s"rank $rank lhs '$l' underived")
+      assert(r.length == 1 || surfaces.contains(r), s"rank $rank rhs '$r' underived")
+      surfaces += (l + r)
+    }
+    // the approximation stays anchored: the serial trainer's FIRST
+    // pick is always the batched round-1 top pick
+    val serial = TextAnalysis.bpeTrain(spark, sf).collect()
+    assert((m.head._2, m.head._3) ==
+      (serial.head.getAs[String]("lhs"), serial.head.getAs[String]("rhs")))
+  }
 }
