@@ -484,6 +484,15 @@ final class GraftDB(val spark: SparkSession, val dir: String,
     */
   def bpeTrain(): DataFrame = TextAnalysis.bpeTrain(spark, dir)
 
+  /** Batched-selection trainer for production merge counts: up to
+    * `batchM` symbol-disjoint merges per census round (exact serial
+    * replay at batchM = 1), dividing the per-round driver barrier a
+    * 32k-merge vocabulary cannot afford serially.
+    */
+  def bpeTrainBatched(totalMerges: Int = TextAnalysis.BpeMerges,
+                      batchM: Int = 1): DataFrame =
+    TextAnalysis.bpeTrainBatched(spark, dir, totalMerges, batchM)
+
   /** Per-document token counts under the learned BPE merges — the
     * training-budget figure under the REAL tokenizer.
     */

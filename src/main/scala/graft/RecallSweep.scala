@@ -92,13 +92,28 @@ object RecallSweep {
           .map(_.vecId).toSet
         recallOf(got, bruteL2(emb, qid, 10))
       })
+      // served ANN-backed hybrid (r10): fused-overlap@10 of the
+      // graph-dense-branch hybrid vs the brute-parity hybrid, at the
+      // SAME untouched ef the QPS record quotes — the recall contract
+      // measured at the SF where the speed claim is made, not just at
+      // the spec's unit scale
+      val served = graft.sources.PointServe.loadEmbedded(spark, sfDir)
+      val hq = operators.Bm25.DefaultQuery
+      val hybridAnn = mean(qids.map { qid =>
+        val brute = served.hybridRrf(qvs(qid), qid, hq, 10).map(_.vecId).toSet
+        val ann = served.hybridRrfDense(
+          graphIdx.query(qvs(qid), k = 20, excludeId = qid), hq, 10)
+          .map(_.vecId).toSet
+        recallOf(ann, brute)
+      })
       val ck = VectorSearch.pqCoarseKFor(n)
       val msk = VectorSearch.msCoarseKFor(n)
       def f(x: Double) = String.format(java.util.Locale.ROOT, "%.3f",
         java.lang.Double.valueOf(x))
       println(s"""{"sf":"$sfDir","n":$n,"queries":$nQueries,""" +
         s""""coarse_k":$ck,"ms_coarse_k":$msk,"pq":${f(pq)},""" +
-        s""""ivfpq":${f(ivfpq)},"ivf":${f(ivf)},"ms":${f(ms)},"graph":${f(graph)}}""")
+        s""""ivfpq":${f(ivfpq)},"ivf":${f(ivf)},"ms":${f(ms)},"graph":${f(graph)},""" +
+        s""""hybrid_ann_overlap":${f(hybridAnn)}}""")
     } finally spark.stop()
   }
 }

@@ -284,7 +284,7 @@ object ServeBench {
         s""""gather_bm25":${sec(gbq, gbp50, gbp99)},""" +
         s""""gather_hybrid":${sec(ghq, ghp50, ghp99)}}"""
     }.mkString(",")
-    val sharded = s"""{"model":"system qps ≈ per-shard qps (each node serves its slice of every query); p99 ≈ shard p99 + gather p99",$shardJson}"""
+    val sharded = s"""{"model":"system qps ~ per-shard qps (each node serves its slice of every query); p99 ~ shard p99 + gather p99",$shardJson}"""
     // structure-derived resident footprint per server — the figure
     // PointServe's shard-sizing story rests on (judge ask, r8)
     def mb(bytes: Long) = fmt(bytes / 1048576.0)

@@ -1925,9 +1925,13 @@ object Dedup {
         .mkString("concat_ws(',', ", ", ", ")")
       s"struct_pack(band := $b, band_key := ${hash60Sql(keyParts)})"
     }.mkString("[", ",\n    ", "]")
+    // rename in the FINAL select, not the pairs CTE: aliasing the CTE
+    // columns strands the outer `SELECT id1, id2 ... FROM pairs`
+    // (binder error — caught the first time this twin actually ran,
+    // r10 sf10)
     val tail = canonicalVerifySql((threshold * 1e4).toLong)
-      .replace("SELECT c.id1, c.id2, j.jaccard",
-        "SELECT c.id1 AS id_new, c.id2 AS id_old, j.jaccard")
+      .replace("SELECT id1, id2, jaccard FROM pairs",
+        "SELECT id1 AS id_new, id2 AS id_old, jaccard FROM pairs")
       .replace("ORDER BY id1, id2", "ORDER BY id_new, id_old")
     s"""WITH $canonicalCtes,
        |sigsr AS (

@@ -919,7 +919,17 @@ object TextAnalysis {
     */
   private[graft] def bpeLearnBatched(spark: SparkSession, dir: String,
                                      totalMerges: Int, batchM: Int)
-      : Seq[(Int, String, String, Long)] = {
+      : Seq[(Int, String, String, Long)] =
+    bpeLearnBatchedCounted(spark, dir, totalMerges, batchM)._1
+
+  /** [[bpeLearnBatched]] plus the number of census rounds actually
+    * paid — the driver-barrier count the batching exists to divide
+    * (the [[graft.BpeScale]] evidence main reports it against wall
+    * time).
+    */
+  private[graft] def bpeLearnBatchedCounted(spark: SparkSession, dir: String,
+                                            totalMerges: Int, batchM: Int)
+      : (Seq[(Int, String, String, Long)], Int) = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     require(batchM >= 1, "batchM must be >= 1")
     val words = Tables.spread(spark,
@@ -935,7 +945,9 @@ object TextAnalysis {
     var rank = 1
     var exhausted = false
     var sinceCheckpoint = 0
+    var rounds = 0
     while (rank <= totalMerges && !exhausted) {
+      rounds += 1
       val m = math.min(batchM, totalMerges - rank + 1)
       val top = cur
         .select(col("freq"), explode(segPairs(segSymbols(col("seg")))).as("pair"))
@@ -975,7 +987,29 @@ object TextAnalysis {
       }
     }
     words.unpersist()
-    merges.result()
+    (merges.result(), rounds)
+  }
+
+  /** Corpus token mass under a merge list: Σ over the word table of
+    * freq × |segmentation| — the figure that grades a trained
+    * vocabulary (compression), which is what the batched trainer's
+    * disjoint-pick approximation must preserve even where its RULE
+    * list drifts from serial ([[graft.BpeScale]] reports both).
+    */
+  private[graft] def bpeTokenMass(spark: SparkSession, dir: String,
+                                  merges: Seq[(Int, String, String, Long)]): Long = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val words = Tables.spread(spark,
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(explode(column(graft.functions.expressions.TermCounts(
+        expression(col("text"))))).as("e"))
+      .select(col("e.term").as("w"), col("e.tf").as("tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("freq"))
+    val seg = merges.foldLeft(segInit(col("w"))) { case (c, (_, l, r, _)) =>
+      replace(c, lit(s" $l  $r "), lit(s" $l$r "))
+    }
+    words.select((col("freq") * size(split(trim(seg), "  "))).as("m"))
+      .agg(sum(col("m"))).head.getLong(0)
   }
 
   /** [[bpeTrain]]'s merge-table shape from the batched trainer —
