@@ -262,6 +262,19 @@ object ServeBench {
         sh0.bm25(tq0, n)
         sh0.textSearch(tq0, n)
       }
+      // the at-scale hybrid composition: ANN dense branch + THIS
+      // shard's text branches (one serving node's work per query).
+      // The graph here is the FULL-corpus index — conservative: a
+      // real deployment shards the graph too (mergeHits composes
+      // graph shards, spec-proven), so per-node dense cost only falls
+      // from this figure
+      val (ahq, ahp50, ahp99) = measure(nThreads, opsPerThread) { i =>
+        val j = i % queryVecs.length
+        val tq0 = textQueries(i % textQueries.length)
+        graph.query(queryVecs(j), k = n, excludeId = queryIds(j))
+        sh0.bm25(tq0, n)
+        sh0.textSearch(tq0, n)
+      }
       // gather cost over REAL per-shard answers (S lists per branch)
       val gatherB = textQueries.map(q => shs.map(_.bm25(q, 10)))
       val gatherH = queryVecs.indices.map { j =>
@@ -281,6 +294,7 @@ object ServeBench {
         s""""bm25_shard":${sec(sbq, sbp50, sbp99)},""" +
         s""""sparse_shard":${sec(ssq, ssp50, ssp99)},""" +
         s""""hybrid_shard":${sec(shq, shp50, shp99)},""" +
+        s""""hybrid_ann_shard":${sec(ahq, ahp50, ahp99)},""" +
         s""""gather_bm25":${sec(gbq, gbp50, gbp99)},""" +
         s""""gather_hybrid":${sec(ghq, ghp50, ghp99)}}"""
     }.mkString(",")
