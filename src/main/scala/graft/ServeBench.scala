@@ -246,7 +246,11 @@ object ServeBench {
           PointServe.mergeHits(shs.map(_.bm25(tq0, n)), n),
           PointServe.mergeHits(shs.map(_.textSearch(tq0, n)), n)), 10) ==
           emb.hybridRrf(queryVecs(j), queryIds(j), tq0, 10)
-        bOk && spOk && hOk
+        val aId = anchorIds(i % anchorIds.length)
+        val mOk = emb.anchorProfile(aId).forall(pr =>
+          PointServe.mergeHits(shs.map(_.moreLikeFrom(pr, aId, 10)), 10) ==
+            emb.moreLike(aId, 10))
+        bOk && spOk && hOk && mOk
       }
       val (sbq, sbp50, sbp99) = measure(nThreads, opsPerThread) { i =>
         sh0.bm25(textQueries(i % textQueries.length), k = 10)
@@ -275,6 +279,16 @@ object ServeBench {
         sh0.bm25(tq0, n)
         sh0.textSearch(tq0, n)
       }
+      // the sparse-cosine more-like scatter: the anchor's profile
+      // (weight map + norm — kilobytes) ships with the query; each
+      // node walks its own slice's postings. Per-node work measured
+      // on shard 0; profiles resolved once, as the router would
+      val profiles = anchorIds.flatMap(id =>
+        emb.anchorProfile(id).map(p => (p, id)))
+      val (mlq, mlp50, mlp99) = measure(nThreads, opsPerThread) { i =>
+        val (pr, id) = profiles(i % profiles.length)
+        sh0.moreLikeFrom(pr, id, k = 10)
+      }
       // gather cost over REAL per-shard answers (S lists per branch)
       val gatherB = textQueries.map(q => shs.map(_.bm25(q, 10)))
       val gatherH = queryVecs.indices.map { j =>
@@ -295,6 +309,7 @@ object ServeBench {
         s""""sparse_shard":${sec(ssq, ssp50, ssp99)},""" +
         s""""hybrid_shard":${sec(shq, shp50, shp99)},""" +
         s""""hybrid_ann_shard":${sec(ahq, ahp50, ahp99)},""" +
+        s""""more_like_shard":${sec(mlq, mlp50, mlp99)},""" +
         s""""gather_bm25":${sec(gbq, gbp50, gbp99)},""" +
         s""""gather_hybrid":${sec(ghq, ghp50, ghp99)}}"""
     }.mkString(",")

@@ -954,19 +954,40 @@ object PointServe {
       * the identical IEEE expression order as the batch plan, then
       * fx6 — bit-parity spec-pinned.
       */
-    def moreLike(anchorId: Long, k: Int = 10): Seq[Hit] = {
+    def moreLike(anchorId: Long, k: Int = 10): Seq[Hit] =
+      anchorProfile(anchorId).fold(Seq.empty[Hit])(p =>
+        moreLikeFrom(p, anchorId, k))
+
+    /** The anchor's sparse profile — its fixed-point weight map and
+      * squared norm — if the document is resident here: the state a
+      * more-like-this SCATTER ships to sibling shards (per-doc values
+      * only; kilobytes, never corpus-shaped).
+      */
+    def anchorProfile(anchorId: Long)
+        : Option[(java.util.HashMap[String, Long], Long)] = {
       val ai = java.util.Arrays.binarySearch(docIds, anchorId)
-      if (ai < 0) return Seq.empty
-      val ansq = normsSq(ai)
+      if (ai < 0) None else Some((weights(ai), normsSq(ai)))
+    }
+
+    /** [[moreLike]] scored from a shipped anchor profile — the
+      * sibling-shard half of the scatter: identical math (integer
+      * dot products are order-free, the one float step reads the same
+      * exact integers), so the anchor need not be resident and
+      * [[mergeHits]] over shard answers equals the unsharded result
+      * exactly (spec-pinned).
+      */
+    def moreLikeFrom(profile: (java.util.HashMap[String, Long], Long),
+                     anchorId: Long, k: Int = 10): Seq[Hit] = {
+      val (aw0, ansq) = profile
       val sc = scratch.get()
       sc.begin()
-      weights(ai).forEach((t, aw) => {
+      aw0.forEach((t, aw) => {
         val posting = inverted.getOrDefault(t, Array.empty)
         val pw = invertedW.getOrDefault(t, Array.empty)
         var p = 0
         while (p < posting.length) {
           val i = posting(p)
-          if (i != ai) {
+          if (docIds(i) != anchorId) {
             sc.touch(i)
             sc.l(i) += pw(p) * aw
           }

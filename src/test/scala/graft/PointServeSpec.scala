@@ -501,6 +501,17 @@ class PointServeSpec extends GraftSuite {
       assert(PointServe.mergeHits(
         shs.map(_.sparse(operators.Bm25.SparseQuery, 10)), 10) ==
         emb.sparse(operators.Bm25.SparseQuery, 10), s"sparse s=$s")
+      // more-like scatter: the anchor's profile ships, every shard
+      // (including ones where the anchor is NOT resident) scores its
+      // slice, the gather is exact
+      (5L to 9L).foreach { anchor =>
+        val pr = emb.anchorProfile(anchor)
+        assert(pr.isDefined, s"anchor $anchor resident")
+        assert(PointServe.mergeHits(
+          shs.map(_.moreLikeFrom(pr.get, anchor, 10)), 10) ==
+          emb.moreLike(anchor, 10), s"moreLike s=$s anchor=$anchor")
+      }
+      assert(emb.anchorProfile(-42L).isEmpty)
       val n = 20
       (0L until 4L).foreach { qid =>
         assert(PointServe.mergeHits(
