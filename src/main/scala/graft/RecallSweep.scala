@@ -92,6 +92,28 @@ object RecallSweep {
           .map(_.vecId).toSet
         recallOf(got, bruteL2(emb, qid, 10))
       })
+      // sharded graphs (r10): each id-hash shard builds its OWN kNN
+      // graph over its slice (the distributed-ANN deployment shape —
+      // per-shard index, per-shard walk, exact gather re-rank); the
+      // merged top-k recall vs brute is the figure the 100 TB dense
+      // serving story rests on, measured per SF at untouched ef
+      val nShards = 4
+      val shardDirs = (0 until nShards).map { s =>
+        val p = java.nio.file.Files.createTempDirectory(s"gshard$s")
+          .toFile.getAbsolutePath + "/graph"
+        graft.sources.VectorIndex.buildKnnGraphIndexFromVecs(spark,
+          emb.filter(col("vec_id") % nShards === s)
+            .select(col("vec_id"), col("emb").as("embedding")), p)
+        p
+      }
+      val shardGraphs = shardDirs.map(p =>
+        graft.sources.PointServe.loadGraphFrom(spark, p))
+      val graphSharded = mean(qids.map { qid =>
+        val got = graft.sources.PointServe.mergeHits(
+          shardGraphs.map(_.query(qvs(qid), k = 10, excludeId = qid)), 10)
+          .map(_.vecId).toSet
+        recallOf(got, bruteL2(emb, qid, 10))
+      })
       // served ANN-backed hybrid (r10): fused-overlap@10 of the
       // graph-dense-branch hybrid vs the brute-parity hybrid, at the
       // SAME untouched ef the QPS record quotes — the recall contract
@@ -113,6 +135,7 @@ object RecallSweep {
       println(s"""{"sf":"$sfDir","n":$n,"queries":$nQueries,""" +
         s""""coarse_k":$ck,"ms_coarse_k":$msk,"pq":${f(pq)},""" +
         s""""ivfpq":${f(ivfpq)},"ivf":${f(ivf)},"ms":${f(ms)},"graph":${f(graph)},""" +
+        s""""graph_sharded_s$nShards":${f(graphSharded)},""" +
         s""""hybrid_ann_overlap":${f(hybridAnn)}}""")
     } finally spark.stop()
   }

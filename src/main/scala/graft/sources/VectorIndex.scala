@@ -701,9 +701,24 @@ object VectorIndex {
     * (every group is a singleton).
     */
   def buildKnnGraphIndex(spark: SparkSession, dir: String, path: String,
-                         k: Int = 2 * VectorSearch.KnnGraphK): Unit = {
+                         k: Int = 2 * VectorSearch.KnnGraphK): Unit =
+    buildKnnGraphIndexFromVecs(spark,
+      Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+      path, k)
+
+  /** [[buildKnnGraphIndex]] over an explicit (vec_id, embedding)
+    * relation — the per-SHARD build path: a distributed ANN
+    * deployment gives each id-hash shard its OWN graph over its
+    * slice (per-shard kNN, per-shard walk), and the scatter-gather
+    * merge of per-shard answers covers the corpus because the slices
+    * partition it. Per-shard recall is measured (RecallSweep
+    * `graph_sharded`) and floor-pinned, not assumed.
+    */
+  private[graft] def buildKnnGraphIndexFromVecs(spark: SparkSession,
+                                                embIn: DataFrame, path: String,
+                                                k: Int = 2 * VectorSearch.KnnGraphK): Unit = {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val emb = embIn.select(col("vec_id"), col("embedding"))
     // one rep per distinct embedding; the shuffle key is the exact
     // vector (same bytes the rows carry anyway — no collision risk a
     // hashed key would introduce)

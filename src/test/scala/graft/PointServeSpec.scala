@@ -237,6 +237,49 @@ class PointServeSpec extends GraftSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("per-shard graphs scatter-gather to the brute recall floor") {
+    // the distributed dense deployment: each id-hash shard builds its
+    // OWN kNN graph over its slice; per-shard walks merge exactly
+    // (same fx4 score contract), the union covers the corpus because
+    // the slices partition it — recall vs brute floor-pinned here,
+    // measured per SF in RecallSweep (graph_sharded)
+    import graft.functions.VectorFunctions.toDouble
+    val nShards = 3
+    val shardGraphs = (0 until nShards).map { s =>
+      val p = java.nio.file.Files.createTempDirectory(s"gsh$s")
+        .toFile.getAbsolutePath + "/graph"
+      VectorIndex.buildKnnGraphIndexFromVecs(spark,
+        Tables.embeddings(spark, sf)
+          .filter(col("vec_id") % nShards === s)
+          .select(col("vec_id"), col("embedding")), p)
+      PointServe.loadGraphFrom(spark, p)
+    }
+    assert(shardGraphs.map(_.size).sum == queryVecs.size,
+      "shards must partition the corpus")
+    def fx4(x: Double): Long = math.floor(x * 10000L + 0.5).toLong
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val k = 10
+    val recalls = (0L until 16L).map { qid =>
+      val qv = queryVecs(qid)
+      val exact = queryVecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, fx4(cosine(v, qv))) }
+        .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSet
+      val served = PointServe.mergeHits(
+        shardGraphs.map(_.query(qv, k = k, excludeId = qid)), k)
+        .map(_.vecId).toSet
+      exact.intersect(served).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.8, f"sharded graph recall@$k $mean%.2f (per-query: $recalls)")
+  }
+
   test("graph serve refresh folds appended generations and back-links them reachable") {
     // private layout copy so the shared build is untouched
     val base = VectorIndex.knnGraphIndexReady(spark, sf)
