@@ -177,6 +177,8 @@ class GraftDBSpec extends GraftSuite {
       rows(graft.operators.Dedup.sweep(spark, sf)))
     assert(rows(db.bpeTrain()) ==
       rows(graft.operators.TextAnalysis.bpeTrain(spark, sf)))
+    // batched trainer delegate: exact serial replay at its M=1 default
+    assert(rows(db.bpeTrainBatched()) == rows(db.bpeTrain()))
     assert(rows(db.bpeTokenCount()) ==
       rows(graft.operators.TextAnalysis.bpeTokenCount(spark, sf)))
     assert(rows(db.bpeEncode()) ==
