@@ -1651,9 +1651,24 @@ object Analytics {
       .groupBy(col("l_orderkey"), col("m1"), col("n_supp"))
       .agg(count(when(col("m_s") === col("m1"), 1)).as("cnt_m1"),
            max(when(col("m_s") < col("m1"), col("m_s"))).as("m2"))
-    li.join(stats.hint("shuffle_hash"), Seq("l_orderkey"))
+    // One order-keyed attach instead of two (r10): perSupp ⋈ stats are
+    // BOTH one-row-per-(order[, supplier]) relations already keyed on
+    // l_orderkey, so their join is exchange-free; attaching the result
+    // to the candidate lines on l_orderkey ALONE (own-supplier equality
+    // as a residual filter) keeps the line stream on the partitioning
+    // its semi-join established — the old (l_orderkey, l_suppkey)
+    // equi-join re-exchanged every candidate line on the compound key
+    // (a full corpus-sized shuffle at scale) to join relations that
+    // were already co-partitioned on the order key. The transient
+    // fanout is ≤ n_supp rows per line inside one codegen stage, and
+    // the residual filter keeps exactly the own-supplier row the
+    // compound join produced — row-identical.
+    val perLine = perSupp
+      .join(stats.hint("shuffle_hash"), Seq("l_orderkey"))
       .filter(col("n_supp") >= 2)
-      .join(perSupp.hint("shuffle_hash"), Seq("l_orderkey", "l_suppkey"))
+      .withColumnRenamed("l_suppkey", "ps_suppkey")
+    li.join(perLine.hint("shuffle_hash"), Seq("l_orderkey"))
+      .filter(col("l_suppkey") === col("ps_suppkey"))
       .filter(
         when(col("m_s") === col("m1") && col("cnt_m1") === 1,
           col("l_shipdate") >= col("m2"))

@@ -485,20 +485,37 @@ object Clustering {
     // so it persists once
     val withDeg = edges.join(outdeg.hint("shuffle_hash"), Seq("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = Tables.embeddings(spark, dir).select(col("vec_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = nodes.withColumn("r", lit(1000000L))
+    // Iterate on the SPARSE contribution relation, not the dense rank
+    // vector (r10): r_i(v) = 150000 + (85·contrib_i(v)) DIV 100 with
+    // contrib_i(v) = 0 when v received nothing, so the rank is a pure
+    // function of the contribution sum and the per-iteration
+    // nodes ⟕ contribs join the dense form paid (one full node-set
+    // exchange + join per round) folds into a coalesce INSIDE the edge
+    // join. Per iteration the only exchange left is the dst-keyed
+    // contribution sum — the one shuffle PageRank fundamentally needs
+    // (contribs arrives keyed on vec_id = src from its aggregate, so
+    // the edge join is exchange-free). Identical integer arithmetic,
+    // bit-identical ranks; the dense vector is materialized ONCE at
+    // the end for the every-node output contract.
+    var contribs: Option[DataFrame] = None
     for (_ <- 1 to iters) {
-      val contribs = withDeg
-        .join(ranks.withColumnRenamed("vec_id", "src").hint("shuffle_hash"), Seq("src"))
+      val withRank = contribs match {
+        // round 1: every node holds the uniform base rank — a literal,
+        // no join needed
+        case None => withDeg.withColumn("r", lit(1000000L))
+        case Some(c) => withDeg
+          .join(c.withColumnRenamed("vec_id", "src").hint("shuffle_hash"),
+            Seq("src"), "left")
+          .withColumn("r", lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100"))
+      }
+      contribs = Some(withRank
         .select(col("dst").as("vec_id"), expr("r DIV deg").as("c"))
-        .groupBy(col("vec_id")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes
-        .join(contribs.hint("shuffle_hash"), Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("r"))
+        .groupBy(col("vec_id")).agg(sum(col("c")).as("contrib")))
     }
-    ranks.select(col("vec_id"), col("r").as("rank_ppm"))
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(contribs.get.hint("shuffle_hash"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) DIV 100")).as("rank_ppm"))
   }
 
   /** Top hubs for [[graphPagerank]]: k = [[PrTopK]]. */

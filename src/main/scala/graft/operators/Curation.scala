@@ -1016,8 +1016,15 @@ object Curation {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-    train.select(col("doc_id"))
-      .join(agg, Seq("doc_id"), "left")
+    // the keep-every-doc left join reads doc_id STRAIGHT off the
+    // parquet scan (no spread: the repartition exists for the
+    // CPU-heavy shingle map, and on an id-only projection it is a
+    // pure round-robin exchange of keys), and pins shuffle_hash like
+    // every other corpus-fraction join here — unhinted, the planner
+    // fell back to SortMergeJoin past broadcast-estimate scale
+    // (observed at sf0.1: two extra Sorts over the corpus)
+    base.filter(col("doc_id") % EvalMod =!= 0).select(col("doc_id"))
+      .join(agg.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))

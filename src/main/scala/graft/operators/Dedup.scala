@@ -307,6 +307,13 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2")).distinct()
     verifyJaccard(cand, docs)
+      // the persist lives HERE, not in [[sweep]] (r10): minhash,
+      // clusters, the sweep census and every curation consumer read
+      // this one near-dup-fraction-sized relation through their own
+      // thresholds, and with the cache registered only by whichever
+      // caller happened to run first, the banding + exact-verify
+      // lineage re-executed per call in any other order
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   def minhash(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
@@ -350,11 +357,9 @@ object Dedup {
     * join is 5×5 rows.
     */
   def sweep(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the verified pair relation feeds BOTH the per-theta
-    // pair count and the components solve — unpersisted, the whole
-    // banding + exact-verify lineage would execute twice
+    // the pair relation arrives persisted (see [[verifiedPairs]]) —
+    // both the per-theta pair count and the components solve read it
     val pairs = verifiedPairs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val thetas = spark.range(SweepThetas.size)
       .select(element_at(
         array(SweepThetas.map(lit): _*), col("id").cast("int") + 1).as("theta"))
@@ -732,7 +737,8 @@ object Dedup {
     * fixpoint the distributed propagation converges to, so the two
     * paths are interchangeable row-for-row.
     */
-  private def localComponents(session: SparkSession, pairs: DataFrame): DataFrame = {
+  private def localComponents(session: SparkSession,
+                              pairs: Array[org.apache.spark.sql.Row]): DataFrame = {
     import scala.collection.mutable
     val parent = mutable.LongMap.empty[Long]
     val rank = mutable.LongMap.empty[Long]
@@ -753,7 +759,7 @@ object Dedup {
       }
     }
     val nodes = mutable.LongMap.empty[Unit]
-    pairs.select(col("id1"), col("id2")).collect().foreach { r =>
+    pairs.foreach { r =>
       val (a, b) = (r.getLong(0), r.getLong(1))
       nodes(a) = (); nodes(b) = ()
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
@@ -818,7 +824,11 @@ object Dedup {
     val p = pairs.persist(lvl)
     val nPairs = p.count()
     if (nPairs <= localMaxEdges) {
-      val out = localComponents(session, p)
+      // the count above fully pinned the cache, so this collect is a
+      // cache read (an incremental limit-collect probe was tried in
+      // r10 and measured SLOWER: its scale-up rounds re-enter the
+      // lineage several times where one parallel count pays once)
+      val out = localComponents(session, p.select(col("id1"), col("id2")).collect())
       p.unpersist()
       return out
     }
@@ -1639,8 +1649,15 @@ object Dedup {
     * DedupSpec pins hash-equality to the recompute form; the executed
     * plan reads no document text (spec-asserted).
     */
-  def minhashIndexed(spark: SparkSession, dir: String,
-                     threshold: Double = 0.5): DataFrame = {
+  /** Unfiltered exact-verified pairs off the persisted band layout —
+    * the indexed twin of [[verifiedPairs]], and persisted for the same
+    * reason (r10): dedup_minhash_indexed, [[clustersIndexed]] and the
+    * whole curation family ([[graft.operators.Curation.curationFlags]])
+    * read this one relation through their own thresholds; uncached,
+    * each call re-ran the bucket-bound self-join + Jaccard verify
+    * against the layout parquet.
+    */
+  private[graft] def indexedVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val path = graft.sources.VectorIndex.minhashIndexReady(spark, dir)
     val bands = spark.read.parquet(path)
       .select(col("doc_id"), col("band"), col("band_key"))
@@ -1653,9 +1670,14 @@ object Dedup {
     val sketches = spark.read.parquet(path + "_sh")
       .select(col("doc_id"), col("sh"))
     verifyJaccard(cand, sketches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  def minhashIndexed(spark: SparkSession, dir: String,
+                     threshold: Double = 0.5): DataFrame =
+    indexedVerifiedPairs(spark, dir)
       .filter(col("jaccard") >= (threshold * 1e4).toLong)
       .orderBy(col("id1"), col("id2"))
-  }
 
   def minhashIncrementalSql(threshold: Double = 0.5): String = {
     val sigExprs = (0 until NumHashes).map { j =>

