@@ -1667,8 +1667,15 @@ object Analytics {
       .join(stats.hint("shuffle_hash"), Seq("l_orderkey"))
       .filter(col("n_supp") >= 2)
       .withColumnRenamed("l_suppkey", "ps_suppkey")
+    // the own-supplier equality is written in a form Catalyst's
+    // equi-key extraction does NOT lift into the join keys (a plain
+    // `l_suppkey === ps_suppkey` was pulled back in and re-created the
+    // compound-key exchange this restructure removes): the join stays
+    // keyed on l_orderkey alone — both sides already live on that
+    // partitioning — and the equality runs as a residual predicate
+    // over the ≤ n_supp-per-order transient fanout
     li.join(perLine.hint("shuffle_hash"), Seq("l_orderkey"))
-      .filter(col("l_suppkey") === col("ps_suppkey"))
+      .filter(col("l_suppkey") - col("ps_suppkey") === 0L)
       .filter(
         when(col("m_s") === col("m1") && col("cnt_m1") === 1,
           col("l_shipdate") >= col("m2"))

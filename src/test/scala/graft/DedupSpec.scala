@@ -324,4 +324,23 @@ class DedupSpec extends GraftSuite {
     }
     assert(rows.head._2 > 0, "the sf0.001 corpus has injected near-dups")
   }
+  test("pair relations are served from cache on repeat calls (r10 shared persist)") {
+    // verifiedPairs (raw) and indexedVerifiedPairs (band layout) own
+    // their persist, so every thresholded consumer (minhash, clusters,
+    // sweep, the curation flags) shares one banding + exact-verify
+    // lineage regardless of which ran first. A dropped persist shows
+    // up here as a cache miss on the second call.
+    import org.apache.spark.sql.functions.col
+    spark.catalog.clearCache()
+    Dedup.minhash(spark, sf).collect()           // populates the raw pair cache
+    val rawPlan = Dedup.minhash(spark, sf).filter(col("id1") >= 0L)
+      .queryExecution.executedPlan.toString
+    assert(rawPlan.contains("InMemoryTableScan"),
+      s"raw verified pairs not served from cache:\n${rawPlan.take(2000)}")
+    Dedup.minhashIndexed(spark, sf).collect()    // populates the layout pair cache
+    val idxPlan = Dedup.minhashIndexed(spark, sf).filter(col("id1") >= 0L)
+      .queryExecution.executedPlan.toString
+    assert(idxPlan.contains("InMemoryTableScan"),
+      s"indexed verified pairs not served from cache:\n${idxPlan.take(2000)}")
+  }
 }

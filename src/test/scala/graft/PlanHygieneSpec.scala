@@ -244,4 +244,46 @@ class PlanHygieneSpec extends GraftSuite {
         s"bm25_prf launched ${jobs.get()} jobs — the one-plan fold re-split")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("q21 never re-exchanges the candidate line stream on the compound key (r10)") {
+    // the r10 restructure attaches per-(order, supplier) stats to the
+    // candidate lines through ONE l_orderkey-keyed join with the
+    // own-supplier equality as a residual predicate in a form
+    // Catalyst's equi-key extraction does not lift (l_suppkey -
+    // ps_suppkey = 0). If a refactor reverts to a plain equality, the
+    // planner pulls it into the join keys and the corpus-sized line
+    // stream pays a full (l_orderkey, l_suppkey) exchange again —
+    // exactly the shuffle this pin forbids.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val plan = operators.Analytics.q21(spark, sf).queryExecution.sparkPlan
+    val compound = plan.collect {
+      case e: ShuffleExchangeExec => e.outputPartitioning match {
+        case h: HashPartitioning =>
+          val names = h.expressions.flatMap(_.references.map(_.name)).toSet
+          if (names.contains("l_orderkey") && names.exists(_.endsWith("suppkey"))) 1 else 0
+        case _ => 0
+      }
+    }.sum
+    assert(compound == 0,
+      s"compound-key exchange of the candidate stream crept back:\n${plan.toString.take(3000)}")
+  }
+
+  test("pagerank iterations shuffle only the contribution sum (r10 sparse iterate)") {
+    // the sparse-contribution formulation folds the dense
+    // nodes ⟕ contribs join into the edge join (base rank is a
+    // constant), so the loop carries exactly one join per round after
+    // the first plus the one final dense materialization: joins in the
+    // optimized plan = (iters - 1 contribution attaches) + 1 final
+    // nodes join (the edge-deg build join lives inside the persisted
+    // withDeg relation, which plan substitution replaces with its
+    // cache scan). A revert to the dense iterate doubles the per-round
+    // join count and re-exchanges the node set each round.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val iters = operators.Clustering.PrIters
+    val joins = operators.Clustering.graphPagerank(spark, sf)
+      .queryExecution.optimizedPlan.collect { case j: Join => j }.size
+    assert(joins == (iters - 1) + 1,
+      s"pagerank plan carries $joins joins — expected ${(iters - 1) + 1} for the sparse iterate")
+  }
 }
